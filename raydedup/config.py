@@ -1,0 +1,81 @@
+"""Engine configuration.
+
+The reference exposes no config surface — its knobs are module-level
+constants (``duplicate_face.py:14`` BATCH_SIZE=6161, ``duplicate_face.py:67``
+Euclidean tolerance 0.32, ``face_recognition_custom.py:16-19`` cosine 0.65 /
+blur 100).  Here every knob is a field of a frozen dataclass so a pipeline
+run is fully described by (input, config) — which is also what the
+checkpoint manifests hash (see ``raydedup.state.checkpoint``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling (the "feature extraction"; analog of the 128-d face
+    # embedding at duplicate_face.py:44) ---
+    shingle_k: int = 5              # tokens per word-shingle
+    max_shingles_per_doc: int = 50_000   # cap via smallest-hash sampling; recorded in metrics
+
+    # --- MinHash signature ---
+    num_perm: int = 128
+    seed: int = 42
+
+    # --- LSH banding: num_perm = bands * rows ---
+    bands: int = 32
+    rows: int = 4
+    salt_buckets: int = 4           # salted re-partition of band buckets (skew)
+    bucket_pair_cap: int = 50       # clique emission below this group size; chain above
+    max_bucket_emit: int = 2_000    # hard cap on edges emitted per (band,hash,salt) bucket
+
+    # --- verification thresholds (analog of duplicate_face.py:67 tolerance
+    # 0.32 / face_recognition_custom.py:18 cosine 0.65) ---
+    jaccard_threshold: float = 0.8  # exact-Jaccard match threshold (shared with the oracle)
+    verify_mode: str = "exact"      # "exact" (shingle-set Jaccard) | "estimate" (signature agreement)
+    est_margin: float = 0.10        # estimate mode: accept est >= jaccard_threshold - est_margin
+
+    # --- SimHash (secondary fingerprint; cosine analog) ---
+    simhash_bits: int = 64
+    hamming_threshold: int = 4      # simhash near-dup edge if hamming <= this
+
+    # --- suffix / long-repeat pass (winnowing-style content-defined anchors) ---
+    suffix_window: int = 64         # rolling-hash window (bytes)
+    suffix_fp_len: int = 448        # fingerprinted span length (bytes) after the anchor window
+    suffix_anchor_mod: int = 8      # anchor density: E[gap] = this many bytes
+    # spans >= suffix_window + suffix_fp_len + a few anchor gaps are detected
+    # w.h.p.; spans <= suffix_window + suffix_fp_len are never detected (this
+    # is what keeps shared 200-400 char boilerplate system prompts from
+    # producing exact-repeat edges).
+
+    # --- connected components ---
+    max_cc_iters: int = 25
+
+    # --- execution sizing ---
+    sig_batch_size: int = 1024      # docs per signature-actor batch
+    sig_concurrency: tuple = (2, 8) # signature actor pool (min, max)
+    join_num_partitions: int = 32   # hash partitions for Dataset.join in verify
+
+    # --- quality gates (analog of the blur gate face_recognition_custom.py:73-77) ---
+    min_doc_chars: int = 1          # normalized docs shorter than this -> status 'no_content'
+
+    extra: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.bands * self.rows != self.num_perm:
+            raise ValueError(
+                f"bands*rows must equal num_perm: {self.bands}*{self.rows} != {self.num_perm}"
+            )
+        if self.verify_mode not in ("exact", "estimate"):
+            raise ValueError(f"bad verify_mode {self.verify_mode!r}")
+
+    def config_hash(self) -> str:
+        """Stable hash of the config; part of every checkpoint manifest."""
+        d = asdict(self)
+        d["sig_concurrency"] = list(d["sig_concurrency"])
+        blob = json.dumps(d, sort_keys=True, default=str).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]

@@ -1,0 +1,77 @@
+"""Text-analysis kernels for the training-data operators: token counting,
+quality scoring, language-ID heuristic, whole-document fingerprinting.
+
+All vectorized over pandas Series / pyarrow arrays; integer-valued outputs
+where the DuckDB oracle must hash-match exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+_WS = re.compile(r"\s+")
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "ich", "zu", "mit"},
+    "fr": {"le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"},
+    "es": {"el", "la", "los", "que", "de", "una", "es", "por", "con", "para"},
+}
+
+
+def token_counts(texts: pd.Series) -> np.ndarray:
+    """Whitespace token count; matches DuckDB
+    ``len(regexp_split_to_array(trim(text), '\\s+'))`` with empty → 0."""
+    stripped = texts.fillna("").str.strip()
+    n = stripped.str.split(_WS).map(len).to_numpy(dtype=np.int64)
+    n[stripped.str.len().to_numpy() == 0] = 0
+    return n
+
+
+def char_class_counts(texts: pd.Series) -> dict:
+    """Integer character-class counts per row (hash-safe for the oracle)."""
+    t = texts.fillna("")
+    return {
+        "n_chars_calc": t.str.len().to_numpy(dtype=np.int64),
+        "n_digits": t.str.count(r"[0-9]").to_numpy(dtype=np.int64),
+        "n_punct": t.str.count(r"[.,;:!?]").to_numpy(dtype=np.int64),
+        "n_upper": t.str.count(r"[A-Z]").to_numpy(dtype=np.int64),
+        "n_spaces": t.str.count(r" ").to_numpy(dtype=np.int64),
+    }
+
+
+def quality_flags(texts: pd.Series, min_tokens: int = 5, max_digit_ratio: float = 0.3):
+    """Boolean keep/drop quality gate — the text analog of the reference's
+    blur gate (Laplacian var < 100 → skip, face_recognition_custom.py:73-77),
+    except records are *flagged*, never silently dropped."""
+    nt = token_counts(texts)
+    cc = char_class_counts(texts)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        digit_ratio = np.where(cc["n_chars_calc"] > 0, cc["n_digits"] / np.maximum(cc["n_chars_calc"], 1), 0.0)
+    return (nt >= min_tokens) & (digit_ratio <= max_digit_ratio)
+
+
+def langid(texts: pd.Series) -> np.ndarray:
+    """Stopword-overlap language heuristic → best language code or 'und'."""
+    langs = list(_STOPWORDS)
+    out = np.full(len(texts), "und", dtype=object)
+    toks = texts.fillna("").str.lower().str.split(_WS)
+    for i, words in enumerate(toks):
+        if not words:
+            continue
+        ws = set(words)
+        scores = [len(ws & _STOPWORDS[lg]) for lg in langs]
+        best = int(np.argmax(scores))
+        if scores[best] > 0:
+            out[i] = langs[best]
+    return out
+
+
+def md5_fingerprints(texts: pd.Series) -> list:
+    """Whole-document md5 hex fingerprint; matches DuckDB ``md5(text)``."""
+    return [hashlib.md5(("" if t is None else t).encode("utf-8")).hexdigest() for t in texts]
