@@ -58,7 +58,8 @@ class DedupConfig:
     # --- execution sizing ---
     sig_batch_size: int = 1024      # docs per signature-actor batch
     sig_concurrency: tuple = (2, 8) # signature actor pool (min, max)
-    join_num_partitions: int = 32   # hash partitions for Dataset.join in verify
+    num_partitions: int = 32        # hash-shuffle partitions for every wide op
+                                    # (size to ~cluster cores at real scale)
 
     # --- quality gates (analog of the blur gate face_recognition_custom.py:73-77) ---
     min_doc_chars: int = 1          # normalized docs shorter than this -> status 'no_content'

@@ -19,10 +19,11 @@ from raydedup.functions.hashing import hash_tokens, poly_window_hash, splitmix64
 def batch_shingles(texts: "list[str] | pd.Series", k: int, max_shingles: int = 0):
     """Shingle-hash sets for a batch of normalized documents.
 
-    Returns ``(sets, n_capped)`` where ``sets`` is a list of sorted unique
+    Returns ``(sets, capped_mask)`` where ``sets`` is a list of sorted unique
     uint64 arrays (one per doc; empty array for empty/None docs) and
-    ``n_capped`` counts docs truncated by ``max_shingles`` (smallest-hash
-    deterministic sampling, which preserves MinHash/Jaccard in expectation).
+    ``capped_mask`` is a per-doc bool array marking docs truncated by
+    ``max_shingles`` (smallest-by-rehash deterministic sampling, which
+    preserves MinHash/Jaccard in expectation).
     """
     texts = ["" if t is None else t for t in texts]
     # one flat token stream for the whole batch, with per-doc offsets
@@ -30,15 +31,16 @@ def batch_shingles(texts: "list[str] | pd.Series", k: int, max_shingles: int = 0
     lens = np.fromiter((len(tl) for tl in token_lists), dtype=np.int64, count=len(token_lists))
     offsets = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
+    capped = np.zeros(len(texts), dtype=bool)
     if offsets[-1] == 0:
-        return [np.empty(0, dtype=np.uint64) for _ in texts], 0
+        return [np.empty(0, dtype=np.uint64) for _ in texts], capped
 
     flat = np.concatenate([np.asarray(tl, dtype=object) for tl in token_lists if tl])
     codes_idx, uniques = pd.factorize(flat)
     unique_hashes = hash_tokens(uniques)
     flat_codes = unique_hashes[codes_idx]
 
-    sets, n_capped = [], 0
+    sets = []
     for i in range(len(texts)):
         lo, hi = offsets[i], offsets[i + 1]
         if hi == lo:
@@ -49,9 +51,9 @@ def batch_shingles(texts: "list[str] | pd.Series", k: int, max_shingles: int = 0
             # smallest-by-independent-rehash sampling: deterministic, unbiased
             order = np.argsort(splitmix64(sh))
             sh = np.sort(sh[order[:max_shingles]])
-            n_capped += 1
+            capped[i] = True
         sets.append(sh)
-    return sets, n_capped
+    return sets, capped
 
 
 def doc_shingles(text: str, k: int, max_shingles: int = 0) -> np.ndarray:

@@ -1,0 +1,142 @@
+"""End-to-end near-duplicate detection + clustering pipeline.
+
+Lifecycle (SURVEY.md §3.4) — each stage a Ray Data transform, each
+boundary a resumable Parquet checkpoint:
+
+    read_parquet(turns)
+    → hash-repartition(conv_id) + vectorized reassembly [shuffle 1 → docs/]
+    → map_batches(SignatureActor, actor pool)        [→ signatures/]
+    → LSH bands → groupby(band,hash,salt) pairs      [shuffle 2]
+      + SimHash block pairs + suffix long-repeat pairs
+    → Dataset.join verification (exact Jaccard)      [→ pairs/]
+    → iterative groupby-min label propagation        [shuffle 3×k → clusters/]
+    → clusters + metrics Parquet
+
+The reference's equivalents are cited in each stage module; nothing here
+holds driver-resident dedup state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from raydedup.config import DedupConfig
+from raydedup.stages.components import connected_components
+from raydedup.stages.lsh import candidate_pairs
+from raydedup.stages.reassemble import reassemble
+from raydedup.stages.signatures import compute_signatures
+from raydedup.stages.simhash_pairs import simhash_pairs
+from raydedup.stages.suffix import suffix_pairs
+from raydedup.stages.verify import verified_pairs
+from raydedup.ray_utils import ensure_hash_shuffle
+from raydedup.state.checkpoint import CheckpointStore, input_fingerprint
+from raydedup.state.metrics import MetricsSink
+
+
+def run_pipeline(
+    input_path: str,
+    out_dir: str,
+    cfg: DedupConfig | None = None,
+    use_simhash_edges: bool = False,
+):
+    """Run (or resume) the full dedup pipeline.
+
+    Returns dict with Datasets: docs, signatures, pairs, clusters, plus
+    checkpoint events and metrics.  ``use_simhash_edges`` adds Hamming-near
+    edges to the graph (off by default: the oracle's match rule is Jaccard;
+    SimHash edges are reported in pairs/ either way).
+    """
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+    cfg = cfg or DedupConfig()
+    store = CheckpointStore(out_dir, cfg.config_hash(), input_fingerprint(input_path))
+    metrics = MetricsSink()
+
+    docs = store.stage(
+        "docs", lambda: reassemble(rd.read_parquet(input_path), cfg.num_partitions)
+    )
+    sigs = store.stage("signatures", lambda: compute_signatures(docs, cfg))
+
+    # Each edge source is its own checkpointed sub-DAG (bounded number of
+    # concurrent shuffle ops per execution; finer-grained resume).
+    cands = store.stage("candidates", lambda: candidate_pairs(sigs, cfg))
+    mh_edges = store.stage("pairs_minhash", lambda: verified_pairs(cands, sigs, cfg))
+    sf_edges = store.stage("pairs_suffix", lambda: suffix_pairs(docs, cfg))
+    sh_edges = store.stage("pairs_simhash", lambda: simhash_pairs(sigs, cfg))
+    pairs = store.stage(
+        "pairs",
+        lambda: mh_edges.select_columns(["a", "b", "est_sim", "source"])
+        .union(sf_edges.select_columns(["a", "b", "est_sim", "source"]))
+        .union(sh_edges.select_columns(["a", "b", "est_sim", "source"])),
+    )
+
+    def compute_clusters():
+        if use_simhash_edges:
+            graph = pairs
+        else:
+            graph = pairs.map_batches(
+                lambda t: t.filter(pa.compute.is_in(t["source"], value_set=pa.array(["minhash", "suffix"]))),
+                batch_format="pyarrow",
+            )
+        labels, n_iters = connected_components(graph, cfg)
+        metrics.add("components", "iterations", n_iters)
+        # every doc gets a cluster: component label if present, else itself
+        lab_joined = docs.select_columns(["conv_id", "status"]).join(
+            labels,
+            join_type="left_outer",
+            num_partitions=cfg.num_partitions,
+            on=("conv_id",),
+            right_on=("node",),
+        )
+
+        def finalize(batch: pa.Table) -> pa.Table:
+            lab = batch["label"].to_pylist()
+            conv = batch["conv_id"].to_pylist()
+            out = [l if l is not None else c for l, c in zip(lab, conv)]
+            return pa.table(
+                {
+                    "conv_id": batch["conv_id"],
+                    "cluster_id": pa.array(out, pa.string()),
+                    "status": batch["status"],
+                }
+            )
+
+        return lab_joined.map_batches(finalize, batch_format="pyarrow")
+
+    clusters = store.stage("clusters", compute_clusters)
+
+    # stage counters → metrics parquet (analog of the reference's summary panel)
+    for ev in store.events:
+        metrics.add(ev["stage"], f"rows_{ev['action']}", ev["rows"])
+    metrics.write(f"{out_dir}/metrics")
+
+    return {
+        "docs": docs,
+        "signatures": sigs,
+        "pairs": pairs,
+        "clusters": clusters,
+        "events": store.events,
+        "metrics": metrics,
+        "config": cfg,
+    }
+
+
+def label_turns(turns_ds, clusters_ds, cfg: DedupConfig | None = None):
+    """Join cluster assignments back onto the turns table (broadcast-style
+    hash join; SURVEY.md §2.4 — the one relational join the engine needs).
+
+    Preserves every turn row byte-for-byte (the north-rule row invariant).
+    """
+    cfg = cfg or DedupConfig()
+    ensure_hash_shuffle()
+    return turns_ds.join(
+        clusters_ds.select_columns(["conv_id", "cluster_id", "status"]).rename_columns(
+            {"conv_id": "cl_conv_id"}
+        ),
+        join_type="left_outer",
+        num_partitions=cfg.num_partitions,
+        on=("conv_id",),
+        right_on=("cl_conv_id",),
+    ).drop_columns(["cl_conv_id"])

@@ -1,0 +1,49 @@
+"""Ray Data context knobs shared by every pipeline entry point.
+
+The engine's wide operations are all *hash* shuffles (repartition by key +
+vectorized within-block group processing) — the scalable replacement for
+both the reference's driver-resident index scan (``duplicate_face.py:57-82``)
+and Ray Data's per-group ``map_groups`` tasks, whose per-group Python
+overhead dominates at millions of buckets.
+"""
+
+from __future__ import annotations
+
+
+def ensure_hash_shuffle() -> None:
+    """Switch the current DataContext to the hash-shuffle strategy.
+
+    Required for ``Dataset.repartition(keys=...)`` and makes
+    ``groupby``/``join`` hash-partitioned.  Idempotent; safe to call from
+    every pipeline entry (the driver owns ``ray.init``, we only set the
+    Data context).
+    """
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # Size aggregator pools to the actual cluster instead of the 64-actor
+    # default: several pipelined shuffle ops would otherwise compete for
+    # actor slots and stall up to min_wait (300s default) per op.
+    try:
+        import ray
+
+        n_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        n_cpus = 8
+    ctx.max_hash_shuffle_aggregators = max(2, n_cpus // 2)
+    ctx.min_hash_shuffle_aggregator_wait_time_in_s = 10
+    # keep aggregators lightweight so map/actor stages are never starved
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
+
+
+def keyed_blocks(ds, keys: list, num_partitions: int):
+    """Hash-partition ``ds`` so all rows of a key land in one block.
+
+    Downstream ``map_batches(fn, batch_size=None)`` then sees complete key
+    groups per batch and can process them with vectorized numpy/pandas —
+    the engine's standard wide-operation pattern.
+    """
+    ensure_hash_shuffle()
+    return ds.repartition(num_blocks=num_partitions, keys=keys)

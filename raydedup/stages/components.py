@@ -1,0 +1,141 @@
+"""Distributed connected components over the verified pair graph.
+
+Replaces the reference's order-dependent star attribution
+(``duplicate_face.py:69-70``: dup → first-seen canonical) with an
+order-free rule: cluster id = min ``conv_id`` of the connected component.
+Components ⊇ every reference star (each reference pair is a thresholded
+edge), which is the ≥0.99 pair-recall argument of SURVEY.md §2.6.
+
+Algorithm: iterative min-label propagation, hash-partitioned by node.
+Each iteration is two hash shuffles over edge-sized data with fully
+vectorized block functions (pandas merge / groupby-min — no per-group
+tasks, no driver-resident state; BTS/ICDE'24-style label propagation).
+Convergence is detected with an order-independent checksum of the label
+assignment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raydedup.config import DedupConfig
+from raydedup.functions.hashing import hash_strings
+from raydedup.ray_utils import keyed_blocks
+
+_EMPTY_LABELS = pd.DataFrame(
+    {"node": pd.Series([], dtype=object), "label": pd.Series([], dtype=object)}
+)
+
+
+def _label_checksum(labels_ds) -> int:
+    """Order-independent checksum of (node,label): sum of pair-hashes mod 2^63."""
+
+    def h(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64())})
+        hn = hash_strings(batch["node"].to_pylist())
+        hl = hash_strings(batch["label"].to_pylist())
+        v = ((hn * np.uint64(0x9E3779B97F4A7C15)) ^ hl) >> np.uint64(2)
+        return pa.table({"h": pa.array(v.astype(np.int64))})
+
+    return int(labels_ds.map_batches(h, batch_format="pyarrow").sum("h") or 0)
+
+
+def _min_label_block(df: pd.DataFrame) -> pd.DataFrame:
+    if len(df) == 0:
+        return _EMPTY_LABELS
+    out = df.groupby("node", sort=False).agg(label=("label", "min")).reset_index()
+    return out
+
+
+def _make_propagate_block():
+    """Block fn over union(edge rows, label rows) hash-partitioned by node.
+
+    Edge rows have ``nbr`` set, label rows have ``label`` set.  Emits, for
+    each node in the block: ``(node, its_label)`` plus ``(nbr, its_label)``
+    for every out-edge — all vectorized (merge + concat).
+    """
+
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return _EMPTY_LABELS
+        lab = df.loc[df["label"].notna(), ["node", "label"]]
+        # invariant: exactly one label row per node; guard with a min anyway
+        lab = lab.groupby("node", sort=False).agg(label=("label", "min")).reset_index()
+        edges = df.loc[df["nbr"].notna(), ["node", "nbr"]]
+        sent = edges.merge(lab, on="node", how="inner")[["nbr", "label"]].rename(
+            columns={"nbr": "node"}
+        )
+        return pd.concat([lab, sent], ignore_index=True)
+
+    return propagate
+
+
+def connected_components(pairs_ds, cfg: DedupConfig):
+    """pairs(a,b,...) → (labels_ds(node,label), n_iters).
+
+    Only nodes incident to an edge appear; callers default absent nodes to
+    singleton clusters (label = own conv_id).
+    """
+    edges = pairs_ds.select_columns(["a", "b"])
+
+    def to_directed(batch: pa.Table) -> pa.Table:
+        a = batch["a"].combine_chunks() if isinstance(batch["a"], pa.ChunkedArray) else batch["a"]
+        b = batch["b"].combine_chunks() if isinstance(batch["b"], pa.ChunkedArray) else batch["b"]
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a.cast(pa.string()), b.cast(pa.string())]),
+                "nbr": pa.concat_arrays([b.cast(pa.string()), a.cast(pa.string())]),
+            }
+        )
+
+    directed = (
+        keyed_blocks(
+            edges.map_batches(to_directed, batch_format="pyarrow"),
+            ["node"],
+            cfg.num_partitions,
+        )
+        .materialize()
+    )
+
+    # initial labels: every node labels itself
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return _EMPTY_LABELS
+        nodes = pd.unique(df["node"])
+        return pd.DataFrame({"node": nodes, "label": nodes})
+
+    labels = directed.map_batches(init_labels, batch_size=None, batch_format="pandas").materialize()
+
+    with_null_label = directed.map_batches(
+        lambda t: t.append_column("label", pa.nulls(t.num_rows, pa.string())),
+        batch_format="pyarrow",
+    ).materialize()
+
+    propagate = _make_propagate_block()
+    prev_sum = None
+    n_iters = 0
+    for _ in range(cfg.max_cc_iters):
+        n_iters += 1
+        lab_rows = labels.map_batches(
+            lambda t: pa.table(
+                {"node": t["node"], "nbr": pa.nulls(t.num_rows, pa.string()), "label": t["label"]}
+            ),
+            batch_format="pyarrow",
+        )
+        combined = keyed_blocks(
+            with_null_label.union(lab_rows), ["node"], cfg.num_partitions
+        )
+        msgs = combined.map_batches(propagate, batch_size=None, batch_format="pandas")
+        labels = (
+            keyed_blocks(msgs, ["node"], cfg.num_partitions)
+            .map_batches(_min_label_block, batch_size=None, batch_format="pandas")
+            .materialize()
+        )
+        cur = _label_checksum(labels)
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels, n_iters

@@ -1,0 +1,150 @@
+"""LSH banding + candidate-pair emission.
+
+This replaces the reference's driver-resident linear-scan index
+(``known_face_encodings``, ``duplicate_face.py:57-82``, O(N·U) compares in
+one process's RAM) with data-parallel hash shuffles: signatures → band rows
+→ hash-repartition by ``(band_idx, band_hash, salt)`` → one vectorized
+``map_batches`` pass emits bounded candidate pairs per bucket (kernels in
+``raydedup.functions.pairs``; no per-group tasks).
+
+Skew handling (north rule): band keys are *salted* with a bucket derived
+from ``minhash[0]`` — equal signatures always share a salt (so identical
+docs are never split), while boilerplate-driven mega-buckets split into
+``salt_buckets`` independent groups.  Inside a bucket, emission is the full
+clique below ``bucket_pair_cap`` members; above it, a sorted chain + star
+(O(n) edges preserving bucket connectivity), with capped edges flagged so
+caps are never silent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raydedup.config import DedupConfig
+from raydedup.functions.hashing import splitmix64
+from raydedup.functions.pairs import (
+    dedup_sorted_members,
+    emit_bucket_pairs,
+    group_ids_from_sorted,
+)
+from raydedup.ray_utils import keyed_blocks
+
+_FNV = np.uint64(0x100000001B3)
+
+_EMPTY_PAIRS = pd.DataFrame(
+    {
+        "a": pd.Series([], dtype=object),
+        "b": pd.Series([], dtype=object),
+        "capped": pd.Series([], dtype=np.int32),
+    }
+)
+
+
+def signature_matrix(batch: pa.Table, num_perm: int) -> np.ndarray:
+    """(n, num_perm) uint64 from the minhash list column (fixed-size or plain list)."""
+    col = batch["minhash"].combine_chunks() if isinstance(batch["minhash"], pa.ChunkedArray) else batch["minhash"]
+    if isinstance(col, pa.FixedSizeListArray):
+        flat = col.values
+    else:
+        flat = col.flatten()
+    return flat.to_numpy(zero_copy_only=False).astype(np.uint64).reshape(-1, num_perm)
+
+
+def make_band_rows(cfg: DedupConfig):
+    """map_batches fn: signatures → BANDS rows (vectorized, no Python row loop)."""
+
+    powers = _FNV ** np.arange(cfg.rows - 1, -1, -1, dtype=np.uint64)
+    band_mix = splitmix64(np.arange(cfg.bands, dtype=np.uint64) + np.uint64(0xB0BA))
+
+    def bands_fn(batch: pa.Table) -> pa.Table:
+        keep = np.asarray(batch["n_shingles"]) > 0
+        batch = batch.filter(pa.array(keep))
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "band_idx": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.uint64()),
+                    "salt": pa.array([], pa.int32()),
+                    "conv_id": pa.array([], pa.string()),
+                }
+            )
+        sig = signature_matrix(batch, cfg.num_perm)  # (n, num_perm)
+        grouped = sig.reshape(n, cfg.bands, cfg.rows)
+        bh = (grouped * powers[None, None, :]).sum(axis=2, dtype=np.uint64)
+        bh = splitmix64(bh ^ band_mix[None, :])  # (n, bands)
+        salt = (splitmix64(sig[:, 0]) % np.uint64(cfg.salt_buckets)).astype(np.int32)
+        conv = np.asarray(batch["conv_id"], dtype=object)
+        return pa.table(
+            {
+                "band_idx": pa.array(np.tile(np.arange(cfg.bands, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.reshape(-1)),
+                "salt": pa.array(np.repeat(salt, cfg.bands)),
+                "conv_id": pa.array(np.repeat(conv, cfg.bands), pa.string()),
+            }
+        )
+
+    return bands_fn
+
+
+def make_bucket_emitter(cfg: DedupConfig):
+    """Whole-block fn over hash-partitioned band rows → candidate pairs (a<b)."""
+
+    cap = cfg.bucket_pair_cap
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return _EMPTY_PAIRS
+        bi = df["band_idx"].to_numpy()
+        bh = df["band_hash"].to_numpy()
+        sa = df["salt"].to_numpy()
+        cv = df["conv_id"].to_numpy(dtype=object)
+        order = np.lexsort((cv, sa, bh, bi))
+        bi, bh, sa, cv = bi[order], bh[order], sa[order], cv[order]
+        gid = group_ids_from_sorted(bi, bh, sa)
+        keep = dedup_sorted_members(gid, cv)
+        gid, cv = gid[keep], cv[keep]
+        i, j, capped = emit_bucket_pairs(gid, cap)
+        if len(i) == 0:
+            return _EMPTY_PAIRS
+        return pd.DataFrame(
+            {"a": cv[i], "b": cv[j], "capped": capped.astype(np.int32)}
+        )
+
+    return emit
+
+
+def make_pair_dedup():
+    """Whole-block fn over hash-partitioned (a, b) rows → unique pairs with
+    band-evidence counters (replaces a per-group aggregate)."""
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=object),
+                    "b": pd.Series([], dtype=object),
+                    "n_bands": pd.Series([], dtype=np.int64),
+                    "capped": pd.Series([], dtype=np.int32),
+                }
+            )
+        g = df.groupby(["a", "b"], sort=False)
+        out = g.agg(n_bands=("capped", "size"), capped=("capped", "max")).reset_index()
+        out["n_bands"] = out["n_bands"].astype(np.int64)
+        out["capped"] = out["capped"].astype(np.int32)
+        return out
+
+    return dedup
+
+
+def candidate_pairs(sigs_ds, cfg: DedupConfig):
+    """signatures → deduplicated candidate pairs (a, b, n_bands, capped)."""
+    bands = sigs_ds.map_batches(make_band_rows(cfg), batch_format="pyarrow", zero_copy_batch=True)
+    raw = keyed_blocks(bands, ["band_idx", "band_hash", "salt"], cfg.num_partitions).map_batches(
+        make_bucket_emitter(cfg), batch_size=None, batch_format="pandas"
+    )
+    return keyed_blocks(raw, ["a", "b"], cfg.num_partitions).map_batches(
+        make_pair_dedup(), batch_size=None, batch_format="pandas"
+    )

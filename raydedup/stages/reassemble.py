@@ -1,0 +1,89 @@
+"""Turns → conversation documents (the analog of image decoding,
+``duplicate_face.py:43``: the conversation *is* our record; its turns are
+the pixels).
+
+Shuffle 1 of the pipeline: hash-repartition by ``conv_id`` (all turns of a
+conversation in one block), then a single vectorized ``map_batches`` pass
+reassembles every conversation in the block — no per-group tasks.
+
+Statuses mirror the reference's branches: dense-index + non-null turns →
+``ok``; null text or non-dense ``turn_idx`` → ``corrupted`` (quarantine,
+``duplicate_face.py:84-89``); empty normalized text → ``no_content`` (the
+no-face branch, ``duplicate_face.py:46-52``).  Rows are never dropped and
+batch functions never raise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from raydedup.ray_utils import keyed_blocks
+
+SEP = "\n"  # turn separator inside a reassembled document
+
+
+def assemble_group(turn_idx: np.ndarray, texts: list) -> tuple:
+    """Scalar core shared with the oracle/tests: (doc_text, status)."""
+    order = np.argsort(turn_idx, kind="stable")
+    idx = np.asarray(turn_idx)[order]
+    n = len(idx)
+    if any(t is None for t in texts) or not np.array_equal(idx, np.arange(n, dtype=idx.dtype)):
+        return "", "corrupted"
+    doc = SEP.join(texts[i] for i in order)
+    if doc.strip() == "":
+        return doc, "no_content"
+    return doc, "ok"
+
+
+def _assemble_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized twin of :func:`assemble_group` over a whole block."""
+    empty = pd.DataFrame(
+        {
+            "conv_id": pd.Series([], dtype=object),
+            "doc_text": pd.Series([], dtype=object),
+            "n_turns": pd.Series([], dtype=np.int32),
+            "status": pd.Series([], dtype=object),
+        }
+    )
+    if len(df) == 0:
+        return empty
+    df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+    conv = df["conv_id"].to_numpy(dtype=object)
+    idx = df["turn_idx"].to_numpy()
+    isnull = df["text"].isna().to_numpy()
+
+    is_start = np.ones(len(conv), dtype=bool)
+    is_start[1:] = conv[1:] != conv[:-1]
+    start_vals = np.flatnonzero(is_start)
+    sizes = np.diff(np.append(start_vals, len(conv)))
+    pos = np.arange(len(conv), dtype=np.int64) - np.repeat(start_vals, sizes)
+
+    non_dense = idx != pos
+    grp_bad = np.add.reduceat(non_dense | isnull, start_vals) > 0
+
+    texts = df["text"].fillna("").to_numpy(dtype=object)
+    docs = np.empty(len(start_vals), dtype=object)
+    bounds = np.append(start_vals, len(conv))
+    for g in range(len(start_vals)):  # in-process join; C-speed-dominated
+        docs[g] = SEP.join(texts[bounds[g] : bounds[g + 1]])
+
+    stripped_empty = np.fromiter((d.strip() == "" for d in docs), dtype=bool, count=len(docs))
+    status = np.where(grp_bad, "corrupted", np.where(stripped_empty, "no_content", "ok"))
+    docs[grp_bad] = ""  # corrupted docs carry no payload (quarantined)
+    return pd.DataFrame(
+        {
+            "conv_id": conv[start_vals],
+            "doc_text": docs,
+            "n_turns": sizes.astype(np.int32),
+            "status": status,
+        }
+    )
+
+
+def reassemble(turns_ds, num_partitions: int = 32):
+    """``Dataset[TRANSCRIPTS] → Dataset[DOCS]``."""
+    slim = turns_ds.select_columns(["conv_id", "turn_idx", "text"])
+    return keyed_blocks(slim, ["conv_id"], num_partitions).map_batches(
+        _assemble_block, batch_size=None, batch_format="pandas"
+    )

@@ -1,0 +1,77 @@
+"""Signature stage: docs → (MinHash, SimHash, shingle set) per conversation.
+
+The stateful actor-pool analog of the reference's implicitly-loaded
+embedding model (``face_recognition`` loads dlib once per process —
+T1 in SURVEY.md §2.3): ``SignatureActor.__init__`` builds the seeded
+MinHash permutation table once per actor; ``__call__`` is a pure
+vectorized function of the batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from raydedup.config import DedupConfig
+from raydedup.functions.minhash import MinHasher
+from raydedup.functions.shingle import batch_shingles
+from raydedup.functions.simhash import simhash64
+from raydedup.functions.textnorm import normalize_array
+
+
+class SignatureActor:
+    def __init__(self, cfg: DedupConfig):
+        self.cfg = cfg
+        self.mh = MinHasher(cfg.num_perm, cfg.seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = batch.num_rows
+        statuses = batch["status"].to_pylist()
+        texts = normalize_array(batch["doc_text"]).to_pylist()
+        # quarantined docs contribute no shingles
+        sets, capped = batch_shingles(
+            [t if s == "ok" else "" for t, s in zip(texts, statuses)],
+            cfg.shingle_k,
+            cfg.max_shingles_per_doc,
+        )
+        sigs = np.empty((n, cfg.num_perm), dtype=np.uint64)
+        simhashes = np.empty(n, dtype=np.uint64)
+        n_shingles = np.empty(n, dtype=np.int64)
+        out_status = []
+        for i, sh in enumerate(sets):
+            sigs[i] = self.mh.signature(sh)
+            simhashes[i] = simhash64(sh)
+            n_shingles[i] = len(sh)
+            s = statuses[i]
+            out_status.append("no_content" if s == "ok" and len(sh) == 0 else s)
+
+        mh_col = pa.FixedSizeListArray.from_arrays(pa.array(sigs.reshape(-1)), cfg.num_perm)
+        shingle_col = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(n_shingles)]), type=pa.int32()),
+            pa.array(np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)),
+        )
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "minhash": mh_col,
+                "simhash": pa.array(simhashes),
+                "n_shingles": pa.array(n_shingles),
+                "shingles": shingle_col,
+                "capped": pa.array(capped),
+                "status": pa.array(out_status, pa.string()),
+            }
+        )
+
+
+def compute_signatures(docs_ds, cfg: DedupConfig):
+    """``Dataset[DOCS] → Dataset[SIGNATURES]`` via an actor pool."""
+    return docs_ds.map_batches(
+        SignatureActor,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.sig_batch_size,
+        concurrency=cfg.sig_concurrency,
+        num_cpus=1,
+        zero_copy_batch=True,
+    )

@@ -46,7 +46,7 @@ def test_poly_window_hash_positions():
 def test_shingles_batch_matches_scalar_and_short_docs():
     texts = ["one two three four five six", "tiny doc", "", None]
     sets, capped = batch_shingles(texts, k=5)
-    assert capped == 0
+    assert not capped.any()
     assert np.array_equal(sets[0], doc_shingles(texts[0], 5))
     assert len(sets[0]) == 2  # 6 tokens, k=5 → 2 shingles
     assert len(sets[1]) == 1  # shorter than k → one whole-doc shingle
@@ -57,7 +57,7 @@ def test_shingle_cap_deterministic():
     text = " ".join(f"w{i}" for i in range(2000))
     a, ca = batch_shingles([text], k=5, max_shingles=100)
     b, cb = batch_shingles([text], k=5, max_shingles=100)
-    assert ca == cb == 1
+    assert ca[0] and cb[0]
     assert np.array_equal(a[0], b[0]) and len(a[0]) == 100
 
 
