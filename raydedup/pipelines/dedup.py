@@ -132,11 +132,9 @@ def label_turns(turns_ds, clusters_ds, cfg: DedupConfig | None = None):
     cfg = cfg or DedupConfig()
     ensure_hash_shuffle()
     return turns_ds.join(
-        clusters_ds.select_columns(["conv_id", "cluster_id", "status"]).rename_columns(
-            {"conv_id": "cl_conv_id"}
-        ),
+        clusters_ds.select_columns(["conv_id", "cluster_id", "status"]),
         join_type="left_outer",
         num_partitions=cfg.num_partitions,
         on=("conv_id",),
-        right_on=("cl_conv_id",),
-    ).drop_columns(["cl_conv_id"])
+        right_on=("conv_id",),
+    )

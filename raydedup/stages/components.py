@@ -29,18 +29,32 @@ _EMPTY_LABELS = pd.DataFrame(
 )
 
 
-def _label_checksum(labels_ds) -> int:
-    """Order-independent checksum of (node,label): sum of pair-hashes mod 2^63."""
+def _label_checksum(labels_ds) -> tuple:
+    """Order-independent checksum of (node,label): per-block XOR + wrapping
+    sum of pair-hashes, combined on the driver (one tiny row per block —
+    no overflow, no shuffle)."""
 
     def h(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"h": pa.array([], pa.int64())})
+            return pa.table({"x": pa.array([], pa.int64()), "s": pa.array([], pa.int64())})
         hn = hash_strings(batch["node"].to_pylist())
         hl = hash_strings(batch["label"].to_pylist())
-        v = ((hn * np.uint64(0x9E3779B97F4A7C15)) ^ hl) >> np.uint64(2)
-        return pa.table({"h": pa.array(v.astype(np.int64))})
+        v = (hn * np.uint64(0x9E3779B97F4A7C15)) ^ hl
+        x = np.bitwise_xor.reduce(v)
+        s = v.sum(dtype=np.uint64)  # wrapping mod-2^64 sum
+        return pa.table(
+            {
+                "x": pa.array([np.int64(x.astype(np.int64))]),
+                "s": pa.array([np.int64(s.astype(np.int64))]),
+            }
+        )
 
-    return int(labels_ds.map_batches(h, batch_format="pyarrow").sum("h") or 0)
+    parts = labels_ds.map_batches(h, batch_format="pyarrow").take_all()
+    x_all, s_all = np.uint64(0), np.uint64(0)
+    for p in parts:
+        x_all ^= np.uint64(np.int64(p["x"]).astype(np.uint64))
+        s_all += np.uint64(np.int64(p["s"]).astype(np.uint64))
+    return int(x_all), int(s_all)
 
 
 def _min_label_block(df: pd.DataFrame) -> pd.DataFrame:

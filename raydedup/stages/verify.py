@@ -127,7 +127,7 @@ def make_verify_block(cfg: DedupConfig):
                 "a": m["a"].to_numpy()[keep],
                 "b": m["b"].to_numpy()[keep],
                 "est_sim": sims[keep],
-                "source": np.repeat("minhash", int(keep.sum())),
+                "source": np.repeat("minhash", int(keep.sum())).astype(object),
             }
         )
 

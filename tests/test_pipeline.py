@@ -1,0 +1,134 @@
+"""End-to-end pipeline tests (SURVEY.md §5 items 3-5): recall vs the
+sequential reference-semantics oracle, the per-turn row invariant, resume
+from checkpoint, and order-free determinism across partitioning."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from raydedup.config import DedupConfig
+from raydedup.pipelines.oracle import greedy_star_pairs, pair_recall
+
+
+@pytest.fixture(scope="module")
+def e2e(ray_session, fixture_dir, tmp_path_factory):
+    """One full pipeline run over the shared 400-conv fixture."""
+    from raydedup.pipelines.dedup import run_pipeline
+
+    out_dir = str(tmp_path_factory.mktemp("e2e"))
+    cfg = DedupConfig(num_partitions=4, sig_concurrency=(1, 2))
+    res = run_pipeline(f"{fixture_dir}/transcripts.parquet", out_dir, cfg)
+    clusters = res["clusters"].to_pandas()
+    return {"res": res, "clusters": clusters, "out_dir": out_dir, "cfg": cfg,
+            "fixture_dir": fixture_dir}
+
+
+def _oracle(fixture_dir, cfg):
+    turns = pq.read_table(f"{fixture_dir}/transcripts.parquet").to_pandas()
+    ok = turns.dropna(subset=["text"]).sort_values(["conv_id", "turn_idx"])
+    docs = [(cid, "\n".join(g["text"])) for cid, g in ok.groupby("conv_id", sort=True)]
+    return greedy_star_pairs(docs, cfg.shingle_k, cfg.jaccard_threshold)
+
+
+def test_recall_vs_oracle(e2e):
+    orc = _oracle(e2e["fixture_dir"], e2e["cfg"])
+    assert len(orc.pairs) > 50
+    assign = dict(zip(e2e["clusters"].conv_id, e2e["clusters"].cluster_id))
+    recall = pair_recall(orc.pairs, assign)
+    assert recall >= 0.99
+
+
+def test_every_conv_assigned_exactly_once(e2e):
+    turns = pq.read_table(f"{e2e['fixture_dir']}/transcripts.parquet").to_pandas()
+    cl = e2e["clusters"]
+    assert cl.conv_id.is_unique
+    assert set(cl.conv_id) == set(turns.conv_id)
+    # cluster_id is the min conv_id of its component
+    assert (cl.groupby("cluster_id")["conv_id"].min() ==
+            cl.groupby("cluster_id")["cluster_id"].first()).all()
+
+
+def test_statuses_and_boilerplate_precision(e2e):
+    truth = pq.read_table(f"{e2e['fixture_dir']}/truth.parquet").to_pandas()
+    cl = e2e["clusters"].set_index("conv_id")
+    zero = truth[truth.family == "zero"].conv_id
+    assert (cl.loc[zero, "status"] == "no_content").all()
+    corrupt = truth[truth.family == "corrupt"].conv_id
+    assert (cl.loc[corrupt, "status"] == "corrupted").all()
+    # quarantined rows are singletons
+    assert (cl.loc[zero, "cluster_id"].to_numpy() == zero.to_numpy()).all()
+    assert (cl.loc[corrupt, "cluster_id"].to_numpy() == corrupt.to_numpy()).all()
+    # boilerplate-only conversations never co-cluster with each other
+    boiler = truth[truth.family == "boiler"].conv_id
+    assert cl.loc[boiler, "cluster_id"].is_unique
+
+
+def test_longrep_family_caught(e2e):
+    """Long verbatim spans (MinHash-diluted) are linked by the suffix pass."""
+    truth = pq.read_table(f"{e2e['fixture_dir']}/truth.parquet").to_pandas()
+    cl = e2e["clusters"].set_index("conv_id")
+    groups = truth[truth.family == "longrep"].groupby("group_id")["conv_id"].apply(list)
+    hit = sum(1 for g in groups if cl.loc[g, "cluster_id"].nunique() == 1)
+    assert hit / len(groups) >= 0.9
+
+
+def test_row_invariant_label_turns(e2e, ray_session):
+    """Per-turn text equality under stable turn ordering (north rule)."""
+    import ray.data as rd
+
+    from raydedup.pipelines.dedup import label_turns
+
+    turns_ds = rd.read_parquet(f"{e2e['fixture_dir']}/transcripts.parquet")
+    labeled = label_turns(turns_ds, e2e["res"]["clusters"], e2e["cfg"]).to_pandas()
+    src = pq.read_table(f"{e2e['fixture_dir']}/transcripts.parquet").to_pandas()
+    # corrupted convs may hold duplicate turn_idx; break ties on the payload
+    for df in (src, labeled):
+        df["_t"] = df["text"].fillna("\0")
+    key = ["conv_id", "turn_idx", "_t", "role"]
+    a = src.sort_values(key).reset_index(drop=True)
+    b = labeled.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["_t"] == b["_t"]).all()
+    assert (a["role"] == b["role"]).all()
+    assert b["cluster_id"].notna().all()
+
+
+def test_resume_skips_recompute(e2e):
+    """Second run with identical (input, config) resumes every stage."""
+    from raydedup.pipelines.dedup import run_pipeline
+
+    res2 = run_pipeline(
+        f"{e2e['fixture_dir']}/transcripts.parquet", e2e["out_dir"], e2e["cfg"]
+    )
+    actions = {ev["stage"]: ev["action"] for ev in res2["events"]}
+    assert all(a == "resumed" for a in actions.values()), actions
+    cl2 = res2["clusters"].to_pandas().sort_values("conv_id").reset_index(drop=True)
+    cl1 = e2e["clusters"].sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(cl1[["conv_id", "cluster_id", "status"]],
+                                  cl2[["conv_id", "cluster_id", "status"]])
+
+
+def test_partial_resume_after_config_change(e2e, tmp_path):
+    """A config change invalidates checkpoints (lineage hash mismatch)."""
+    from raydedup.pipelines.dedup import run_pipeline
+
+    cfg2 = DedupConfig(num_partitions=4, sig_concurrency=(1, 2), bands=16, rows=8)
+    res = run_pipeline(f"{e2e['fixture_dir']}/transcripts.parquet", e2e["out_dir"], cfg2)
+    actions = {ev["stage"]: ev["action"] for ev in res["events"]}
+    assert actions["docs"] == "computed"  # config hash differs → recompute
+
+
+def test_determinism_across_partitioning(e2e, tmp_path_factory):
+    """Different partition count ⇒ identical cluster assignment (order-free
+    semantics; SURVEY.md §4 ordering row)."""
+    from raydedup.pipelines.dedup import run_pipeline
+
+    out2 = str(tmp_path_factory.mktemp("e2e_p2"))
+    cfg2 = DedupConfig(num_partitions=7, sig_concurrency=(1, 2))
+    res2 = run_pipeline(f"{e2e['fixture_dir']}/transcripts.parquet", out2, cfg2)
+    cl2 = res2["clusters"].to_pandas().sort_values("conv_id").reset_index(drop=True)
+    cl1 = e2e["clusters"].sort_values("conv_id").reset_index(drop=True)
+    assert (cl1["cluster_id"].to_numpy() == cl2["cluster_id"].to_numpy()).all()

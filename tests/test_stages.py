@@ -1,0 +1,88 @@
+"""Unit tests for the vectorized stage kernels (no Ray needed)."""
+
+import numpy as np
+import pandas as pd
+
+from raydedup.functions.pairs import (
+    dedup_sorted_members,
+    emit_bucket_pairs,
+    group_ids_from_sorted,
+)
+from raydedup.stages.reassemble import _assemble_block, assemble_group
+
+
+def test_group_ids_from_sorted():
+    a = np.array([1, 1, 2, 2, 2, 3])
+    b = np.array([0, 0, 0, 1, 1, 1])
+    gid = group_ids_from_sorted(a, b)
+    assert gid.tolist() == [0, 0, 1, 2, 2, 3]
+
+
+def test_emit_bucket_pairs_clique_and_cap():
+    # groups of size 3, 2, 1, 6 with cap=4
+    gid = np.array([0, 0, 0, 1, 1, 2, 3, 3, 3, 3, 3, 3])
+    i, j, capped = emit_bucket_pairs(gid, cap=4)
+    assert (~capped).sum() == 3 + 1          # cliques: C(3,2) + C(2,2)
+    assert capped.sum() == 2 * 6 - 3         # chain+star on the big group
+    assert (i < j).all()
+    # capped group stays connected: union-find over its edges
+    big = {6: 6, 7: 7, 8: 8, 9: 9, 10: 10, 11: 11}
+
+    def find(x):
+        while big[x] != x:
+            x = big[x]
+        return x
+
+    for a, b in zip(i[capped], j[capped]):
+        big[find(a)] = find(b)
+    assert len({find(x) for x in big}) == 1
+
+
+def test_emit_bucket_pairs_empty_and_singletons():
+    i, j, c = emit_bucket_pairs(np.array([], dtype=np.int64), cap=5)
+    assert len(i) == 0
+    i, j, c = emit_bucket_pairs(np.array([0, 1, 2]), cap=5)
+    assert len(i) == 0
+
+
+def test_dedup_sorted_members():
+    gid = np.array([0, 0, 0, 1, 1])
+    mem = np.array(["a", "a", "b", "a", "a"], dtype=object)
+    keep = dedup_sorted_members(gid, mem)
+    assert keep.tolist() == [True, False, True, True, False]
+
+
+def _block_df(rows):
+    return pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+
+
+def test_assemble_block_matches_scalar():
+    rows = [
+        ("c1", 1, "world"),
+        ("c1", 0, "hello"),
+        ("c2", 0, None),          # null text → corrupted
+        ("c2", 1, "x"),
+        ("c3", 0, "a"),
+        ("c3", 2, "b"),           # gap → corrupted
+        ("c4", 0, "  "),
+        ("c4", 1, ""),            # whitespace only → no_content
+    ]
+    out = _block_df(rows)
+    res = _assemble_block(out).set_index("conv_id")
+    assert res.loc["c1", "doc_text"] == "hello\nworld"
+    assert res.loc["c1", "status"] == "ok"
+    assert res.loc["c2", "status"] == "corrupted" and res.loc["c2", "doc_text"] == ""
+    assert res.loc["c3", "status"] == "corrupted"
+    assert res.loc["c4", "status"] == "no_content"
+    # parity with the scalar twin on every conversation
+    for cid, g in _block_df(rows).groupby("conv_id"):
+        texts = [None if pd.isna(t) else t for t in g["text"]]
+        doc, status = assemble_group(g["turn_idx"].to_numpy(), texts)
+        assert res.loc[cid, "doc_text"] == doc
+        assert res.loc[cid, "status"] == status
+
+
+def test_assemble_block_empty():
+    res = _assemble_block(_block_df([]))
+    assert len(res) == 0
+    assert list(res.columns) == ["conv_id", "doc_text", "n_turns", "status"]
