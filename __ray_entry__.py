@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the large-scale training-data operators (dedup variants,
+similarity search, text analysis).  Every SQL-expressible operator has a
+DuckDB twin in ``oracle_sql()`` with identical column names; sketch-based
+operators (MinHash/LSH, SimHash, ANN, the transcript flagship) are
+deterministic but not SQL-expressible → rows-only driver check.
 """
 
 from __future__ import annotations
@@ -20,25 +18,135 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship near-dup clustering over the sf0.001 documents table."""
+    from raydedup.pipelines.docdedup import minhash_doc_clusters
+
+    return minhash_doc_clusters("/root/testdata/sf0.001")
+
+
+def _transcript_dedup(sf_dir: str):
+    """Full transcript flagship at a scale derived from the sf dir name:
+    synthesize the input_hint-shaped transcripts table deterministically,
+    run the complete pipeline, return cluster assignments."""
+    import os
+    import re
+
+    from raydedup.config import DedupConfig
+    from raydedup.pipelines.dedup import run_pipeline
+    from raydedup.sources.synth import materialize
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    n_convs = max(200, int(200_000 * sf))
+    fixture = materialize(seed=42, n_convs=n_convs)
+    out_dir = os.path.join("/tmp/raydedup_runs", f"n{n_convs}")
+    cfg = DedupConfig(num_partitions=8, sig_concurrency=(1, 4))
+    res = run_pipeline(f"{fixture}/transcripts.parquet", out_dir, cfg)
+    return res["clusters"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from raydedup.pipelines import docdedup, docops, similarity
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- exact dedup family (hash-partition + per-group first) ---
+        "q_exact_dedup": docops.exact_dedup,
+        "q_dup_groups": docops.dup_groups,
+        "q_ngram_jaccard_pairs": docops.ngram_jaccard_pairs,
+        # --- sketch dedup family (deterministic, non-SQL) ---
+        "q_minhash_doc_clusters": docdedup.minhash_doc_clusters,
+        "q_simhash_doc_pairs": docdedup.simhash_doc_pairs,
+        "q_doc_signatures": docdedup.minhash_doc_signatures,
+        "q_transcript_dedup": _transcript_dedup,
+        # --- text analysis ---
+        "q_token_stats": docops.doc_token_stats,
+        "q_quality_flags": docops.doc_quality_flags,
+        "q_doc_fingerprint": docops.doc_fingerprint,
+        "q_langid": docops.doc_langid,
+        # --- grouped aggregations ---
+        "q_docs_by_source_lang": docops.docs_by_source_lang,
+        "q_events_by_user": docops.events_by_user,
+        # --- similarity search over embeddings ---
+        "q_knn_bruteforce": similarity.knn_bruteforce,
+        "q_ann_lsh": similarity.ann_lsh,
+        "q_embedding_dup_pairs": lambda sf: similarity.embedding_dup_pairs(sf, 0.5),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_exact_dedup": (
+            "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id "
+            "FROM documents"
+        ),
+        "q_dup_groups": (
+            "SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, "
+            "MIN(doc_id) AS canonical_id FROM documents "
+            "GROUP BY text HAVING COUNT(*) > 1"
+        ),
+        "q_ngram_jaccard_pairs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS tok
+              FROM documents WHERE len(trim(text)) > 0
+            ),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+            it AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_inter
+              FROM t x JOIN t y ON x.tok = y.tok AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT it.a, it.b, it.n_inter,
+                   sa.n + sb.n - it.n_inter AS n_union
+            FROM it
+            JOIN sz sa ON it.a = sa.doc_id
+            JOIN sz sb ON it.b = sb.doc_id
+            WHERE 2 * it.n_inter >= sa.n + sb.n - it.n_inter
+        """,
+        "q_token_stats": r"""
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                   len(text) AS n_chars_calc
+            FROM documents
+        """,
+        "q_quality_flags": r"""
+            SELECT doc_id,
+                   CAST(
+                     (CASE WHEN len(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+')) END) >= 5
+                     AND 10 * len(regexp_replace(text, '[^0-9]', '', 'g')) <= 3 * len(text)
+                     AS BIGINT) AS keep
+            FROM documents
+        """,
+        "q_doc_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "q_docs_by_source_lang": (
+            "SELECT source, lang, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY source, lang"
+        ),
+        "q_events_by_user": (
+            "SELECT user_id, COUNT(*) AS n_events, "
+            "COUNT(DISTINCT event_type) AS n_types FROM events GROUP BY user_id"
+        ),
+        "q_knn_bruteforce": """
+            WITH s AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding, e.embedding) AS sim
+              FROM embeddings q, embeddings e
+              WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id
+            ),
+            r AS (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rnk
+              FROM s
+            )
+            SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
+        """,
+        "q_embedding_dup_pairs": (
+            "SELECT x.vec_id AS a, y.vec_id AS b "
+            "FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id "
+            "WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.5"
+        ),
+    }

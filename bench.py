@@ -1,0 +1,176 @@
+"""Benchmark harness (driver-run per round; also the scaling evidence).
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) plus the transcript-dedup flagship over the
+deterministic synthetic transcripts table at the matching scale, and
+prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N}
+
+``--scaling``: runs the flagship twice in fresh processes at
+``num_cpus=8`` and ``num_cpus=32`` on the same input and reports both
+throughputs (turns/sec) plus the scaling efficiency
+``(T_32/T_8)/(32/8)`` — the sandbox proxy for the north rule's N→4N-node
+cluster criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.01
+
+
+def _transcripts_fixture(sf: float) -> tuple:
+    from raydedup.sources.synth import materialize
+
+    n_convs = max(200, int(200_000 * sf))
+    return materialize(seed=42, n_convs=n_convs), n_convs
+
+
+def run_flagship(sf_dir: str, num_cpus: int, fresh: bool = True) -> dict:
+    """Full transcript dedup at the sf-matched synthetic scale; returns
+    timing + turns/sec.  Checkpoints go to a throwaway dir (cold run)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from raydedup.config import DedupConfig
+    from raydedup.pipelines.dedup import run_pipeline
+
+    sf = _sf_of(sf_dir)
+    fixture, n_convs = _transcripts_fixture(sf)
+    n_turns = pq.ParquetFile(f"{fixture}/transcripts.parquet").metadata.num_rows
+    out_dir = f"/tmp/raydedup_bench/n{n_convs}_c{num_cpus}"
+    if fresh and os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    cfg = DedupConfig(num_partitions=max(8, num_cpus), sig_concurrency=(2, max(2, num_cpus // 2)))
+    t0 = time.time()
+    res = run_pipeline(f"{fixture}/transcripts.parquet", out_dir, cfg)
+    n_clusters = res["clusters"].count()
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 2),
+        "turns": int(n_turns),
+        "convs": int(n_convs),
+        "clusters": int(n_clusters),
+        "turns_per_sec": round(n_turns / dt, 1),
+    }
+
+
+def run_doc_queries(sf_dir: str) -> dict:
+    """Headline document/embedding operators over the sf dir."""
+    from raydedup.pipelines import docdedup, docops, similarity
+
+    out = {}
+    for name, fn in [
+        ("q_exact_dedup", docops.exact_dedup),
+        ("q_ngram_jaccard_pairs", docops.ngram_jaccard_pairs),
+        ("q_minhash_doc_clusters", docdedup.minhash_doc_clusters),
+        ("q_token_stats", docops.doc_token_stats),
+        ("q_knn_bruteforce", similarity.knn_bruteforce),
+    ]:
+        t0 = time.time()
+        res = fn(sf_dir)
+        n = res.count() if hasattr(res, "count") else len(res)
+        out[name] = round(time.time() - t0, 2)
+        _ = n
+    return out
+
+
+def main_bench():
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR"
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    flag = run_flagship(SF_DIR, NUM_CPUS)
+    queries = {"flagship_transcript_dedup": flag["sec"]}
+    queries.update(run_doc_queries(SF_DIR))
+    total = round(sum(queries.values()), 2)
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end dedup wall time (flagship + headline operators)",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": _sf_of(SF_DIR),
+                "num_cpus": NUM_CPUS,
+                "flagship": flag,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def main_scaling():
+    results = {}
+    for cpus in (8, 32):
+        code = (
+            "import json, bench; r = bench.run_flagship(bench.SF_DIR, %d); "
+            "print('SCALEJSON ' + json.dumps(r))" % cpus
+        )
+        p = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith("SCALEJSON ")]
+        if not line:
+            print(json.dumps({"error": "scaling run failed", "cpus": cpus,
+                              "stderr": p.stderr[-2000:]}))
+            sys.exit(1)
+        results[cpus] = json.loads(line[-1][len("SCALEJSON "):])
+    t8, t32 = results[8]["turns_per_sec"], results[32]["turns_per_sec"]
+    eff = (t32 / t8) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (num_cpus 8 -> 32, same input)",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "throughput_8": t8,
+                "throughput_32": t32,
+                "detail": results,
+                "sf": _sf_of(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_bench()

@@ -1,0 +1,316 @@
+"""Training-data text operators over the ``documents`` table
+(doc_id:int64, text, lang, source, n_chars).
+
+Each operator is a Ray Data pipeline with a DuckDB-checkable twin in
+``__ray_entry__.oracle_sql`` (column names match exactly).  Patterns:
+
+* per-row maps       → ``map_batches`` (vectorized pandas/pyarrow)
+* exact dedup        → hash-repartition by text, per-block min (the
+                       distributed analog of the reference's exact-match
+                       branch in its linear index scan,
+                       ``duplicate_face.py:64-75``)
+* grouped aggregates → partial-aggregate per block, then one small hash
+                       shuffle on the group key (pre-aggregation keeps the
+                       all-to-all exchange proportional to group count,
+                       not row count)
+* similarity join    → inverted-index explode + two hash shuffles
+                       (exact n-gram Jaccard accounting, no driver state)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from raydedup.functions.textstats import md5_fingerprints, token_counts
+from raydedup.ray_utils import ensure_hash_shuffle, keyed_blocks
+
+_P = 8  # hash partitions for sf-scale correctness runs (cluster: ~cores)
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------- exact dedup
+def exact_dedup(sf_dir: str):
+    """(doc_id, canonical_id): canonical = min doc_id sharing the exact text."""
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "canonical_id": pd.Series([], dtype=np.int64)})
+        canonical = df.groupby("text", sort=False)["doc_id"].transform("min")
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "canonical_id": canonical.to_numpy()})
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return keyed_blocks(ds, ["text"], _P).map_batches(
+        block, batch_size=None, batch_format="pandas"
+    )
+
+
+def dup_groups(sf_dir: str):
+    """Exact-duplicate groups with >1 member: (text_md5, n_docs, canonical_id)."""
+
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [("text_md5", pa.string()), ("n_docs", pa.int64()), ("canonical_id", pa.int64())]
+    )
+
+    def block(df: pd.DataFrame) -> pa.Table:
+        out = (
+            df.groupby("text", sort=False)
+            .agg(n_docs=("doc_id", "size"), canonical_id=("doc_id", "min"))
+            .reset_index()
+        )
+        out = out[out["n_docs"] > 1]
+        return pa.table(
+            {
+                "text_md5": pa.array(md5_fingerprints(out["text"]), pa.string()),
+                "n_docs": pa.array(out["n_docs"].to_numpy(dtype=np.int64)),
+                "canonical_id": pa.array(out["canonical_id"].to_numpy(dtype=np.int64)),
+            },
+            schema=schema,
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return keyed_blocks(ds, ["text"], _P).map_batches(
+        block, batch_size=None, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------- per-row maps
+def doc_token_stats(sf_dir: str):
+    """(doc_id, n_tokens, n_chars_calc) — whitespace token + char counts."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": token_counts(df["text"]),
+                "n_chars_calc": df["text"].fillna("").str.len().to_numpy(dtype=np.int64),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+def doc_quality_flags(sf_dir: str, min_tokens: int = 5):
+    """(doc_id, keep): integerized quality gate — the text analog of the
+    reference's blur gate (``face_recognition_custom.py:73-77``), flagging
+    instead of dropping.  keep=1 iff n_tokens >= min_tokens and digits make
+    up <= 30% of characters (10*n_digits <= 3*n_chars)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        n_tok = token_counts(df["text"])
+        n_digits = t.str.count(r"[0-9]").to_numpy(dtype=np.int64)
+        n_chars = t.str.len().to_numpy(dtype=np.int64)
+        keep = (n_tok >= min_tokens) & (10 * n_digits <= 3 * n_chars)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(), "keep": keep.astype(np.int64)}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+def doc_fingerprint(sf_dir: str):
+    """(doc_id, fp_md5) — whole-document md5 fingerprint."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(), "fp_md5": md5_fingerprints(df["text"])}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+def doc_langid(sf_dir: str):
+    """(doc_id, lang_pred) — stopword-overlap language heuristic."""
+    from raydedup.functions.textstats import langid
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(), "lang_pred": langid(df["text"])}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+# ------------------------------------------------------- grouped aggregations
+def docs_by_source_lang(sf_dir: str):
+    """(source, lang, n_docs, total_chars) — partial agg per block, then one
+    small shuffle on the group key."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["source", "lang"], sort=False)
+            .agg(n_docs=("doc_id", "size"), total_chars=("n_chars", "sum"))
+            .reset_index()
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "lang": pd.Series([], dtype=object),
+                    "n_docs": pd.Series([], dtype=np.int64),
+                    "total_chars": pd.Series([], dtype=np.int64),
+                }
+            )
+        out = (
+            df.groupby(["source", "lang"], sort=False)
+            .agg(n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"))
+            .reset_index()
+        )
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["total_chars"] = out["total_chars"].astype(np.int64)
+        return out
+
+    ds = _docs(sf_dir, ["doc_id", "source", "lang", "n_chars"])
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return keyed_blocks(partials, ["source", "lang"], 4).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
+def events_by_user(sf_dir: str):
+    """(user_id, n_events, n_types) over the events stream table."""
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("user_id", sort=False)
+            .agg(n_events=("event_id", "size"), types=("event_type", lambda s: list(set(s))))
+            .reset_index()
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "n_types": pd.Series([], dtype=np.int64),
+                }
+            )
+        rows = []
+        for uid, g in df.groupby("user_id", sort=False):
+            types = set()
+            for t in g["types"]:
+                types.update(t)
+            rows.append((uid, int(g["n_events"].sum()), len(types)))
+        out = pd.DataFrame(rows, columns=["user_id", "n_events", "n_types"])
+        return out.astype({"user_id": np.int64, "n_events": np.int64, "n_types": np.int64})
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    )
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return keyed_blocks(partials, ["user_id"], 4).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------- exact n-gram Jaccard pair join
+def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 1, tau_den: int = 2):
+    """Exact 1-gram (distinct word) Jaccard similarity pairs with
+    jaccard >= tau_num/tau_den, via inverted-index explode + hash shuffles.
+
+    Integer-only output (a, b, n_inter, n_union) so the DuckDB oracle
+    hash-matches.  Candidate generation is exact (any pair with J>0 shares
+    a token); at 100-TB scale this operator assumes a document-frequency
+    cap on tokens (hot-token buckets are the skew analog of LSH
+    mega-buckets) — here the vocabulary is small and bounded.
+    """
+    from raydedup.functions.pairs import (
+        dedup_sorted_members,
+        emit_bucket_pairs,
+        group_ids_from_sorted,
+    )
+
+    def tok_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids, toks, sizes_id, sizes_n = [], [], [], []
+        for did, txt in zip(df["doc_id"].to_numpy(), df["text"].fillna("")):
+            ts = sorted(set(txt.lower().strip().split()))
+            sizes_id.append(did)
+            sizes_n.append(len(ts))
+            ids.extend([did] * len(ts))
+            toks.extend(ts)
+        return pd.DataFrame(
+            {"doc_id": np.asarray(ids, dtype=np.int64), "tok": np.asarray(toks, dtype=object)}
+        )
+
+    def sizes_fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = np.fromiter(
+            (len(set(t.lower().strip().split())) for t in df["text"].fillna("")),
+            dtype=np.int64,
+            count=len(df),
+        )
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(dtype=np.int64), "n": n})
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    toks = ds.map_batches(tok_rows, batch_format="pandas")
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        tok = df["tok"].to_numpy(dtype=object)
+        did = df["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((did, tok))
+        tok, did = tok[order], did[order]
+        gid = group_ids_from_sorted(tok)
+        keep = dedup_sorted_members(gid, did)
+        gid, did = gid[keep], did[keep]
+        i, j, _ = emit_bucket_pairs(gid, cap=1 << 30)  # exact: never cap
+        return pd.DataFrame({"a": did[i], "b": did[j]})
+
+    raw = keyed_blocks(toks, ["tok"], _P).map_batches(
+        emit, batch_size=None, batch_format="pandas"
+    )
+
+    # n_inter = co-occurrence count per (a, b); sizes broadcast via ray.put
+    import ray
+
+    sizes_df = (
+        ds.map_batches(sizes_fn, batch_format="pandas").to_pandas().set_index("doc_id")["n"]
+    )
+    sizes_ref = ray.put(sizes_df.to_dict())
+
+    def count_block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "a": pd.Series([], dtype=np.int64),
+            "b": pd.Series([], dtype=np.int64),
+            "n_inter": pd.Series([], dtype=np.int64),
+            "n_union": pd.Series([], dtype=np.int64),
+        }
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        sizes = ray.get(sizes_ref)
+        g = df.groupby(["a", "b"], sort=False).size().rename("n_inter").reset_index()
+        na = g["a"].map(sizes).to_numpy(dtype=np.int64)
+        nb = g["b"].map(sizes).to_numpy(dtype=np.int64)
+        inter = g["n_inter"].to_numpy(dtype=np.int64)
+        union = na + nb - inter
+        keep = tau_den * inter >= tau_num * union
+        return pd.DataFrame(
+            {
+                "a": g["a"].to_numpy(dtype=np.int64)[keep],
+                "b": g["b"].to_numpy(dtype=np.int64)[keep],
+                "n_inter": inter[keep],
+                "n_union": union[keep],
+            }
+        )
+
+    return keyed_blocks(raw, ["a", "b"], _P).map_batches(
+        count_block, batch_size=None, batch_format="pandas"
+    )

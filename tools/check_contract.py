@@ -1,0 +1,104 @@
+"""Driver-simulation: run every queries() entry at a given sf and compare
+against oracle_sql() via DuckDB (row count + sorted-column value hash),
+mirroring the graft driver's CORRECTNESS check.
+
+Usage: python tools/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+
+def _to_pandas(res):
+    if hasattr(res, "to_pandas"):
+        df = res.to_pandas()
+        if len(df) == 0 and len(df.columns) == 0 and hasattr(res, "schema"):
+            # Ray quirk: 0-row Dataset → column-less frame; rebuild from schema
+            sch = res.schema()
+            import pandas as pd
+
+            df = pd.DataFrame({n: pd.Series([], dtype=object) for n in sch.names})
+        return df
+    return res
+
+
+def value_hash(df) -> str:
+    import pandas as pd
+
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    h = hashlib.sha256()
+    for col in df.columns:
+        s = df[col]
+        if s.dtype == object or str(s.dtype).startswith("string"):
+            vals = s.fillna("\0").astype(str)
+        elif "float" in str(s.dtype):
+            vals = s.round(9).astype(str)
+        else:
+            vals = s.astype(str)
+        h.update(("|".join(vals) + f"#{col}").encode())
+    return h.hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    import __ray_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    fails = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            res = _to_pandas(fn(sf_dir))
+        except Exception as ex:
+            print(f"{name:28s} RAY-ERROR {type(ex).__name__}: {ex}")
+            fails.append(name)
+            continue
+        dt = time.time() - t0
+        if name not in osql:
+            print(f"{name:28s} rows-only rows={len(res):7d}  {dt:6.1f}s")
+            continue
+        try:
+            odf = con.sql(osql[name]).df()
+        except Exception as ex:
+            print(f"{name:28s} SQL-ERROR {ex}")
+            fails.append(name)
+            continue
+        hr, ho = value_hash(res), value_hash(odf)
+        ok = len(res) == len(odf) and hr == ho
+        print(
+            f"{name:28s} {'OK ' if ok else 'MISMATCH'} rows={len(res):7d}/{len(odf):7d} "
+            f"hash={hr}/{ho}  {dt:6.1f}s"
+        )
+        if not ok:
+            fails.append(name)
+    ray.shutdown()
+    if fails:
+        print("FAILED:", fails)
+        sys.exit(1)
+    print("all checks passed")
+
+
+if __name__ == "__main__":
+    main()
