@@ -45,6 +45,12 @@ def _transcript_dedup(sf_dir: str):
     return res["clusters"]
 
 
+def _media_features(sf_dir: str):
+    from raydedup.stages.multimodal import media_feature_pipeline
+
+    return media_feature_pipeline(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from raydedup.pipelines import docdedup, docops, similarity
 
@@ -66,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- grouped aggregations ---
         "q_docs_by_source_lang": docops.docs_by_source_lang,
         "q_events_by_user": docops.events_by_user,
+        # --- multimodal plumbing (stubbed decoder; real Ray path) ---
+        "q_media_features": _media_features,
         # --- similarity search over embeddings ---
         "q_knn_bruteforce": similarity.knn_bruteforce,
         "q_ann_lsh": similarity.ann_lsh,
@@ -120,6 +128,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_doc_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "q_media_features": (
+            "SELECT 'media-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS media_id, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "'ok' AS status FROM documents"
+        ),
         "q_docs_by_source_lang": (
             "SELECT source, lang, COUNT(*) AS n_docs, "
             "CAST(SUM(n_chars) AS BIGINT) AS total_chars "

@@ -1,0 +1,110 @@
+"""CLI entry point — usable standalone or under ``ray job submit``:
+
+    python -m raydedup.cli run --input turns.parquet --out /tmp/out \
+        [--threshold 0.8] [--bands 32] [--rows 4] [--partitions 32]
+    python -m raydedup.cli label --input turns.parquet --out /tmp/out
+    python -m raydedup.cli synth --n-convs 2000 --out /tmp/fixture
+
+The reference's only orchestration surface is a shell script running two
+hardcoded-path scripts (``run_program.sh:13,27``); here the pipeline is a
+single parameterized job whose stages checkpoint and resume
+(``raydedup.state.checkpoint``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def _cfg_from_args(args):
+    from raydedup.config import DedupConfig
+
+    return DedupConfig(
+        jaccard_threshold=args.threshold,
+        bands=args.bands,
+        rows=args.rows,
+        num_perm=args.bands * args.rows,
+        num_partitions=args.partitions,
+    )
+
+
+def cmd_run(args) -> int:
+    _ensure_ray()
+    from raydedup.pipelines.dedup import run_pipeline
+
+    res = run_pipeline(args.input, args.out, _cfg_from_args(args))
+    summary = {
+        "clusters": res["clusters"].count(),
+        "pairs": res["pairs"].count(),
+        "events": res["events"],
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_label(args) -> int:
+    """Join cluster labels back onto the turns table → ``<out>/labeled/``."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from raydedup.pipelines.dedup import label_turns, run_pipeline
+
+    cfg = _cfg_from_args(args)
+    res = run_pipeline(args.input, args.out, cfg)
+    labeled = label_turns(rd.read_parquet(args.input), res["clusters"], cfg)
+    labeled.write_parquet(f"{args.out}/labeled")
+    print(json.dumps({"labeled_rows": rd.read_parquet(f"{args.out}/labeled").count()}))
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from raydedup.sources.synth import materialize
+
+    path = materialize(seed=args.seed, n_convs=args.n_convs, base_dir=args.out)
+    print(json.dumps({"fixture": path}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="raydedup")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for name, fn in (("run", cmd_run), ("label", cmd_label)):
+        sp = sub.add_parser(name)
+        sp.add_argument("--input", required=True)
+        sp.add_argument("--out", required=True)
+        sp.add_argument("--threshold", type=float, default=0.8)
+        sp.add_argument("--bands", type=int, default=32)
+        sp.add_argument("--rows", type=int, default=4)
+        sp.add_argument("--partitions", type=int, default=32)
+        sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("synth")
+    sp.add_argument("--n-convs", type=int, default=2000)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--out", default="/tmp/raydedup_fixtures")
+    sp.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,146 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decoded / feature-extracted by an actor-pool ``map_batches`` stage.
+
+The real decoders (image/audio/video) are NOT available in this
+environment — the decode step is STUBBED behind ``decoder="none"``
+(deterministic fake features) and raises ``NotImplementedError`` for real
+codecs.  Everything Ray-side — schema, batch sizing, actor signature,
+zero-copy binary handling, output layout — is real and tested.
+
+Design notes for 100-TB scale: binary payloads dominate block size, so the
+stage takes a small ``batch_size`` (payload bytes × batch_size × pool size
+must fit worker heaps) and relies on streaming execution + object-store
+spilling; decoded features are small and flow on to the similarity /
+dedup operators (e.g. embedding-cosine near-dup in
+``raydedup.pipelines.similarity``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("media_type", pa.string()),   # image | audio | video
+        ("payload", pa.binary()),      # opaque encoded bytes
+        ("width", pa.int32()),         # typed metadata (0 when unknown)
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+FEATURES = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("media_type", pa.string()),
+        ("n_bytes", pa.int64()),
+        ("feature", pa.list_(pa.float32())),  # decoded feature vector
+        ("status", pa.string()),              # ok | decode_error | unsupported
+    ]
+)
+
+
+class MediaFeatureActor:
+    """Actor-pool stage: decode + featurize a batch of media payloads.
+
+    ``decoder='none'`` → deterministic fake features (byte-histogram
+    projection), exercising the full Ray plumbing without codec deps.
+    Any other decoder raises ``NotImplementedError`` at actor construction
+    (fail fast, once per actor, not per batch).
+    """
+
+    def __init__(self, decoder: str = "none", feature_dim: int = 16, seed: int = 42):
+        if decoder != "none":
+            raise NotImplementedError(
+                f"decoder={decoder!r}: real image/audio/video codecs are not "
+                "available in this environment; only the deterministic "
+                "'none' stub is implemented"
+            )
+        self.feature_dim = feature_dim
+        rng = np.random.RandomState(seed)
+        # fixed projection from 256-bin byte histogram to feature_dim
+        self.proj = rng.randn(256, feature_dim).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        payloads = batch["payload"].to_pylist()
+        feats = np.zeros((n, self.feature_dim), dtype=np.float32)
+        n_bytes = np.zeros(n, dtype=np.int64)
+        status = []
+        for i, p in enumerate(payloads):
+            if p is None:
+                status.append("decode_error")
+                continue
+            b = np.frombuffer(p, dtype=np.uint8)
+            n_bytes[i] = len(b)
+            hist = np.bincount(b, minlength=256).astype(np.float32)
+            if hist.sum() > 0:
+                hist /= hist.sum()
+            feats[i] = hist @ self.proj
+            status.append("ok")
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "n_bytes": pa.array(n_bytes),
+                "feature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1)), self.feature_dim
+                ).cast(pa.list_(pa.float32())),
+                "status": pa.array(status, pa.string()),
+            }
+        )
+
+
+def extract_media_features(media_ds, decoder: str = "none", feature_dim: int = 16,
+                           batch_size: int = 64, concurrency=(1, 4)):
+    """``Dataset[MEDIA] → Dataset[FEATURES]`` via an actor pool.
+
+    Small ``batch_size`` by design: payloads are large binaries."""
+    return media_ds.map_batches(
+        MediaFeatureActor,
+        fn_constructor_kwargs={"decoder": decoder, "feature_dim": feature_dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+        zero_copy_batch=True,
+    )
+
+
+def documents_as_media(sf_dir: str):
+    """Fixture adapter: wrap the documents table's text bytes as fake
+    image payloads (deterministic; exercises the binary path end-to-end)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from raydedup.ray_utils import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+
+    def fn(df: pd.DataFrame) -> pa.Table:
+        payloads = [t.encode("utf-8") if t is not None else None for t in df["text"]]
+        n = len(df)
+        return pa.table(
+            {
+                "media_id": pa.array([f"media-{i:010d}" for i in df["doc_id"]], pa.string()),
+                "media_type": pa.array(["image"] * n, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array(np.zeros(n, dtype=np.int32)),
+                "height": pa.array(np.zeros(n, dtype=np.int32)),
+                "duration_ms": pa.array(np.zeros(n, dtype=np.int32)),
+            },
+            schema=MEDIA,
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def media_feature_pipeline(sf_dir: str):
+    """(media_id, n_bytes, status) — oracle-checkable metadata output of the
+    media decode/featurize pipeline over the fixture adapter."""
+    feats = extract_media_features(documents_as_media(sf_dir))
+    return feats.select_columns(["media_id", "n_bytes", "status"])
