@@ -31,7 +31,13 @@ def ensure_hash_shuffle() -> None:
         n_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:
         n_cpus = 8
-    ctx.max_hash_shuffle_aggregators = max(2, n_cpus // 2)
+    # Aggregator-actor spin-up is per shuffle op; the pool size is the
+    # dominant fixed cost of small runs, so cap it (override for big
+    # clusters via RAYDEDUP_MAX_AGGREGATORS).
+    import os
+
+    cap = int(os.environ.get("RAYDEDUP_MAX_AGGREGATORS", "8"))
+    ctx.max_hash_shuffle_aggregators = max(2, min(cap, n_cpus // 2))
     ctx.min_hash_shuffle_aggregator_wait_time_in_s = 10
     # keep aggregators lightweight so map/actor stages are never starved
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05

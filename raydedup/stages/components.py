@@ -95,19 +95,47 @@ def connected_components(pairs_ds, cfg: DedupConfig):
     """
     edges = pairs_ds.select_columns(["a", "b"])
 
-    def to_directed(batch: pa.Table) -> pa.Table:
-        a = batch["a"].combine_chunks() if isinstance(batch["a"], pa.ChunkedArray) else batch["a"]
-        b = batch["b"].combine_chunks() if isinstance(batch["b"], pa.ChunkedArray) else batch["b"]
-        return pa.table(
+    def contract_block(df: pd.DataFrame) -> pd.DataFrame:
+        """Local union-find per edge block → star edges to block-local roots
+        (both directions).  Cuts edge multiplicity and caps the local
+        diameter at 2, so global propagation converges in fewer rounds."""
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype=object), "nbr": pd.Series([], dtype=object)}
+            )
+        a = df["a"].to_numpy(dtype=object)
+        b = df["b"].to_numpy(dtype=object)
+        nodes, codes = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ca, cb = codes[: len(a)], codes[len(a) :]
+        parent = np.arange(len(nodes))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(len(ca)):
+            ra, rb = find(ca[i]), find(cb[i])
+            if ra != rb:  # smaller index (lexicographically smaller node) wins
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        roots = np.array([find(i) for i in range(len(nodes))])
+        non_root = np.flatnonzero(roots != np.arange(len(nodes)))
+        n_node = nodes[non_root]
+        n_root = nodes[roots[non_root]]
+        return pd.DataFrame(
             {
-                "node": pa.concat_arrays([a.cast(pa.string()), b.cast(pa.string())]),
-                "nbr": pa.concat_arrays([b.cast(pa.string()), a.cast(pa.string())]),
+                "node": np.concatenate([n_node, n_root]),
+                "nbr": np.concatenate([n_root, n_node]),
             }
         )
 
     directed = (
         keyed_blocks(
-            edges.map_batches(to_directed, batch_format="pyarrow"),
+            edges.map_batches(contract_block, batch_format="pandas"),
             ["node"],
             cfg.num_partitions,
         )

@@ -56,8 +56,11 @@ class CheckpointStore:
 
         target = os.path.join(self.out_dir, name)
         m = self._valid(name)
+        t0 = time.time()
         if m is not None:
-            self.events.append({"stage": name, "action": "resumed", "rows": m["rows"]})
+            self.events.append(
+                {"stage": name, "action": "resumed", "rows": m["rows"], "sec": 0.0}
+            )
             ds = rd.read_parquet(target)
         else:
             ds = compute_fn()
@@ -76,7 +79,14 @@ class CheckpointStore:
             if os.path.exists(target):
                 shutil.rmtree(target)
             os.rename(tmp, target)
-            self.events.append({"stage": name, "action": "computed", "rows": rows})
+            self.events.append(
+                {
+                    "stage": name,
+                    "action": "computed",
+                    "rows": rows,
+                    "sec": round(time.time() - t0, 2),
+                }
+            )
             ds = rd.read_parquet(target)
         self.lineage = hashlib.sha256(
             f"{self.lineage}|{name}|{self.config_hash}".encode()
