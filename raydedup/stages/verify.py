@@ -72,62 +72,115 @@ def _sig_rows(sigs_ds, cfg: DedupConfig):
     return sigs_ds.select_columns(["conv_id", col]).map_batches(tag, batch_format="pyarrow")
 
 
-def _attach_block(df: pd.DataFrame) -> pd.DataFrame:
-    """Block fn keyed by endpoint: give each pair-endpoint row its payload."""
-    cols = ["a", "b", "side", "payload"]
-    if len(df) == 0:
-        return df.reindex(columns=cols)
-    sig = df.loc[df["side"] == -1, ["endpoint", "payload"]].rename(columns={"payload": "sig_payload"})
-    ep = df.loc[df["side"] >= 0, ["endpoint", "a", "b", "side"]]
-    m = ep.merge(sig, on="endpoint", how="inner")
-    return pd.DataFrame(
-        {"a": m["a"], "b": m["b"], "side": m["side"], "payload": m["sig_payload"]}
+def _attach_block(t: pa.Table) -> pa.Table:
+    """Block fn keyed by endpoint: give each pair-endpoint row its payload.
+
+    Payloads stay Arrow end-to-end (a pandas round-trip of list<uint64>
+    columns is both slow and fragile); only the small string/index columns
+    touch numpy/pandas.
+    """
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "side": pa.array([], pa.int8()),
+            "payload": pa.array([], _PAYLOAD_TYPE),
+        }
     )
+    if t.num_rows == 0:
+        return empty
+    t = t.combine_chunks()
+    side = np.asarray(t["side"])
+    sig_tbl = t.filter(pa.array(side == -1))
+    ep_tbl = t.filter(pa.array(side >= 0))
+    if sig_tbl.num_rows == 0 or ep_tbl.num_rows == 0:
+        return empty
+    sig_ep = pd.Index(np.asarray(sig_tbl["endpoint"], dtype=object))
+    idx = sig_ep.get_indexer(np.asarray(ep_tbl["endpoint"], dtype=object))
+    keep = idx >= 0
+    ep_tbl = ep_tbl.filter(pa.array(keep))
+    payload = (
+        sig_tbl["payload"].combine_chunks().take(pa.array(idx[keep], pa.int64()))
+    )
+    return pa.table(
+        {
+            "a": ep_tbl["a"],
+            "b": ep_tbl["b"],
+            "side": ep_tbl["side"],
+            "payload": payload,
+        }
+    )
+
+
+def _payload_slices(col: pa.Array):
+    """(offsets, values) numpy views of a list<uint64> array."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offsets = col.offsets.to_numpy()
+    values = col.values.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+    return offsets, values
 
 
 def make_verify_block(cfg: DedupConfig):
     exact = cfg.verify_mode == "exact"
     tau = cfg.jaccard_threshold if exact else cfg.jaccard_threshold - cfg.est_margin
 
-    empty = pd.DataFrame(
+    empty = pa.table(
         {
-            "a": pd.Series([], dtype=object),
-            "b": pd.Series([], dtype=object),
-            "est_sim": pd.Series([], dtype=np.float64),
-            "source": pd.Series([], dtype=object),
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "est_sim": pa.array([], pa.float64()),
+            "source": pa.array([], pa.string()),
         }
     )
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
             return empty
-        s0 = df.loc[df["side"] == 0, ["a", "b", "payload"]].rename(columns={"payload": "p0"})
-        s1 = df.loc[df["side"] == 1, ["a", "b", "payload"]].rename(columns={"payload": "p1"})
-        m = s0.merge(s1, on=["a", "b"], how="inner")
-        if len(m) == 0:
+        t = t.combine_chunks()
+        side = np.asarray(t["side"])
+        t0 = t.filter(pa.array(side == 0))
+        t1 = t.filter(pa.array(side == 1))
+        if t0.num_rows == 0 or t1.num_rows == 0:
             return empty
-        p0, p1 = m["p0"].to_numpy(), m["p1"].to_numpy()
-        sims = np.empty(len(m), dtype=np.float64)
+        # pair up side-0 and side-1 rows on (a, b) — indices only via pandas
+        k0 = pd.MultiIndex.from_arrays(
+            [np.asarray(t0["a"], dtype=object), np.asarray(t0["b"], dtype=object)]
+        )
+        k1 = pd.MultiIndex.from_arrays(
+            [np.asarray(t1["a"], dtype=object), np.asarray(t1["b"], dtype=object)]
+        )
+        idx = k0.get_indexer(k1)  # position of each side-1 row's partner in t0
+        keep = idx >= 0
+        if not keep.any():
+            return empty
+        t1 = t1.filter(pa.array(keep))
+        t0 = t0.take(pa.array(idx[keep], pa.int64()))
+        n = t0.num_rows
+        off0, val0 = _payload_slices(t0["payload"])
+        off1, val1 = _payload_slices(t1["payload"])
+        sims = np.empty(n, dtype=np.float64)
         if exact:
-            for i in range(len(m)):
-                x = np.asarray(p0[i], dtype=np.uint64)
-                y = np.asarray(p1[i], dtype=np.uint64)
+            for i in range(n):
+                x = val0[off0[i] : off0[i + 1]]
+                y = val1[off1[i] : off1[i + 1]]
                 if len(x) == 0 or len(y) == 0:
                     sims[i] = 0.0
                     continue
                 inter = len(np.intersect1d(x, y, assume_unique=True))
                 sims[i] = inter / (len(x) + len(y) - inter)
         else:
-            va = np.stack([np.asarray(v, dtype=np.uint64) for v in p0])
-            vb = np.stack([np.asarray(v, dtype=np.uint64) for v in p1])
+            w = cfg.num_perm
+            va = val0.reshape(n, w)
+            vb = val1.reshape(n, w)
             sims = (va == vb).mean(axis=1)
         keep = sims >= tau
-        return pd.DataFrame(
+        kept = t0.select(["a", "b"]).filter(pa.array(keep))
+        return pa.table(
             {
-                "a": m["a"].to_numpy()[keep],
-                "b": m["b"].to_numpy()[keep],
-                "est_sim": sims[keep],
-                "source": np.repeat("minhash", int(keep.sum())).astype(object),
+                "a": kept["a"],
+                "b": kept["b"],
+                "est_sim": pa.array(sims[keep]),
+                "source": pa.array(np.repeat("minhash", int(keep.sum())), pa.string()),
             }
         )
 
@@ -138,8 +191,8 @@ def verified_pairs(pairs_ds, sigs_ds, cfg: DedupConfig):
     """candidate pairs → PAIRS rows passing the similarity threshold."""
     combined = _endpoint_rows(pairs_ds).union(_sig_rows(sigs_ds, cfg))
     attached = keyed_blocks(combined, ["endpoint"], cfg.num_partitions).map_batches(
-        _attach_block, batch_size=None, batch_format="pandas"
+        _attach_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
     return keyed_blocks(attached, ["a", "b"], cfg.num_partitions).map_batches(
-        make_verify_block(cfg), batch_size=None, batch_format="pandas"
+        make_verify_block(cfg), batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
