@@ -45,8 +45,8 @@ class DedupConfig:
 
     # --- suffix / long-repeat pass (winnowing-style content-defined anchors) ---
     suffix_window: int = 64         # rolling-hash window (bytes)
-    suffix_fp_len: int = 448        # fingerprinted span length (bytes) after the anchor window
-    suffix_anchor_mod: int = 8      # anchor density: E[gap] = this many bytes
+    suffix_fp_len: int = 320        # fingerprinted span length (bytes) after the anchor window
+    suffix_anchor_mod: int = 64     # anchor density: E[gap] = this many bytes
     # spans >= suffix_window + suffix_fp_len + a few anchor gaps are detected
     # w.h.p.; spans <= suffix_window + suffix_fp_len are never detected (this
     # is what keeps shared 200-400 char boilerplate system prompts from
