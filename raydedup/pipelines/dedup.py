@@ -60,17 +60,61 @@ def run_pipeline(
     sigs = store.stage("signatures", lambda: compute_signatures(docs, cfg))
 
     # Each edge source is its own checkpointed sub-DAG (bounded number of
-    # concurrent shuffle ops per execution; finer-grained resume).
-    cands = store.stage("candidates", lambda: candidate_pairs(sigs, cfg))
-    mh_edges = store.stage("pairs_minhash", lambda: verified_pairs(cands, sigs, cfg))
-    sf_edges = store.stage("pairs_suffix", lambda: suffix_pairs(docs, cfg))
-    sh_edges = store.stage("pairs_simhash", lambda: simhash_pairs(sigs, cfg))
-    pairs = store.stage(
-        "pairs",
-        lambda: mh_edges.select_columns(["a", "b", "est_sim", "source"])
-        .union(sf_edges.select_columns(["a", "b", "est_sim", "source"]))
-        .union(sh_edges.select_columns(["a", "b", "est_sim", "source"])),
+    # concurrent shuffle ops per execution; finer-grained resume), and each
+    # consumer reads only the columns it needs from the wide signature
+    # checkpoint (no projection pushdown in read_parquet→select_columns).
+    payload = "shingles" if cfg.verify_mode == "exact" else "minhash"
+    cands = store.stage(
+        "candidates",
+        lambda: candidate_pairs(
+            store.read("signatures", ["conv_id", "minhash", "n_shingles"]), cfg
+        ),
     )
+    mh_edges = store.stage(
+        "pairs_minhash",
+        lambda: verified_pairs(
+            cands, store.read("signatures", ["conv_id", payload]), cfg
+        ),
+    )
+    sf_edges = store.stage("pairs_suffix", lambda: suffix_pairs(docs, cfg))
+    sh_edges = store.stage(
+        "pairs_simhash",
+        lambda: simhash_pairs(
+            store.read("signatures", ["conv_id", "simhash", "n_shingles"]), cfg
+        ),
+    )
+    def dedup_pairs():
+        """Single (a, b) dedup for all edge sources (suffix/simhash emit
+        duplicates across their buckets by design) — one shuffle total."""
+        import pandas as pd
+
+        from raydedup.ray_utils import keyed_blocks
+
+        # a pair confirmed by several sources keeps the strongest-evidence
+        # one (minhash = exact-Jaccard-verified > suffix = exact repeat >
+        # simhash), so downstream source filters never drop a verified edge
+        prio = {"minhash": 0, "suffix": 1, "simhash": 2}
+
+        def block(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            df = df.assign(_p=df["source"].map(prio).fillna(9)).sort_values(
+                ["a", "b", "_p", "est_sim"],
+                ascending=[True, True, True, False],
+                kind="stable",
+            )
+            return df.drop_duplicates(["a", "b"], keep="first").drop(columns="_p")
+
+        combined = (
+            mh_edges.select_columns(["a", "b", "est_sim", "source"])
+            .union(sf_edges.select_columns(["a", "b", "est_sim", "source"]))
+            .union(sh_edges.select_columns(["a", "b", "est_sim", "source"]))
+        )
+        return keyed_blocks(combined, ["a", "b"], cfg.num_partitions).map_batches(
+            block, batch_size=None, batch_format="pandas"
+        )
+
+    pairs = store.stage("pairs", dedup_pairs)
 
     def compute_clusters():
         if use_simhash_edges:
@@ -83,7 +127,7 @@ def run_pipeline(
         labels, n_iters = connected_components(graph, cfg)
         metrics.add("components", "iterations", n_iters)
         # every doc gets a cluster: component label if present, else itself
-        lab_joined = docs.select_columns(["conv_id", "status"]).join(
+        lab_joined = store.read("docs", ["conv_id", "status"]).join(
             labels,
             join_type="left_outer",
             num_partitions=cfg.num_partitions,

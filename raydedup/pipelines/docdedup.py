@@ -35,15 +35,19 @@ def documents_as_docs(sf_dir: str):
     ensure_hash_shuffle()
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        text = df["text"].fillna("")
+        from raydedup.functions.textnorm import normalize_array
+
+        text = pd.Series(
+            normalize_array(pa.array(df["text"].fillna("").tolist(), pa.string())).to_pylist()
+        )
         status = np.where(
             df["text"].isna(), "corrupted",
-            np.where(text.str.strip() == "", "no_content", "ok"),
+            np.where(text == "", "no_content", "ok"),
         )
         return pd.DataFrame(
             {
-                "conv_id": df["doc_id"].map(lambda i: f"doc-{i:010d}"),
-                "doc_text": text,
+                "conv_id": df["doc_id"].map(lambda i: f"doc-{i:010d}").to_numpy(),
+                "doc_text": text.to_numpy(),
                 "n_turns": np.ones(len(df), dtype=np.int32),
                 "status": status,
             }

@@ -6,12 +6,13 @@ order-free rule: cluster id = min ``conv_id`` of the connected component.
 Components ⊇ every reference star (each reference pair is a thresholded
 edge), which is the ≥0.99 pair-recall argument of SURVEY.md §2.6.
 
-Algorithm: iterative min-label propagation, hash-partitioned by node.
-Each iteration is two hash shuffles over edge-sized data with fully
-vectorized block functions (pandas merge / groupby-min — no per-group
-tasks, no driver-resident state; BTS/ICDE'24-style label propagation).
-Convergence is detected with an order-independent checksum of the label
-assignment.
+Algorithm: per-block union-find contraction (star edges to block-local
+roots), then iterative min-label propagation with a fused reduce —
+**one** hash shuffle per iteration over edge-sized data, fully vectorized
+block functions (pandas groupby-min / merge), no per-group tasks, no
+driver-resident state (BTS/ICDE'24-style label propagation).  Reduced
+label rows carry an ``is_lab`` marker, so convergence checks and the
+final label extraction are shuffle-free block passes.
 """
 
 from __future__ import annotations
@@ -24,17 +25,22 @@ from raydedup.config import DedupConfig
 from raydedup.functions.hashing import hash_strings
 from raydedup.ray_utils import keyed_blocks
 
-_EMPTY_LABELS = pd.DataFrame(
-    {"node": pd.Series([], dtype=object), "label": pd.Series([], dtype=object)}
+_EMPTY_MSGS = pd.DataFrame(
+    {
+        "node": pd.Series([], dtype=object),
+        "label": pd.Series([], dtype=object),
+        "is_lab": pd.Series([], dtype=bool),
+    }
 )
 
 
-def _label_checksum(labels_ds) -> tuple:
-    """Order-independent checksum of (node,label): per-block XOR + wrapping
-    sum of pair-hashes, combined on the driver (one tiny row per block —
-    no overflow, no shuffle)."""
+def _label_checksum(msgs_ds) -> tuple:
+    """Order-independent checksum of the reduced (node,label) rows:
+    per-block XOR + wrapping sum, combined on the driver (one tiny row per
+    block — no overflow, no shuffle)."""
 
     def h(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(batch["is_lab"])
         if batch.num_rows == 0:
             return pa.table({"x": pa.array([], pa.int64()), "s": pa.array([], pa.int64())})
         hn = hash_strings(batch["node"].to_pylist())
@@ -49,7 +55,7 @@ def _label_checksum(labels_ds) -> tuple:
             }
         )
 
-    parts = labels_ds.map_batches(h, batch_format="pyarrow").take_all()
+    parts = msgs_ds.map_batches(h, batch_format="pyarrow").take_all()
     x_all, s_all = np.uint64(0), np.uint64(0)
     for p in parts:
         x_all ^= np.uint64(np.int64(p["x"]).astype(np.uint64))
@@ -57,31 +63,27 @@ def _label_checksum(labels_ds) -> tuple:
     return int(x_all), int(s_all)
 
 
-def _min_label_block(df: pd.DataFrame) -> pd.DataFrame:
-    if len(df) == 0:
-        return _EMPTY_LABELS
-    out = df.groupby("node", sort=False).agg(label=("label", "min")).reset_index()
-    return out
-
-
 def _make_propagate_block():
-    """Block fn over union(edge rows, label rows) hash-partitioned by node.
+    """Block fn over union(edge rows, message rows) hash-partitioned by node.
 
-    Edge rows have ``nbr`` set, label rows have ``label`` set.  Emits, for
-    each node in the block: ``(node, its_label)`` plus ``(nbr, its_label)``
-    for every out-edge — all vectorized (merge + concat).
+    Edge rows have ``nbr`` set; message rows carry candidate labels.  The
+    block *reduces* (min label per node, over last round's reduced label
+    and incoming messages) and *re-emits* in the same pass:
+    ``(node, min_label, is_lab=True)`` + ``(nbr, min_label, False)`` per
+    out-edge — one hash shuffle per iteration, all vectorized.
     """
 
     def propagate(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
-            return _EMPTY_LABELS
+            return _EMPTY_MSGS
         lab = df.loc[df["label"].notna(), ["node", "label"]]
-        # invariant: exactly one label row per node; guard with a min anyway
         lab = lab.groupby("node", sort=False).agg(label=("label", "min")).reset_index()
         edges = df.loc[df["nbr"].notna(), ["node", "nbr"]]
         sent = edges.merge(lab, on="node", how="inner")[["nbr", "label"]].rename(
             columns={"nbr": "node"}
         )
+        lab["is_lab"] = True
+        sent["is_lab"] = False
         return pd.concat([lab, sent], ignore_index=True)
 
     return propagate
@@ -142,14 +144,15 @@ def connected_components(pairs_ds, cfg: DedupConfig):
         .materialize()
     )
 
-    # initial labels: every node labels itself
+    # initial messages: every node labels itself (nodes are complete per
+    # block after the keyed repartition, so one reduced row per node)
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
-            return _EMPTY_LABELS
+            return _EMPTY_MSGS
         nodes = pd.unique(df["node"])
-        return pd.DataFrame({"node": nodes, "label": nodes})
+        return pd.DataFrame({"node": nodes, "label": nodes, "is_lab": True})
 
-    labels = directed.map_batches(init_labels, batch_size=None, batch_format="pandas").materialize()
+    msgs = directed.map_batches(init_labels, batch_size=None, batch_format="pandas").materialize()
 
     with_null_label = directed.map_batches(
         lambda t: t.append_column("label", pa.nulls(t.num_rows, pa.string())),
@@ -161,23 +164,25 @@ def connected_components(pairs_ds, cfg: DedupConfig):
     n_iters = 0
     for _ in range(cfg.max_cc_iters):
         n_iters += 1
-        lab_rows = labels.map_batches(
+        msg_rows = msgs.map_batches(
             lambda t: pa.table(
                 {"node": t["node"], "nbr": pa.nulls(t.num_rows, pa.string()), "label": t["label"]}
             ),
             batch_format="pyarrow",
         )
         combined = keyed_blocks(
-            with_null_label.union(lab_rows), ["node"], cfg.num_partitions
+            with_null_label.union(msg_rows), ["node"], cfg.num_partitions
         )
-        msgs = combined.map_batches(propagate, batch_size=None, batch_format="pandas")
-        labels = (
-            keyed_blocks(msgs, ["node"], cfg.num_partitions)
-            .map_batches(_min_label_block, batch_size=None, batch_format="pandas")
-            .materialize()
-        )
-        cur = _label_checksum(labels)
+        msgs = combined.map_batches(
+            propagate, batch_size=None, batch_format="pandas"
+        ).materialize()
+        cur = _label_checksum(msgs)
         if prev_sum is not None and cur == prev_sum:
             break
         prev_sum = cur
+
+    labels = msgs.map_batches(
+        lambda t: t.filter(t["is_lab"]).select(["node", "label"]),
+        batch_format="pyarrow",
+    )
     return labels, n_iters

@@ -24,14 +24,21 @@ SEP = "\n"  # turn separator inside a reassembled document
 
 
 def assemble_group(turn_idx: np.ndarray, texts: list) -> tuple:
-    """Scalar core shared with the oracle/tests: (doc_text, status)."""
+    """Scalar core shared with the oracle/tests: (doc_text, status).
+
+    ``doc_text`` is *normalized* (lowercase, collapsed whitespace — the
+    analog of the reference's BGR→RGB normalization before feature
+    extraction, ``face_recognition_custom.py:79``); downstream stages
+    consume it as-is, so the normalization pass runs exactly once."""
+    from raydedup.functions.textnorm import normalize_text
+
     order = np.argsort(turn_idx, kind="stable")
     idx = np.asarray(turn_idx)[order]
     n = len(idx)
     if any(t is None for t in texts) or not np.array_equal(idx, np.arange(n, dtype=idx.dtype)):
         return "", "corrupted"
-    doc = SEP.join(texts[i] for i in order)
-    if doc.strip() == "":
+    doc = normalize_text(SEP.join(texts[i] for i in order))
+    if doc == "":
         return doc, "no_content"
     return doc, "ok"
 
@@ -68,8 +75,15 @@ def _assemble_block(df: pd.DataFrame) -> pd.DataFrame:
     for g in range(len(start_vals)):  # in-process join; C-speed-dominated
         docs[g] = SEP.join(texts[bounds[g] : bounds[g + 1]])
 
-    stripped_empty = np.fromiter((d.strip() == "" for d in docs), dtype=bool, count=len(docs))
-    status = np.where(grp_bad, "corrupted", np.where(stripped_empty, "no_content", "ok"))
+    import pyarrow as pa
+
+    from raydedup.functions.textnorm import normalize_array
+
+    docs = np.asarray(
+        normalize_array(pa.array(docs.tolist(), pa.string())).to_pylist(), dtype=object
+    )
+    empty_doc = np.fromiter((d == "" for d in docs), dtype=bool, count=len(docs))
+    status = np.where(grp_bad, "corrupted", np.where(empty_doc, "no_content", "ok"))
     docs[grp_bad] = ""  # corrupted docs carry no payload (quarantined)
     return pd.DataFrame(
         {

@@ -16,7 +16,6 @@ from raydedup.config import DedupConfig
 from raydedup.functions.minhash import MinHasher
 from raydedup.functions.shingle import batch_shingles
 from raydedup.functions.simhash import simhash64
-from raydedup.functions.textnorm import normalize_array
 
 
 class SignatureActor:
@@ -28,7 +27,7 @@ class SignatureActor:
         cfg = self.cfg
         n = batch.num_rows
         statuses = batch["status"].to_pylist()
-        texts = normalize_array(batch["doc_text"]).to_pylist()
+        texts = batch["doc_text"].to_pylist()  # already normalized at reassembly
         # quarantined docs contribute no shingles
         sets, capped = batch_shingles(
             [t if s == "ok" else "" for t, s in zip(texts, statuses)],

@@ -97,28 +97,18 @@ def make_block_emitter(cfg: DedupConfig):
     return emit
 
 
-def _dedup_block(df: pd.DataFrame) -> pd.DataFrame:
-    if len(df) == 0:
-        return _EMPTY
-    return (
-        df.groupby(["a", "b"], sort=False)
-        .agg(est_sim=("est_sim", "max"))
-        .reset_index()
-    )
-
-
 def simhash_pairs(sigs_ds, cfg: DedupConfig):
-    """signatures → verified SimHash edges (a, b, est_sim, source='simhash')."""
+    """signatures → verified SimHash edges (a, b, est_sim, source='simhash').
+
+    Edges may repeat across the ``hamming_threshold + 1`` pigeonhole
+    blocks (deduped once in the combined pairs stage)."""
     blocks = sigs_ds.select_columns(["conv_id", "simhash", "n_shingles"]).map_batches(
         make_block_rows(cfg), batch_format="pyarrow", zero_copy_batch=True
     )
     raw = keyed_blocks(blocks, ["block_idx", "block_val"], cfg.num_partitions).map_batches(
         make_block_emitter(cfg), batch_size=None, batch_format="pandas"
     )
-    dedup = keyed_blocks(raw, ["a", "b"], cfg.num_partitions).map_batches(
-        _dedup_block, batch_size=None, batch_format="pandas"
-    )
-    return dedup.map_batches(
+    return raw.map_batches(
         lambda t: t.append_column("source", pa.array(np.repeat("simhash", t.num_rows), pa.string())),
         batch_format="pyarrow",
     )

@@ -20,7 +20,6 @@ from raydedup.functions.pairs import (
     emit_bucket_pairs,
     group_ids_from_sorted,
 )
-from raydedup.functions.textnorm import normalize_array
 from raydedup.functions.winnow import span_fingerprints
 from raydedup.ray_utils import keyed_blocks
 
@@ -33,7 +32,7 @@ def make_fp_rows(cfg: DedupConfig):
     def fp_fn(batch: pa.Table) -> pa.Table:
         keep = np.asarray(pa.compute.equal(batch["status"], "ok"))
         batch = batch.filter(pa.array(keep))
-        texts = normalize_array(batch["doc_text"]).to_pylist()
+        texts = batch["doc_text"].to_pylist()  # already normalized at reassembly
         conv = np.asarray(batch["conv_id"], dtype=object)
         fps, ids = [], []
         for i, t in enumerate(texts):
@@ -79,34 +78,22 @@ def make_fp_emitter(cfg: DedupConfig):
     return emit
 
 
-def _dedup_block(df: pd.DataFrame) -> pd.DataFrame:
-    if len(df) == 0:
-        return pd.DataFrame(
-            {
-                "a": pd.Series([], dtype=object),
-                "b": pd.Series([], dtype=object),
-                "n_fps": pd.Series([], dtype=np.int64),
-            }
-        )
-    out = df.groupby(["a", "b"], sort=False).size().rename("n_fps").reset_index()
-    out["n_fps"] = out["n_fps"].astype(np.int64)
-    return out
-
-
 def suffix_pairs(docs_ds, cfg: DedupConfig):
-    """docs → exact long-repeat edges (a, b, est_sim=1.0, source='suffix')."""
+    """docs → exact long-repeat edges (a, b, est_sim=1.0, source='suffix').
+
+    Edges may repeat across shared fingerprints (deduped once in the
+    combined pairs stage — one shuffle for all edge sources instead of one
+    per source); emission already dedups within each fingerprint bucket.
+    """
     fps = docs_ds.map_batches(make_fp_rows(cfg), batch_format="pyarrow", zero_copy_batch=True)
     raw = keyed_blocks(fps, ["fp"], cfg.num_partitions).map_batches(
         make_fp_emitter(cfg), batch_size=None, batch_format="pandas"
     )
-    dedup = keyed_blocks(raw, ["a", "b"], cfg.num_partitions).map_batches(
-        _dedup_block, batch_size=None, batch_format="pandas"
-    )
-    return dedup.map_batches(
+    return raw.map_batches(
         lambda t: pa.table(
             {
-                "a": t["a"],
-                "b": t["b"],
+                "a": t["a"].combine_chunks().cast(pa.string()) if isinstance(t["a"], pa.ChunkedArray) else t["a"].cast(pa.string()),
+                "b": t["b"].combine_chunks().cast(pa.string()) if isinstance(t["b"], pa.ChunkedArray) else t["b"].cast(pa.string()),
                 "est_sim": pa.array(np.ones(t.num_rows)),
                 "source": pa.array(np.repeat("suffix", t.num_rows), pa.string()),
             }

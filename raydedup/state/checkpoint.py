@@ -31,6 +31,20 @@ class CheckpointStore:
     def _manifest_path(self, name):
         return os.path.join(self.out_dir, name, "_MANIFEST.json")
 
+    def path(self, name: str) -> str:
+        return os.path.join(self.out_dir, name)
+
+    def read(self, name: str, columns: list | None = None):
+        """Column-pruned read of a completed stage checkpoint.
+
+        Ray Data does not push ``select_columns`` down into
+        ``read_parquet`` here, so consumers that need a narrow slice of a
+        wide checkpoint (e.g. signatures without the shingle sets) must
+        prune at the read."""
+        import ray.data as rd
+
+        return rd.read_parquet(self.path(name), columns=columns)
+
     def _valid(self, name) -> dict | None:
         p = self._manifest_path(name)
         if not os.path.exists(p):

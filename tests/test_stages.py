@@ -69,7 +69,7 @@ def test_assemble_block_matches_scalar():
     ]
     out = _block_df(rows)
     res = _assemble_block(out).set_index("conv_id")
-    assert res.loc["c1", "doc_text"] == "hello\nworld"
+    assert res.loc["c1", "doc_text"] == "hello world"  # normalized at reassembly
     assert res.loc["c1", "status"] == "ok"
     assert res.loc["c2", "status"] == "corrupted" and res.loc["c2", "doc_text"] == ""
     assert res.loc["c3", "status"] == "corrupted"
