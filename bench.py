@@ -140,15 +140,15 @@ def main_bench():
 
 
 def main_scaling():
-    # Scaling evidence runs on a compute-dominated input (default 100k
-    # conversations ≈ 1.2M turns): per-execution fixed costs (~4-6 s per
+    # Scaling evidence runs on a compute-dominated input (default 1M
+    # conversations ≈ 12M turns): per-execution fixed costs (~4-6 s per
     # stage regardless of data size) would otherwise swamp the comparison.
-    # Best-of-2 per level damps sandbox VM noise.
-    scale_n = int(os.environ.get("RAYDEDUP_SCALE_CONVS", "100000"))
+    scale_n = int(os.environ.get("RAYDEDUP_SCALE_CONVS", "1000000"))
+    attempts = int(os.environ.get("RAYDEDUP_SCALE_ATTEMPTS", "1"))
     results = {}
     for cpus in (8, 32):
         best = None
-        for _attempt in range(2):
+        for _attempt in range(attempts):
             code = (
                 "import json, bench; "
                 "r = bench.run_flagship(bench.SF_DIR, %d, n_convs=%d); "

@@ -18,10 +18,23 @@ from raydedup.functions.shingle import batch_shingles
 from raydedup.functions.simhash import simhash64
 
 
+_MINHASHER_CACHE: dict = {}
+
+
+def _cached_minhasher(num_perm: int, seed: int) -> MinHasher:
+    """Per-worker-process MinHasher cache: tasks get once-per-process
+    permutation tables (the actor-pool benefit without actor spin-up)."""
+    key = (num_perm, seed)
+    mh = _MINHASHER_CACHE.get(key)
+    if mh is None:
+        mh = _MINHASHER_CACHE[key] = MinHasher(num_perm, seed)
+    return mh
+
+
 class SignatureActor:
     def __init__(self, cfg: DedupConfig):
         self.cfg = cfg
-        self.mh = MinHasher(cfg.num_perm, cfg.seed)
+        self.mh = _cached_minhasher(cfg.num_perm, cfg.seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -63,14 +76,27 @@ class SignatureActor:
         )
 
 
-def compute_signatures(docs_ds, cfg: DedupConfig):
-    """``Dataset[DOCS] → Dataset[SIGNATURES]`` via an actor pool."""
+def compute_signatures(docs_ds, cfg: DedupConfig, use_actors: bool = False):
+    """``Dataset[DOCS] → Dataset[SIGNATURES]``.
+
+    Default: stateless tasks with a per-worker-process permutation-table
+    cache (no pool spin-up latency).  ``use_actors=True`` switches to an
+    explicit actor pool — the right choice when per-worker state is big
+    enough that construction must be strictly bounded (e.g. very large
+    ``num_perm``, model weights)."""
+    if use_actors:
+        return docs_ds.map_batches(
+            SignatureActor,
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            batch_size=cfg.sig_batch_size,
+            concurrency=cfg.sig_concurrency,
+            num_cpus=1,
+            zero_copy_batch=True,
+        )
     return docs_ds.map_batches(
-        SignatureActor,
-        fn_constructor_args=(cfg,),
+        SignatureActor(cfg),
         batch_format="pyarrow",
         batch_size=cfg.sig_batch_size,
-        concurrency=cfg.sig_concurrency,
-        num_cpus=1,
         zero_copy_batch=True,
     )

@@ -80,7 +80,7 @@ class CheckpointStore:
             ds = compute_fn()
             tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
             ds.write_parquet(tmp)
-            rows = rd.read_parquet(tmp).count()
+            rows = _parquet_rows(tmp)
             manifest = {
                 "stage": name,
                 "config_hash": self.config_hash,
@@ -106,6 +106,18 @@ class CheckpointStore:
             f"{self.lineage}|{name}|{self.config_hash}".encode()
         ).hexdigest()[:16]
         return ds
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers (no Ray execution)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
 
 
 def input_fingerprint(path: str) -> str:
