@@ -69,9 +69,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quality_flags": docops.doc_quality_flags,
         "q_doc_fingerprint": docops.doc_fingerprint,
         "q_langid": docops.doc_langid,
-        # --- grouped aggregations ---
+        # --- grouped aggregations / reports ---
         "q_docs_by_source_lang": docops.docs_by_source_lang,
         "q_events_by_user": docops.events_by_user,
+        "q_events_by_type": docops.events_by_type,
+        "q_dup_size_histogram": docops.dup_size_histogram,
+        "q_cluster_report": docdedup.cluster_report,
         # --- multimodal plumbing (stubbed decoder; real Ray path) ---
         "q_media_features": _media_features,
         # --- similarity search over embeddings ---
@@ -141,6 +144,13 @@ def oracle_sql() -> dict[str, str]:
         "q_events_by_user": (
             "SELECT user_id, COUNT(*) AS n_events, "
             "COUNT(DISTINCT event_type) AS n_types FROM events GROUP BY user_id"
+        ),
+        "q_events_by_type": (
+            "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type"
+        ),
+        "q_dup_size_histogram": (
+            "SELECT n_docs, COUNT(*) AS n_groups FROM "
+            "(SELECT COUNT(*) AS n_docs FROM documents GROUP BY text) GROUP BY n_docs"
         ),
         "q_knn_bruteforce": """
             WITH s AS (

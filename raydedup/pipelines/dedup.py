@@ -55,7 +55,10 @@ def run_pipeline(
     metrics = MetricsSink()
 
     docs = store.stage(
-        "docs", lambda: reassemble(rd.read_parquet(input_path), cfg.num_partitions)
+        "docs",
+        lambda: reassemble(
+            rd.read_parquet(input_path), cfg.num_partitions, cfg.min_doc_chars
+        ),
     )
     sigs = store.stage("signatures", lambda: compute_signatures(docs, cfg))
 
@@ -151,9 +154,38 @@ def run_pipeline(
 
     clusters = store.stage("clusters", compute_clusters)
 
-    # stage counters → metrics parquet (analog of the reference's summary panel)
+    # quarantine partition (S9 analog: the corrupted-list writer,
+    # duplicate_face.py:136-140) — resumable like every stage
+    store.stage(
+        "quarantine",
+        lambda: store.read("clusters").filter(
+            expr="status == 'corrupted' or status == 'no_content'"
+        ),
+    )
+
+    # stage counters → metrics parquet (analog of the reference's summary
+    # panel, duplicate_face.py:234-248), incl. per-status counts (A4)
     for ev in store.events:
         metrics.add(ev["stage"], f"rows_{ev['action']}", ev["rows"])
+        if "sec" in ev:
+            metrics.add(ev["stage"], "wall_ms", int(ev["sec"] * 1000))
+    status_parts = (
+        store.read("clusters", ["status"])
+        .map_batches(
+            lambda df: df["status"]
+            .value_counts()
+            .rename_axis("status")
+            .rename("n")
+            .reset_index(),
+            batch_format="pandas",
+        )
+        .take_all()
+    )
+    status_counts: dict = {}
+    for row in status_parts:
+        status_counts[row["status"]] = status_counts.get(row["status"], 0) + row["n"]
+    for st, n in sorted(status_counts.items()):
+        metrics.add("clusters", f"status_{st}", n)
     metrics.write(f"{out_dir}/metrics")
 
     return {

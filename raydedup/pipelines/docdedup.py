@@ -90,6 +90,36 @@ def simhash_doc_pairs(sf_dir: str, cfg: DedupConfig | None = None):
     return simhash_pairs(sigs, cfg)
 
 
+def cluster_report(sf_dir: str, cfg: DedupConfig | None = None, sample: int = 3):
+    """Per-cluster size + first-``sample`` members (the reference's faces
+    summary table, ``face_recognition_custom.py:140-154`` — A5) over the
+    MinHash document clusters: (cluster_id, n_members, members)."""
+    cfg = cfg or _doc_config()
+    clusters = minhash_doc_clusters(sf_dir, cfg)
+
+    from raydedup.ray_utils import keyed_blocks
+
+    def report(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "cluster_id": pd.Series([], dtype=object),
+                    "n_members": pd.Series([], dtype=np.int64),
+                    "members": pd.Series([], dtype=object),
+                }
+            )
+        df = df.sort_values(["cluster_id", "conv_id"], kind="stable")
+        g = df.groupby("cluster_id", sort=False)["conv_id"]
+        out = g.agg([("n_members", "size"), ("members", lambda s: ",".join(s.head(sample)))])
+        out = out.reset_index()
+        out["n_members"] = out["n_members"].astype(np.int64)
+        return out
+
+    return keyed_blocks(clusters, ["cluster_id"], cfg.num_partitions).map_batches(
+        report, batch_size=None, batch_format="pandas"
+    )
+
+
 def minhash_doc_signatures(sf_dir: str, cfg: DedupConfig | None = None):
     """Per-document MinHash + SimHash signature table (conv_id, simhash,
     n_shingles) — the sketch table other pipelines join against."""

@@ -220,6 +220,60 @@ def events_by_user(sf_dir: str):
     )
 
 
+def dup_size_histogram(sf_dir: str):
+    """(n_docs, n_groups): distribution of exact-duplicate group sizes —
+    the reference's summary-table analog (A4/A5)."""
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("text", sort=False).size()
+        out = sizes.value_counts().rename_axis("n_docs").rename("n_groups").reset_index()
+        return out.astype({"n_docs": np.int64, "n_groups": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"n_docs": pd.Series([], dtype=np.int64),
+                 "n_groups": pd.Series([], dtype=np.int64)}
+            )
+        out = df.groupby("n_docs", sort=False).agg(n_groups=("n_groups", "sum")).reset_index()
+        return out.astype({"n_docs": np.int64, "n_groups": np.int64})
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    partial = keyed_blocks(ds, ["text"], _P).map_batches(
+        block, batch_size=None, batch_format="pandas"
+    )
+    return keyed_blocks(partial, ["n_docs"], 2).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
+def events_by_type(sf_dir: str):
+    """(event_type, n_events) — status-class counting analog (A4)."""
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("event_type", sort=False).size().rename("n_events").reset_index()
+        return out.astype({"n_events": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype=object),
+                 "n_events": pd.Series([], dtype=np.int64)}
+            )
+        out = df.groupby("event_type", sort=False).agg(n_events=("n_events", "sum")).reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return keyed_blocks(partials, ["event_type"], 2).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
 # ---------------------------------------------- exact n-gram Jaccard pair join
 def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 1, tau_den: int = 2):
     """Exact 1-gram (distinct word) Jaccard similarity pairs with

@@ -95,9 +95,22 @@ def _assemble_block(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def reassemble(turns_ds, num_partitions: int = 32):
-    """``Dataset[TRANSCRIPTS] → Dataset[DOCS]``."""
+def reassemble(turns_ds, num_partitions: int = 32, min_doc_chars: int = 1):
+    """``Dataset[TRANSCRIPTS] → Dataset[DOCS]``.
+
+    ``min_doc_chars`` is the quality gate analog of the reference's blur
+    filter (``face_recognition_custom.py:73-77``): normalized docs shorter
+    than it are flagged ``no_content`` instead of silently dropped."""
     slim = turns_ds.select_columns(["conv_id", "turn_idx", "text"])
-    return keyed_blocks(slim, ["conv_id"], num_partitions).map_batches(
+    docs = keyed_blocks(slim, ["conv_id"], num_partitions).map_batches(
         _assemble_block, batch_size=None, batch_format="pandas"
     )
+    if min_doc_chars > 1:
+
+        def gate(df: pd.DataFrame) -> pd.DataFrame:
+            short = (df["status"] == "ok") & (df["doc_text"].str.len() < min_doc_chars)
+            df.loc[short, "status"] = "no_content"
+            return df
+
+        docs = docs.map_batches(gate, batch_format="pandas")
+    return docs

@@ -52,10 +52,49 @@ def _endpoint_rows(pairs_ds):
     return pairs_ds.select_columns(["a", "b"]).map_batches(explode, batch_format="pyarrow")
 
 
-def _sig_rows(sigs_ds, cfg: DedupConfig):
+def _endpoint_hash_set(pairs_ds):
+    """Sorted uint64 hash array of all pair endpoints (driver-merged from
+    tiny per-block uniques).  Used to semi-filter the signature payload
+    rows before the attach shuffle — typically pairs ≪ corpus, so this
+    cuts the shuffled payload volume by the non-candidate fraction.
+    (At extreme scale, where even the endpoint-hash array outgrows the
+    driver, skip the filter: correctness is unaffected.)"""
+    from raydedup.functions.hashing import hash_strings
+
+    def block_hashes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64())})
+        vals = np.unique(
+            np.concatenate(
+                [hash_strings(t["a"].to_pylist()), hash_strings(t["b"].to_pylist())]
+            )
+        )
+        return pa.table({"h": pa.array(vals.astype(np.int64))})
+
+    rows = pairs_ds.select_columns(["a", "b"]).map_batches(
+        block_hashes, batch_format="pyarrow"
+    ).take_all()
+    return np.unique(np.array([r["h"] for r in rows], dtype=np.int64).astype(np.uint64))
+
+
+def _sig_rows(sigs_ds, cfg: DedupConfig, endpoint_hashes=None):
+    import ray
+
+    from raydedup.functions.hashing import hash_strings
+
     col = _payload_col(cfg)
+    eh_ref = ray.put(endpoint_hashes) if endpoint_hashes is not None else None
 
     def tag(t: pa.Table) -> pa.Table:
+        if eh_ref is not None and t.num_rows:
+            eh = ray.get(eh_ref)
+            if len(eh) == 0:
+                t = t.slice(0, 0)
+            else:
+                h = hash_strings(t["conv_id"].to_pylist())
+                pos = np.searchsorted(eh, h)
+                pos[pos >= len(eh)] = 0
+                t = t.filter(pa.array(eh[pos] == h))
         payload = t[col].combine_chunks() if isinstance(t[col], pa.ChunkedArray) else t[col]
         payload = payload.cast(_PAYLOAD_TYPE)
         n = t.num_rows
@@ -189,7 +228,8 @@ def make_verify_block(cfg: DedupConfig):
 
 def verified_pairs(pairs_ds, sigs_ds, cfg: DedupConfig):
     """candidate pairs → PAIRS rows passing the similarity threshold."""
-    combined = _endpoint_rows(pairs_ds).union(_sig_rows(sigs_ds, cfg))
+    eh = _endpoint_hash_set(pairs_ds)
+    combined = _endpoint_rows(pairs_ds).union(_sig_rows(sigs_ds, cfg, eh))
     attached = keyed_blocks(combined, ["endpoint"], cfg.num_partitions).map_batches(
         _attach_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
