@@ -1,0 +1,93 @@
+"""Verification-mode tests: exact shingle Jaccard vs MinHash-estimate
+acceptance, and the endpoint semi-filter."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from raydedup.config import DedupConfig
+
+
+def _mini_world(ray_session, verify_mode):
+    """Three docs: a≈b (near dup), c unrelated. Returns verified pairs df."""
+    import ray.data as rd
+
+    from raydedup.ray_utils import ensure_hash_shuffle
+    from raydedup.stages.lsh import candidate_pairs
+    from raydedup.stages.signatures import compute_signatures
+    from raydedup.stages.verify import verified_pairs
+
+    ensure_hash_shuffle()
+    cfg = DedupConfig(num_partitions=2, verify_mode=verify_mode, jaccard_threshold=0.8)
+    base = " ".join(f"tok{i}" for i in range(60))
+    docs = pd.DataFrame(
+        {
+            "conv_id": ["a", "b", "c"],
+            "doc_text": [base, base + " tok60", " ".join(f"zzz{i}" for i in range(60))],
+            "n_turns": np.ones(3, dtype=np.int32),
+            "status": ["ok"] * 3,
+        }
+    )
+    docs_ds = rd.from_pandas(docs)
+    sigs = compute_signatures(docs_ds, cfg).materialize()
+    cands = candidate_pairs(sigs, cfg).materialize()
+    return verified_pairs(cands, sigs, cfg).to_pandas()
+
+
+def test_exact_mode_verifies_near_dup(ray_session):
+    out = _mini_world(ray_session, "exact")
+    assert set(zip(out.a, out.b)) == {("a", "b")}
+    assert (out.est_sim >= 0.8).all()
+
+
+def test_estimate_mode_verifies_near_dup(ray_session):
+    out = _mini_world(ray_session, "estimate")
+    assert ("a", "b") in set(zip(out.a, out.b))
+    assert not any(("c" in p) for p in zip(out.a, out.b) for _ in [0] if "c" in p)
+
+
+def test_estimate_margin_respected():
+    cfg = DedupConfig(verify_mode="estimate", jaccard_threshold=0.8, est_margin=0.1)
+    from raydedup.stages.verify import make_verify_block
+
+    fn = make_verify_block(cfg)
+    # two signatures agreeing on 72% of perms: below 0.8 but above 0.7 → kept
+    n = cfg.num_perm
+    sig_a = np.arange(n, dtype=np.uint64)
+    sig_b = sig_a.copy()
+    sig_b[: int(n * 0.28)] += np.uint64(1)
+    t = pa.table(
+        {
+            "a": pa.array(["x", "x"]),
+            "b": pa.array(["y", "y"]),
+            "side": pa.array(np.array([0, 1], dtype=np.int8)),
+            "payload": pa.array([sig_a.tolist(), sig_b.tolist()], pa.list_(pa.uint64())),
+        }
+    )
+    out = fn(t)
+    assert out.num_rows == 1
+    expected = 1 - int(n * 0.28) / n
+    assert abs(out["est_sim"][0].as_py() - expected) < 1e-9
+
+
+def test_bad_verify_mode_rejected():
+    with pytest.raises(ValueError):
+        DedupConfig(verify_mode="nope")
+
+
+def test_endpoint_hash_semi_filter(ray_session):
+    import ray.data as rd
+
+    from raydedup.stages.verify import _endpoint_hash_set
+
+    pairs = rd.from_pandas(pd.DataFrame({"a": ["p", "q"], "b": ["q", "r"]}))
+    eh = _endpoint_hash_set(pairs)
+    from raydedup.functions.hashing import hash_strings
+
+    for s in ["p", "q", "r"]:
+        h = hash_strings([s])[0]
+        assert eh[np.searchsorted(eh, h)] == h
+    h_miss = hash_strings(["zzz"])[0]
+    pos = np.searchsorted(eh, h_miss)
+    assert pos >= len(eh) or eh[pos] != h_miss
