@@ -84,8 +84,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _langid_sql() -> str:
+    from raydedup.functions.textstats import _STOPWORDS
+
+    def lst(lang: str) -> str:
+        return "[" + ",".join(f"'{w}'" for w in sorted(_STOPWORDS[lang])) + "]"
+
+    return rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id,
+                 len(list_intersect(toks, {lst('en')})) AS s_en,
+                 len(list_intersect(toks, {lst('de')})) AS s_de,
+                 len(list_intersect(toks, {lst('fr')})) AS s_fr,
+                 len(list_intersect(toks, {lst('es')})) AS s_es
+          FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                    WHEN s_fr >= s_es THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM s
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_langid": _langid_sql(),
         "q_exact_dedup": (
             "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id "
             "FROM documents"

@@ -38,6 +38,9 @@ class DedupConfig:
     jaccard_threshold: float = 0.8  # exact-Jaccard match threshold (shared with the oracle)
     verify_mode: str = "exact"      # "exact" (shingle-set Jaccard) | "estimate" (signature agreement)
     est_margin: float = 0.10        # estimate mode: accept est >= jaccard_threshold - est_margin
+    # store shingle sets in the signature checkpoint; estimate mode never
+    # reads them, so it skips the dominant checkpoint volume
+    store_shingles: bool | None = None  # None → (verify_mode == "exact")
 
     # --- SimHash (secondary fingerprint; cosine analog) ---
     simhash_bits: int = 64
@@ -73,6 +76,10 @@ class DedupConfig:
             )
         if self.verify_mode not in ("exact", "estimate"):
             raise ValueError(f"bad verify_mode {self.verify_mode!r}")
+        if self.store_shingles is None:
+            object.__setattr__(self, "store_shingles", self.verify_mode == "exact")
+        if self.verify_mode == "exact" and not self.store_shingles:
+            raise ValueError("verify_mode='exact' requires store_shingles=True")
 
     def config_hash(self) -> str:
         """Stable hash of the config; part of every checkpoint manifest."""

@@ -59,10 +59,16 @@ class SignatureActor:
             out_status.append("no_content" if s == "ok" and len(sh) == 0 else s)
 
         mh_col = pa.FixedSizeListArray.from_arrays(pa.array(sigs.reshape(-1)), cfg.num_perm)
-        shingle_col = pa.ListArray.from_arrays(
-            pa.array(np.concatenate([[0], np.cumsum(n_shingles)]), type=pa.int32()),
-            pa.array(np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)),
-        )
+        if cfg.store_shingles:
+            shingle_col = pa.ListArray.from_arrays(
+                pa.array(np.concatenate([[0], np.cumsum(n_shingles)]), type=pa.int32()),
+                pa.array(np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)),
+            )
+        else:  # estimate-mode verification never reads the sets
+            shingle_col = pa.ListArray.from_arrays(
+                pa.array(np.zeros(n + 1), type=pa.int32()),
+                pa.array(np.empty(0, dtype=np.uint64)),
+            )
         return pa.table(
             {
                 "conv_id": batch["conv_id"],

@@ -74,6 +74,29 @@ def test_estimate_margin_respected():
 def test_bad_verify_mode_rejected():
     with pytest.raises(ValueError):
         DedupConfig(verify_mode="nope")
+    with pytest.raises(ValueError):
+        DedupConfig(verify_mode="exact", store_shingles=False)
+    assert DedupConfig(verify_mode="estimate").store_shingles is False
+    assert DedupConfig().store_shingles is True
+
+
+def test_estimate_mode_pipeline_recall(ray_session, fixture_dir, tmp_path):
+    """Estimate-mode (no stored shingle sets) still hits the recall bar —
+    the cheap path for scale."""
+    from raydedup.pipelines.dedup import run_pipeline
+    from raydedup.pipelines.oracle import greedy_star_pairs, pair_recall
+
+    import pyarrow.parquet as pq
+
+    cfg = DedupConfig(num_partitions=4, verify_mode="estimate")
+    res = run_pipeline(f"{fixture_dir}/transcripts.parquet", str(tmp_path / "est"), cfg)
+    cl = res["clusters"].to_pandas()
+    turns = pq.read_table(f"{fixture_dir}/transcripts.parquet").to_pandas()
+    ok = turns.dropna(subset=["text"]).sort_values(["conv_id", "turn_idx"])
+    docs = [(cid, "\n".join(g["text"])) for cid, g in ok.groupby("conv_id", sort=True)]
+    orc = greedy_star_pairs(docs, cfg.shingle_k, cfg.jaccard_threshold)
+    recall = pair_recall(orc.pairs, dict(zip(cl.conv_id, cl.cluster_id)))
+    assert recall >= 0.98
 
 
 def test_endpoint_hash_semi_filter(ray_session):
