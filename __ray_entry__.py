@@ -51,13 +51,32 @@ def _media_features(sf_dir: str):
     return media_feature_pipeline(sf_dir)
 
 
+def _dup_groups_table(sf_dir: str):
+    """q_dup_groups materialized to a pyarrow Table: the result is tiny
+    (exact-duplicate groups) and legitimately empty on fixtures without
+    exact dups — a 0-row Dataset loses its schema through ``to_pandas``,
+    a pyarrow Table does not, so the driver's schema check stays stable."""
+    import pyarrow as pa
+    import ray
+
+    from raydedup.pipelines.docops import dup_groups
+
+    schema = pa.schema(
+        [("text_md5", pa.string()), ("n_docs", pa.int64()), ("canonical_id", pa.int64())]
+    )
+    tbls = ray.get(dup_groups(sf_dir).to_arrow_refs())
+    if not tbls:
+        return schema.empty_table()
+    return pa.concat_tables([t.cast(schema) for t in tbls])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from raydedup.pipelines import docdedup, docops, similarity
 
     return {
         # --- exact dedup family (hash-partition + per-group first) ---
         "q_exact_dedup": docops.exact_dedup,
-        "q_dup_groups": docops.dup_groups,
+        "q_dup_groups": _dup_groups_table,
         "q_ngram_jaccard_pairs": docops.ngram_jaccard_pairs,
         # --- sketch dedup family (deterministic, non-SQL) ---
         "q_minhash_doc_clusters": docdedup.minhash_doc_clusters,
@@ -93,7 +112,7 @@ def _langid_sql() -> str:
     return rf"""
         WITH t AS (
           SELECT doc_id,
-                 list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+                 list_distinct(regexp_split_to_array(lower(trim(COALESCE(text,''))), '\s+')) AS toks
           FROM documents
         ),
         s AS (
@@ -117,14 +136,16 @@ def _langid_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "q_langid": _langid_sql(),
+        # text is wrapped COALESCE(text,'') in the exact-dedup twins so a
+        # NULL text groups with '' exactly as the engine's fillna('') does
         "q_exact_dedup": (
-            "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id "
-            "FROM documents"
+            "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY COALESCE(text,'')) "
+            "AS canonical_id FROM documents"
         ),
         "q_dup_groups": (
-            "SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, "
+            "SELECT md5(COALESCE(text,'')) AS text_md5, COUNT(*) AS n_docs, "
             "MIN(doc_id) AS canonical_id FROM documents "
-            "GROUP BY text HAVING COUNT(*) > 1"
+            "GROUP BY COALESCE(text,'') HAVING COUNT(*) > 1"
         ),
         "q_ngram_jaccard_pairs": r"""
             WITH t AS (
@@ -147,21 +168,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_token_stats": r"""
             SELECT doc_id,
-                   CASE WHEN len(trim(text)) = 0 THEN 0
+                   CASE WHEN len(trim(COALESCE(text,''))) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-                   len(text) AS n_chars_calc
+                   len(COALESCE(text,'')) AS n_chars_calc
             FROM documents
         """,
         "q_quality_flags": r"""
             SELECT doc_id,
                    CAST(
-                     (CASE WHEN len(trim(text)) = 0 THEN 0
+                     (CASE WHEN len(trim(COALESCE(text,''))) = 0 THEN 0
                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END) >= 5
-                     AND 10 * len(regexp_replace(text, '[^0-9]', '', 'g')) <= 3 * len(text)
+                     AND 10 * len(regexp_replace(COALESCE(text,''), '[^0-9]', '', 'g'))
+                         <= 3 * len(COALESCE(text,''))
                      AS BIGINT) AS keep
             FROM documents
         """,
-        "q_doc_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "q_doc_fingerprint": (
+            "SELECT doc_id, md5(COALESCE(text,'')) AS fp_md5 FROM documents"
+        ),
         "q_media_features": (
             "SELECT 'media-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS media_id, "
             "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
@@ -181,7 +205,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_dup_size_histogram": (
             "SELECT n_docs, COUNT(*) AS n_groups FROM "
-            "(SELECT COUNT(*) AS n_docs FROM documents GROUP BY text) GROUP BY n_docs"
+            "(SELECT COUNT(*) AS n_docs FROM documents GROUP BY COALESCE(text,'')) "
+            "GROUP BY n_docs"
         ),
         "q_knn_bruteforce": """
             WITH s AS (

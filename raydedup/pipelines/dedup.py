@@ -128,7 +128,8 @@ def run_pipeline(
                 batch_format="pyarrow",
             )
         labels, n_iters = connected_components(graph, cfg)
-        metrics.add("components", "iterations", n_iters)
+        metrics.add("components", "iterations", abs(n_iters))
+        metrics.add("components", "converged", int(n_iters > 0))
         # every doc gets a cluster: component label if present, else itself
         lab_joined = store.read("docs", ["conv_id", "status"]).join(
             labels,

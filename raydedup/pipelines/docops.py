@@ -36,6 +36,24 @@ def _docs(sf_dir: str, columns=None):
 
 
 # ---------------------------------------------------------------- exact dedup
+def _hashed_docs(sf_dir: str):
+    """(doc_id, text_md5): the 128-bit content key is computed at the read,
+    so every downstream exact-dedup shuffle carries a 32-char hex key
+    instead of full document bytes (shuffle volume ∝ row count, not corpus
+    size).  md5 collisions are accepted as negligible at 2^-64 scale per
+    pair — the same identity the DuckDB twins use via ``md5(text)``."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "text_md5": md5_fingerprints(df["text"]),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
 def exact_dedup(sf_dir: str):
     """(doc_id, canonical_id): canonical = min doc_id sharing the exact text."""
 
@@ -43,12 +61,11 @@ def exact_dedup(sf_dir: str):
         if len(df) == 0:
             return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
                                  "canonical_id": pd.Series([], dtype=np.int64)})
-        canonical = df.groupby("text", sort=False)["doc_id"].transform("min")
+        canonical = df.groupby("text_md5", sort=False)["doc_id"].transform("min")
         return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
                              "canonical_id": canonical.to_numpy()})
 
-    ds = _docs(sf_dir, ["doc_id", "text"])
-    return keyed_blocks(ds, ["text"], _P).map_batches(
+    return keyed_blocks(_hashed_docs(sf_dir), ["text_md5"], _P).map_batches(
         block, batch_size=None, batch_format="pandas"
     )
 
@@ -63,23 +80,24 @@ def dup_groups(sf_dir: str):
     )
 
     def block(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return schema.empty_table()
         out = (
-            df.groupby("text", sort=False)
+            df.groupby("text_md5", sort=False)
             .agg(n_docs=("doc_id", "size"), canonical_id=("doc_id", "min"))
             .reset_index()
         )
         out = out[out["n_docs"] > 1]
         return pa.table(
             {
-                "text_md5": pa.array(md5_fingerprints(out["text"]), pa.string()),
+                "text_md5": pa.array(out["text_md5"].to_numpy(dtype=object), pa.string()),
                 "n_docs": pa.array(out["n_docs"].to_numpy(dtype=np.int64)),
                 "canonical_id": pa.array(out["canonical_id"].to_numpy(dtype=np.int64)),
             },
             schema=schema,
         )
 
-    ds = _docs(sf_dir, ["doc_id", "text"])
-    return keyed_blocks(ds, ["text"], _P).map_batches(
+    return keyed_blocks(_hashed_docs(sf_dir), ["text_md5"], _P).map_batches(
         block, batch_size=None, batch_format="pandas"
     )
 
@@ -225,7 +243,12 @@ def dup_size_histogram(sf_dir: str):
     the reference's summary-table analog (A4/A5)."""
 
     def block(df: pd.DataFrame) -> pd.DataFrame:
-        sizes = df.groupby("text", sort=False).size()
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"n_docs": pd.Series([], dtype=np.int64),
+                 "n_groups": pd.Series([], dtype=np.int64)}
+            )
+        sizes = df.groupby("text_md5", sort=False).size()
         out = sizes.value_counts().rename_axis("n_docs").rename("n_groups").reset_index()
         return out.astype({"n_docs": np.int64, "n_groups": np.int64})
 
@@ -238,8 +261,7 @@ def dup_size_histogram(sf_dir: str):
         out = df.groupby("n_docs", sort=False).agg(n_groups=("n_groups", "sum")).reset_index()
         return out.astype({"n_docs": np.int64, "n_groups": np.int64})
 
-    ds = _docs(sf_dir, ["doc_id", "text"])
-    partial = keyed_blocks(ds, ["text"], _P).map_batches(
+    partial = keyed_blocks(_hashed_docs(sf_dir), ["text_md5"], _P).map_batches(
         block, batch_size=None, batch_format="pandas"
     )
     return keyed_blocks(partial, ["n_docs"], 2).map_batches(

@@ -94,6 +94,12 @@ def connected_components(pairs_ds, cfg: DedupConfig):
 
     Only nodes incident to an edge appear; callers default absent nodes to
     singleton clusters (label = own conv_id).
+
+    Convergence is detected by two consecutive identical label checksums;
+    exhausting ``cfg.max_cc_iters`` without convergence means some
+    component's labels may still be split, which is never silent: a
+    ``RuntimeWarning`` is emitted and ``n_iters`` is returned negative
+    (callers record ``converged = n_iters > 0`` in metrics).
     """
     edges = pairs_ds.select_columns(["a", "b"])
 
@@ -162,6 +168,7 @@ def connected_components(pairs_ds, cfg: DedupConfig):
     propagate = _make_propagate_block()
     prev_sum = None
     n_iters = 0
+    converged = False
     for _ in range(cfg.max_cc_iters):
         n_iters += 1
         msg_rows = msgs.map_batches(
@@ -178,11 +185,22 @@ def connected_components(pairs_ds, cfg: DedupConfig):
         ).materialize()
         cur = _label_checksum(msgs)
         if prev_sum is not None and cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: label propagation did not converge within "
+            f"max_cc_iters={cfg.max_cc_iters}; some clusters may be split. "
+            f"Raise max_cc_iters (diameter after contraction exceeds the budget).",
+            RuntimeWarning,
+        )
 
     labels = msgs.map_batches(
         lambda t: t.filter(t["is_lab"]).select(["node", "label"]),
         batch_format="pyarrow",
     )
-    return labels, n_iters
+    return labels, (n_iters if converged else -n_iters)

@@ -121,17 +121,22 @@ def _parquet_rows(path: str) -> int:
 
 
 def input_fingerprint(path: str) -> str:
-    """Cheap content identity for an input file/dir: names + sizes + mtimes."""
+    """Cheap content identity for an input file/dir: names + sizes +
+    nanosecond mtimes.  The walk order is made deterministic (sorted dirs
+    and files) so identical inputs never fingerprint differently across
+    filesystems, and ``st_mtime_ns`` granularity means an in-place rewrite
+    within the same second cannot falsely validate a stale checkpoint."""
     import hashlib
 
     entries = []
     if os.path.isdir(path):
-        for root, _dirs, files in os.walk(path):
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
             for f in sorted(files):
                 fp = os.path.join(root, f)
                 st = os.stat(fp)
-                entries.append(f"{os.path.relpath(fp, path)}:{st.st_size}:{int(st.st_mtime)}")
+                entries.append(f"{os.path.relpath(fp, path)}:{st.st_size}:{st.st_mtime_ns}")
     else:
         st = os.stat(path)
-        entries.append(f"{os.path.basename(path)}:{st.st_size}:{int(st.st_mtime)}")
+        entries.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
     return hashlib.sha256("|".join(entries).encode()).hexdigest()[:16]
