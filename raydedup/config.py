@@ -42,6 +42,12 @@ class DedupConfig:
     # reads them, so it skips the dominant checkpoint volume
     store_shingles: bool | None = None  # None → (verify_mode == "exact")
 
+    # endpoint semi-filter: before the payload-attach shuffle, the driver
+    # collects the distinct pair-endpoint hashes (8 B each) to pre-filter
+    # signature rows.  Above this many endpoints the filter is skipped —
+    # correctness is unaffected, only shuffle volume grows.
+    semi_filter_max_endpoints: int = 10_000_000
+
     # --- SimHash (secondary fingerprint; cosine analog) ---
     simhash_bits: int = 64
     hamming_threshold: int = 4      # simhash near-dup edge if hamming <= this

@@ -159,6 +159,50 @@ def _payload_slices(col: pa.Array):
     return offsets, values
 
 
+def _flat_payload(off: np.ndarray, val: np.ndarray):
+    """Flatten list slices to (pair_id, value) arrays regardless of the
+    offsets' starting point (Arrow ``take`` may leave non-zero bases)."""
+    lens = np.diff(off).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return lens, np.empty(0, np.int64), np.empty(0, np.uint64)
+    pair_id = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    starts = np.repeat(off[:-1].astype(np.int64), lens)
+    local = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    return lens, pair_id, val[starts + local]
+
+
+def exact_jaccard_sims(off0, val0, off1, val1, n: int) -> np.ndarray:
+    """Vectorized exact Jaccard over n pairs of uint64 hash *sets*.
+
+    Replaces the per-pair ``np.intersect1d`` loop: all (pair, value) rows
+    from both sides are mapped through one global value dictionary
+    (``np.unique``), composite ``pair*V + value_id`` keys make each side a
+    flat sorted set, and one ``intersect1d`` + ``bincount`` yields every
+    pair's intersection size at once — O(total values · log) for the whole
+    block instead of per pair.
+    """
+    len0, p0, v0 = _flat_payload(off0, val0)
+    len1, p1, v1 = _flat_payload(off1, val1)
+    denom_base = len0 + len1
+    if len(v0) == 0 or len(v1) == 0:
+        return np.zeros(n, dtype=np.float64)
+    allv = np.concatenate([v0, v1])
+    uniq, inv = np.unique(allv, return_inverse=True)
+    nv = np.int64(len(uniq))
+    k0 = p0 * nv + inv[: len(v0)]
+    k1 = p1 * nv + inv[len(v0):]
+    common = np.intersect1d(k0, k1, assume_unique=True)
+    inter = np.bincount(common // nv, minlength=n).astype(np.int64)
+    denom = denom_base - inter
+    sims = np.zeros(n, dtype=np.float64)
+    nz = denom > 0
+    sims[nz] = inter[nz] / denom[nz]
+    return sims
+
+
 def make_verify_block(cfg: DedupConfig):
     exact = cfg.verify_mode == "exact"
     tau = cfg.jaccard_threshold if exact else cfg.jaccard_threshold - cfg.est_margin
@@ -197,16 +241,8 @@ def make_verify_block(cfg: DedupConfig):
         n = t0.num_rows
         off0, val0 = _payload_slices(t0["payload"])
         off1, val1 = _payload_slices(t1["payload"])
-        sims = np.empty(n, dtype=np.float64)
         if exact:
-            for i in range(n):
-                x = val0[off0[i] : off0[i + 1]]
-                y = val1[off1[i] : off1[i + 1]]
-                if len(x) == 0 or len(y) == 0:
-                    sims[i] = 0.0
-                    continue
-                inter = len(np.intersect1d(x, y, assume_unique=True))
-                sims[i] = inter / (len(x) + len(y) - inter)
+            sims = exact_jaccard_sims(off0, val0, off1, val1, n)
         else:
             w = cfg.num_perm
             va = val0.reshape(n, w)
@@ -227,8 +263,18 @@ def make_verify_block(cfg: DedupConfig):
 
 
 def verified_pairs(pairs_ds, sigs_ds, cfg: DedupConfig):
-    """candidate pairs → PAIRS rows passing the similarity threshold."""
-    eh = _endpoint_hash_set(pairs_ds)
+    """candidate pairs → PAIRS rows passing the similarity threshold.
+
+    The endpoint semi-filter (a driver-merged hash set of pair endpoints
+    that prunes non-candidate signature rows before the attach shuffle) is
+    size-guarded: above ``cfg.semi_filter_max_endpoints`` endpoints it is
+    skipped entirely — the shuffle then carries all signature rows, which
+    is correct, just bulkier.  ``pairs_ds`` is normally a checkpoint read,
+    so the count is parquet-footer metadata, not an execution."""
+    if 2 * pairs_ds.count() > cfg.semi_filter_max_endpoints:
+        eh = None
+    else:
+        eh = _endpoint_hash_set(pairs_ds)
     combined = _endpoint_rows(pairs_ds).union(_sig_rows(sigs_ds, cfg, eh))
     attached = keyed_blocks(combined, ["endpoint"], cfg.num_partitions).map_batches(
         _attach_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True

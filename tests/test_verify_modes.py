@@ -114,3 +114,68 @@ def test_endpoint_hash_semi_filter(ray_session):
     h_miss = hash_strings(["zzz"])[0]
     pos = np.searchsorted(eh, h_miss)
     assert pos >= len(eh) or eh[pos] != h_miss
+
+
+def test_exact_jaccard_sims_matches_per_pair_loop():
+    """The vectorized block intersection equals the naive per-pair loop,
+    including empty sets and offset bases > 0 (Arrow take layouts)."""
+    from raydedup.stages.verify import exact_jaccard_sims
+
+    rng = np.random.RandomState(7)
+    sets0, sets1 = [], []
+    for _ in range(50):
+        n0, n1 = rng.randint(0, 40, size=2)
+        common = rng.randint(0, 1 << 48, size=rng.randint(0, 20)).astype(np.uint64)
+        s0 = np.unique(np.concatenate([common, rng.randint(1 << 48, 1 << 49, n0).astype(np.uint64)]))
+        s1 = np.unique(np.concatenate([common, rng.randint(1 << 49, 1 << 50, n1).astype(np.uint64)]))
+        sets0.append(s0)
+        sets1.append(s1)
+    off0 = np.concatenate([[0], np.cumsum([len(s) for s in sets0])])
+    off1 = np.concatenate([[0], np.cumsum([len(s) for s in sets1])])
+    val0 = np.concatenate(sets0) if sets0 else np.empty(0, np.uint64)
+    val1 = np.concatenate(sets1) if sets1 else np.empty(0, np.uint64)
+    got = exact_jaccard_sims(off0, val0, off1, val1, len(sets0))
+    for i, (x, y) in enumerate(zip(sets0, sets1)):
+        if len(x) == 0 or len(y) == 0:
+            expected = 0.0
+        else:
+            inter = len(np.intersect1d(x, y, assume_unique=True))
+            expected = inter / (len(x) + len(y) - inter)
+        assert abs(got[i] - expected) < 1e-12, i
+    # offset-base shift: same slices viewed through offsets starting at 3
+    pad = np.zeros(3, np.uint64)
+    got2 = exact_jaccard_sims(off0 + 3, np.concatenate([pad, val0]),
+                              off1 + 3, np.concatenate([pad, val1]), len(sets0))
+    assert np.allclose(got, got2)
+
+
+def test_semi_filter_size_guard(ray_session):
+    """Verified pairs are identical with the endpoint semi-filter on
+    (default) and off (forced by a tiny semi_filter_max_endpoints)."""
+    import ray.data as rd
+
+    from raydedup.ray_utils import ensure_hash_shuffle
+    from raydedup.stages.lsh import candidate_pairs
+    from raydedup.stages.signatures import compute_signatures
+    from raydedup.stages.verify import verified_pairs
+
+    ensure_hash_shuffle()
+    base = " ".join(f"tok{i}" for i in range(60))
+    docs = pd.DataFrame(
+        {
+            "conv_id": ["a", "b", "c", "d"],
+            "doc_text": [base, base + " tok60", base + " tok61",
+                         " ".join(f"zzz{i}" for i in range(60))],
+            "n_turns": np.ones(4, dtype=np.int32),
+            "status": ["ok"] * 4,
+        }
+    )
+    outs = {}
+    for cap in (10_000_000, 0):  # 0 forces the skip path
+        cfg = DedupConfig(num_partitions=2, semi_filter_max_endpoints=cap)
+        sigs = compute_signatures(rd.from_pandas(docs), cfg).materialize()
+        cands = candidate_pairs(sigs, cfg).materialize()
+        out = verified_pairs(cands, sigs, cfg).to_pandas()
+        outs[cap] = out.sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(outs[0]) > 0
+    pd.testing.assert_frame_equal(outs[10_000_000], outs[0])
