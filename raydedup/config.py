@@ -70,6 +70,11 @@ class DedupConfig:
     num_partitions: int = 32        # hash-shuffle partitions for every wide op
                                     # (size to ~cluster cores at real scale)
 
+    # per-partition checkpoint lineage for the signature stage: the docs
+    # checkpoint's files split into this many independently-persisted,
+    # independently-resumable parts (1 disables partitioning)
+    checkpoint_parts: int = 4
+
     # --- quality gates (analog of the blur gate face_recognition_custom.py:73-77) ---
     min_doc_chars: int = 1          # normalized docs shorter than this -> status 'no_content'
 

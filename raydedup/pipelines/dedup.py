@@ -60,7 +60,18 @@ def run_pipeline(
             rd.read_parquet(input_path), cfg.num_partitions, cfg.min_doc_chars
         ),
     )
-    sigs = store.stage("signatures", lambda: compute_signatures(docs, cfg))
+    # the signature stage (the expensive narrow stage) checkpoints with
+    # per-partition lineage: a crash mid-stage resumes from the completed
+    # part-i/ dirs and recomputes only the missing ones (north rule)
+    if cfg.checkpoint_parts > 1:
+        sigs = store.partitioned_map_stage(
+            "signatures",
+            "docs",
+            lambda files: compute_signatures(rd.read_parquet(files), cfg),
+            cfg.checkpoint_parts,
+        )
+    else:
+        sigs = store.stage("signatures", lambda: compute_signatures(docs, cfg))
 
     # Each edge source is its own checkpointed sub-DAG (bounded number of
     # concurrent shuffle ops per execution; finer-grained resume), and each

@@ -108,6 +108,129 @@ class CheckpointStore:
         return ds
 
 
+    def partitioned_map_stage(self, name: str, input_name: str, make_ds_fn, n_parts: int):
+        """Per-partition resumable *narrow* stage (map-only, no shuffle)
+        over the files of an upstream checkpoint.
+
+        The upstream checkpoint's parquet files are split into up to
+        ``n_parts`` deterministic groups; each part computes and persists
+        independently (``part-i/`` containing its own ``_PART_MANIFEST.json``
+        with the part's input-file fingerprint), so a crash mid-stage loses
+        only the unfinished parts — the north rule's per-partition lineage:
+        a resumed run recomputes exactly the missing parts, never completed
+        signatures.  Parts run as sequential executions: each part's map
+        tasks already fan out across the whole cluster, so inter-part
+        concurrency would only hide the ~1s per-execution fixed cost (and
+        concurrent Dataset construction from driver threads races a lazy
+        fsspec import inside Ray's path resolution).
+
+        ``make_ds_fn(files) -> Dataset`` builds the per-part transform from
+        a list of input parquet paths.
+        """
+        import glob
+        import hashlib
+
+        import ray.data as rd
+
+        target = self.path(name)
+        m = self._valid(name)
+        t0 = time.time()
+        if m is not None:
+            self.events.append(
+                {"stage": name, "action": "resumed", "rows": m["rows"], "sec": 0.0}
+            )
+            ds = rd.read_parquet(target)
+        else:
+            files = sorted(
+                glob.glob(os.path.join(self.path(input_name), "**", "*.parquet"),
+                          recursive=True)
+            )
+            n_parts = max(1, min(n_parts, len(files)))
+            groups = [files[i::n_parts] for i in range(n_parts)]
+            os.makedirs(target, exist_ok=True)
+            # clear foreign part dirs (e.g. from a run with different n_parts)
+            valid_names = {f"part-{i}" for i in range(n_parts)}
+            for entry in os.listdir(target):
+                p = os.path.join(target, entry)
+                if entry not in valid_names and os.path.isdir(p):
+                    shutil.rmtree(p)
+
+            def run_part(i: int) -> int:
+                part_dir = os.path.join(target, f"part-{i}")
+                pm_path = os.path.join(part_dir, "_PART_MANIFEST.json")
+                fp = _files_fingerprint(groups[i])
+                if os.path.exists(pm_path):
+                    try:
+                        pm = json.load(open(pm_path))
+                    except (json.JSONDecodeError, OSError):
+                        pm = None
+                    if (
+                        pm
+                        and pm.get("config_hash") == self.config_hash
+                        and pm.get("lineage") == self.lineage
+                        and pm.get("input_fp") == fp
+                    ):
+                        return 0  # completed before the crash — skip
+                if os.path.exists(part_dir):
+                    shutil.rmtree(part_dir)
+                ds_i = make_ds_fn(groups[i])
+                tmp = f"{part_dir}.tmp-{uuid.uuid4().hex[:8]}"
+                ds_i.write_parquet(tmp)
+                pm = {
+                    "stage": name,
+                    "part": i,
+                    "n_parts": n_parts,
+                    "config_hash": self.config_hash,
+                    "lineage": self.lineage,
+                    "input_fp": fp,
+                    "rows": _parquet_rows(tmp),
+                    "created_at": time.time(),
+                }
+                with open(os.path.join(tmp, "_PART_MANIFEST.json"), "w") as f:
+                    json.dump(pm, f)
+                os.rename(tmp, part_dir)
+                return 1
+
+            computed = sum(run_part(i) for i in range(n_parts))
+            rows = _parquet_rows(target)
+            manifest = {
+                "stage": name,
+                "config_hash": self.config_hash,
+                "lineage": self.lineage,
+                "rows": rows,
+                "n_parts": n_parts,
+                "created_at": time.time(),
+            }
+            with open(self._manifest_path(name), "w") as f:
+                json.dump(manifest, f)
+            self.events.append(
+                {
+                    "stage": name,
+                    "action": "computed",
+                    "rows": rows,
+                    "sec": round(time.time() - t0, 2),
+                    "parts_computed": computed,
+                    "parts_resumed": n_parts - computed,
+                }
+            )
+            ds = rd.read_parquet(target)
+        self.lineage = hashlib.sha256(
+            f"{self.lineage}|{name}|{self.config_hash}".encode()
+        ).hexdigest()[:16]
+        return ds
+
+
+def _files_fingerprint(files: list) -> str:
+    """Identity of a specific input-file group: names + sizes + ns-mtimes."""
+    import hashlib
+
+    entries = []
+    for fp in files:
+        st = os.stat(fp)
+        entries.append(f"{os.path.basename(fp)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("|".join(entries).encode()).hexdigest()[:16]
+
+
 def _parquet_rows(path: str) -> int:
     """Row count from parquet footers (no Ray execution)."""
     import pyarrow.parquet as pq
