@@ -133,6 +133,12 @@ def _langid_sql() -> str:
     """
 
 
+def _ngram_df_cap() -> str:
+    from raydedup.pipelines.docops import NGRAM_DF_CAP
+
+    return str(NGRAM_DF_CAP)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_langid": _langid_sql(),
@@ -147,16 +153,21 @@ def oracle_sql() -> dict[str, str]:
             "MIN(doc_id) AS canonical_id FROM documents "
             "GROUP BY COALESCE(text,'') HAVING COUNT(*) > 1"
         ),
+        # mirrors the engine exactly, including the document-frequency cap:
+        # intersections count only tokens with df <= NGRAM_DF_CAP, unions
+        # use full distinct-token counts
         "q_ngram_jaccard_pairs": r"""
             WITH t AS (
               SELECT doc_id,
-                     unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS tok
-              FROM documents WHERE len(trim(text)) > 0
+                     unnest(list_distinct(regexp_split_to_array(lower(trim(COALESCE(text,''))), '\s+'))) AS tok
+              FROM documents WHERE len(trim(COALESCE(text,''))) > 0
             ),
             sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+            tc AS (SELECT tok FROM t GROUP BY tok HAVING COUNT(*) <= __DF_CAP__),
+            tf AS (SELECT t.doc_id, t.tok FROM t JOIN tc USING (tok)),
             it AS (
               SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_inter
-              FROM t x JOIN t y ON x.tok = y.tok AND x.doc_id < y.doc_id
+              FROM tf x JOIN tf y ON x.tok = y.tok AND x.doc_id < y.doc_id
               GROUP BY x.doc_id, y.doc_id
             )
             SELECT it.a, it.b, it.n_inter,
@@ -165,7 +176,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON it.a = sa.doc_id
             JOIN sz sb ON it.b = sb.doc_id
             WHERE 2 * it.n_inter >= sa.n + sb.n - it.n_inter
-        """,
+        """.replace("__DF_CAP__", _ngram_df_cap()),
         "q_token_stats": r"""
             SELECT doc_id,
                    CASE WHEN len(trim(COALESCE(text,''))) = 0 THEN 0

@@ -92,12 +92,15 @@ def run_doc_queries(sf_dir: str) -> dict:
     from raydedup.pipelines import docdedup, docops, similarity
 
     out = {}
-    # NOTE: the exact ngram-Jaccard join is excluded here — its inverted
-    # index explodes on this fixture's tiny vocabulary (hot-token skew);
-    # the sketch-based q_minhash_doc_clusters is the scale path.
+    # ngram-Jaccard runs with a tight document-frequency cap: this
+    # fixture's 31-token vocabulary is all hot tokens, so the uncapped
+    # exact join's output is Θ(N²) by construction; the cap bounds
+    # per-token emission (the sketch-based q_minhash_doc_clusters is the
+    # uncapped scale path).
     for name, fn in [
         ("q_exact_dedup", docops.exact_dedup),
         ("q_minhash_doc_clusters", docdedup.minhash_doc_clusters),
+        ("q_ngram_jaccard_capped", lambda sf: docops.ngram_jaccard_pairs(sf, df_cap=256)),
         ("q_token_stats", docops.doc_token_stats),
         ("q_knn_bruteforce", similarity.knn_bruteforce),
     ]:

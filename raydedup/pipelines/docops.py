@@ -297,15 +297,30 @@ def events_by_type(sf_dir: str):
 
 
 # ---------------------------------------------- exact n-gram Jaccard pair join
-def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 1, tau_den: int = 2):
-    """Exact 1-gram (distinct word) Jaccard similarity pairs with
+# Tokens in more than this many documents generate no candidate pairs
+# (stopword-class tokens at corpus scale).  The default is high enough to
+# be a no-op on the sf fixtures (max df there ~4k at sf0.1) — the cap
+# semantics themselves are tested against DuckDB with a small cap in
+# tests/test_docops.py, and bench.py runs this operator with df_cap=256
+# to demonstrate bounded emission on skewed vocabularies.
+NGRAM_DF_CAP = 4096
+
+
+def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 1, tau_den: int = 2,
+                        df_cap: int = NGRAM_DF_CAP):
+    """1-gram (distinct word) Jaccard similarity pairs with
     jaccard >= tau_num/tau_den, via inverted-index explode + hash shuffles.
 
-    Integer-only output (a, b, n_inter, n_union) so the DuckDB oracle
-    hash-matches.  Candidate generation is exact (any pair with J>0 shares
-    a token); at 100-TB scale this operator assumes a document-frequency
-    cap on tokens (hot-token buckets are the skew analog of LSH
-    mega-buckets) — here the vocabulary is small and bounded.
+    Scale shape: each token row carries its document's distinct-token
+    count (``n``) through the shuffle, so pair rows reunite both set sizes
+    with zero driver-side state; and tokens whose document frequency
+    exceeds ``df_cap`` are dropped *inside* the token-keyed block (all
+    rows of a token land in one block, so the global df is local) — the
+    hot-token analog of the LSH mega-bucket cap, bounding per-token pair
+    emission at df_cap²/2.  Intersections count only capped-index tokens
+    while union uses full set sizes; the DuckDB twin mirrors the same cap
+    so results match by construction.  Output (a, b, n_inter, n_union)
+    integer-only for the hash compare.
     """
     from raydedup.functions.pairs import (
         dedup_sorted_members,
@@ -314,53 +329,51 @@ def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 1, tau_den: int = 2):
     )
 
     def tok_rows(df: pd.DataFrame) -> pd.DataFrame:
-        ids, toks, sizes_id, sizes_n = [], [], [], []
+        ids, toks, ns = [], [], []
         for did, txt in zip(df["doc_id"].to_numpy(), df["text"].fillna("")):
             ts = sorted(set(txt.lower().strip().split()))
-            sizes_id.append(did)
-            sizes_n.append(len(ts))
             ids.extend([did] * len(ts))
             toks.extend(ts)
+            ns.extend([len(ts)] * len(ts))
         return pd.DataFrame(
-            {"doc_id": np.asarray(ids, dtype=np.int64), "tok": np.asarray(toks, dtype=object)}
+            {
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "tok": np.asarray(toks, dtype=object),
+                "n": np.asarray(ns, dtype=np.int64),
+            }
         )
 
-    def sizes_fn(df: pd.DataFrame) -> pd.DataFrame:
-        n = np.fromiter(
-            (len(set(t.lower().strip().split())) for t in df["text"].fillna("")),
-            dtype=np.int64,
-            count=len(df),
-        )
-        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(dtype=np.int64), "n": n})
-
-    ds = _docs(sf_dir, ["doc_id", "text"])
-    toks = ds.map_batches(tok_rows, batch_format="pandas")
+    toks = _docs(sf_dir, ["doc_id", "text"]).map_batches(tok_rows, batch_format="pandas")
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "a": pd.Series([], dtype=np.int64),
+            "b": pd.Series([], dtype=np.int64),
+            "na": pd.Series([], dtype=np.int64),
+            "nb": pd.Series([], dtype=np.int64),
+        }
         if len(df) == 0:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64)})
+            return pd.DataFrame(cols)
         tok = df["tok"].to_numpy(dtype=object)
         did = df["doc_id"].to_numpy(dtype=np.int64)
+        nn = df["n"].to_numpy(dtype=np.int64)
         order = np.lexsort((did, tok))
-        tok, did = tok[order], did[order]
+        tok, did, nn = tok[order], did[order], nn[order]
         gid = group_ids_from_sorted(tok)
         keep = dedup_sorted_members(gid, did)
-        gid, did = gid[keep], did[keep]
-        i, j, _ = emit_bucket_pairs(gid, cap=1 << 30)  # exact: never cap
-        return pd.DataFrame({"a": did[i], "b": did[j]})
+        gid, did, nn = gid[keep], did[keep], nn[keep]
+        # df-cap: drop whole token groups above the document-frequency cap
+        sizes = np.bincount(gid)
+        small = sizes[gid] <= df_cap
+        gid, did, nn = gid[small], did[small], nn[small]
+        i, j, _ = emit_bucket_pairs(gid, cap=1 << 30)  # exact within the capped index
+        if len(i) == 0:
+            return pd.DataFrame(cols)
+        return pd.DataFrame({"a": did[i], "b": did[j], "na": nn[i], "nb": nn[j]})
 
     raw = keyed_blocks(toks, ["tok"], _P).map_batches(
         emit, batch_size=None, batch_format="pandas"
     )
-
-    # n_inter = co-occurrence count per (a, b); sizes broadcast via ray.put
-    import ray
-
-    sizes_df = (
-        ds.map_batches(sizes_fn, batch_format="pandas").to_pandas().set_index("doc_id")["n"]
-    )
-    sizes_ref = ray.put(sizes_df.to_dict())
 
     def count_block(df: pd.DataFrame) -> pd.DataFrame:
         cols = {
@@ -371,12 +384,13 @@ def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 1, tau_den: int = 2):
         }
         if len(df) == 0:
             return pd.DataFrame(cols)
-        sizes = ray.get(sizes_ref)
-        g = df.groupby(["a", "b"], sort=False).size().rename("n_inter").reset_index()
-        na = g["a"].map(sizes).to_numpy(dtype=np.int64)
-        nb = g["b"].map(sizes).to_numpy(dtype=np.int64)
+        g = (
+            df.groupby(["a", "b"], sort=False)
+            .agg(n_inter=("na", "size"), na=("na", "first"), nb=("nb", "first"))
+            .reset_index()
+        )
         inter = g["n_inter"].to_numpy(dtype=np.int64)
-        union = na + nb - inter
+        union = g["na"].to_numpy(dtype=np.int64) + g["nb"].to_numpy(dtype=np.int64) - inter
         keep = tau_den * inter >= tau_num * union
         return pd.DataFrame(
             {

@@ -93,3 +93,55 @@ def test_media_real_decoder_not_implemented(ray_session):
 
     with pytest.raises(NotImplementedError):
         MediaFeatureActor(decoder="jpeg")
+
+
+def test_ngram_df_cap_matches_duckdb(ray_session, tmp_path):
+    """The document-frequency cap is mirrored by the DuckDB twin: with a
+    cap small enough to drop hot tokens, engine and SQL still agree."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import ngram_jaccard_pairs
+
+    # 'hot' appears in every doc (df=8 > cap=4); rare tokens drive pairs
+    texts = [
+        "hot alpha beta gamma",
+        "hot alpha beta gamma",       # exact dup of 0
+        "hot alpha beta delta",       # near dup of 0
+        "hot epsilon zeta eta",
+        "hot epsilon zeta eta theta",  # near dup of 3
+        "hot iota kappa lam",
+        "hot mu nu xi",
+        "hot",                         # only the capped token
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)}),
+        d / "documents.parquet",
+    )
+    cap = 4
+    got = (
+        ngram_jaccard_pairs(str(d), df_cap=cap)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    import __ray_entry__ as entry
+
+    sql = entry.oracle_sql()["q_ngram_jaccard_pairs"].replace(
+        f"COUNT(*) <= {entry._ngram_df_cap()}", f"COUNT(*) <= {cap}"
+    )
+    exp = con.execute(sql).df().sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(exp) > 0  # the capped comparison is non-trivial
+    cols = ["a", "b", "n_inter", "n_union"]
+    assert (got[cols].values == exp[cols].values).all()
+    # the capped token never produced the all-pairs clique: doc 7 (only
+    # 'hot') pairs with nobody
+    assert 7 not in set(got.a) | set(got.b)
