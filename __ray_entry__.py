@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_bruteforce": similarity.knn_bruteforce,
         "q_ann_lsh": similarity.ann_lsh,
         "q_embedding_dup_pairs": lambda sf: similarity.embedding_dup_pairs(sf, 0.5),
+        # the 100-TB pair-mining path: hyperplane buckets + in-bucket exact
+        # cosine (deterministic; recall<1 by design → no SQL twin)
+        "q_embedding_dup_pairs_lsh": lambda sf: similarity.embedding_dup_pairs_lsh(sf, 0.5),
     }
 
 

@@ -168,16 +168,29 @@ def ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 5, n_planes: int = 8, n_ta
     )
 
 
-def embedding_dup_pairs(sf_dir: str, threshold: float = 0.9):
-    """Exact cosine near-duplicate pairs (a < b, cosine >= threshold).
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.9,
+                        max_broadcast_rows: int = 100_000):
+    """Cosine near-duplicate pairs (a < b, cosine >= threshold).
 
-    Each block multiplies against the full normalized matrix broadcast via
-    ``ray.put`` — exact, and parallel over blocks; assumes the matrix fits
-    worker memory (the LSH-bucketed variant in :func:`ann_lsh` is the
-    100-TB path)."""
+    Size-gated: up to ``max_broadcast_rows`` vectors the exact
+    block × broadcast-matrix path runs (complete result, what the DuckDB
+    twin checks); above it the job switches to the LSH-bucketed path
+    (:func:`embedding_dup_pairs_lsh`) — recall < 1 by design, never a
+    whole-table driver materialization.  The row count comes from parquet
+    metadata, not an execution."""
+    ds = _read_embeddings(sf_dir)
+    if ds.count() > max_broadcast_rows:
+        return embedding_dup_pairs_lsh(sf_dir, threshold)
+    return _embedding_dup_pairs_exact(ds, threshold)
+
+
+def _embedding_dup_pairs_exact(ds, threshold: float):
+    """Exact all-pairs: each block multiplies against the full normalized
+    matrix broadcast once via ``ray.put`` — parallel over blocks, the
+    distributed analog of the reference's linear scan
+    (``duplicate_face.py:64-75``)."""
     import ray
 
-    ds = _read_embeddings(sf_dir)
     all_df = ds.to_pandas()
     all_ids = all_df["vec_id"].to_numpy(dtype=np.int64)
     all_mat = _normalize(_matrix(all_df))
@@ -197,3 +210,119 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.9):
         return pd.DataFrame({"a": a[keep], "b": b[keep]})
 
     return ds.map_batches(block, batch_format="pandas")
+
+
+def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9,
+                            n_planes: int = 8, n_tables: int = 8,
+                            seed: int = 42, num_partitions: int = 16,
+                            bucket_pair_cap: int = 100_000):
+    """LSH-bucketed near-dup pair mining — the 100-TB path.
+
+    Random-hyperplane signatures put similar vectors in shared buckets
+    (``n_tables`` independent tables × ``n_planes`` bits); a hash shuffle
+    on (table, bucket) co-locates each bucket, in-bucket pairs are
+    verified with exact cosine (vectorized row-wise dot over the emitted
+    pair indices — precision 1.0 relative to the exact path), and one
+    more (a, b) shuffle dedups pairs found by several tables.  Recall < 1
+    by design: a true pair in no common bucket is missed; at the default
+    8×8 config recall for cosine ≥ 0.9 pairs is ≈ 1-(1-(1-acos(.9)/π)^8)^8
+    ≈ 0.93 (unit-tested ≥ 0.9 on a clustered fixture)."""
+    from raydedup.functions.pairs import (
+        dedup_sorted_members,
+        emit_bucket_pairs,
+        group_ids_from_sorted,
+    )
+    from raydedup.ray_utils import keyed_blocks
+
+    import pyarrow as pa
+
+    ds = _read_embeddings(sf_dir)
+
+    # the normalized vectors ride the shuffle as Arrow fixed-size-list
+    # columns end-to-end (a pandas round-trip of list columns trips Ray's
+    # tensor-extension dtype); all math is numpy over the flat values
+    def bucket_rows(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "t": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "emb": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        col = tbl["embedding"].combine_chunks()
+        offs = col.offsets.to_numpy()
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        m = _normalize(
+            vals[np.add.outer(offs[:-1].astype(np.int64), np.arange(dim, dtype=np.int64))]
+        )
+        n = m.shape[0]
+        # planes derive deterministically from (seed, dim): every task
+        # regenerates the same tiny matrix instead of shipping state
+        planes = np.random.RandomState(seed).randn(n_tables, n_planes, dim)
+        pow2 = 1 << np.arange(n_planes, dtype=np.int64)
+        vids = np.asarray(tbl["vec_id"], dtype=np.int64)
+        buckets = np.stack(
+            [(m @ planes[t].T > 0).astype(np.int64) @ pow2 for t in range(n_tables)]
+        )  # (n_tables, n)
+        emb_flat = np.tile(m.reshape(-1), n_tables)
+        return pa.table(
+            {
+                "t": pa.array(np.repeat(np.arange(n_tables, dtype=np.int64), n)),
+                "bucket": pa.array(buckets.reshape(-1)),
+                "vec_id": pa.array(np.tile(vids, n_tables)),
+                "emb": pa.FixedSizeListArray.from_arrays(pa.array(emb_flat), dim).cast(
+                    pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    rows = ds.map_batches(bucket_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def in_bucket_pairs(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        if tbl.num_rows == 0:
+            return empty
+        tbl = tbl.combine_chunks()
+        t = np.asarray(tbl["t"], dtype=np.int64)
+        bk = np.asarray(tbl["bucket"], dtype=np.int64)
+        vid = np.asarray(tbl["vec_id"], dtype=np.int64)
+        emb = tbl["emb"].combine_chunks()
+        offs = emb.offsets.to_numpy()
+        dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        vals = emb.values.to_numpy(zero_copy_only=False)
+        # gather through offsets (robust to non-zero offset bases after take)
+        m = vals[np.add.outer(offs[:-1].astype(np.int64), np.arange(dim, dtype=np.int64))]
+        order = np.lexsort((vid, bk, t))
+        t, bk, vid, m = t[order], bk[order], vid[order], m[order]
+        gid = group_ids_from_sorted(t, bk)
+        keep = dedup_sorted_members(gid, vid)
+        gid, vid, m = gid[keep], vid[keep], m[keep]
+        i, j, _ = emit_bucket_pairs(gid, bucket_pair_cap)
+        if len(i) == 0:
+            return empty
+        sims = np.einsum("ij,ij->i", m[i], m[j])  # exact in-bucket verify
+        ok = sims >= threshold
+        a, b = vid[i][ok], vid[j][ok]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"a": pa.array(lo), "b": pa.array(hi)})
+
+    raw = keyed_blocks(rows, ["t", "bucket"], num_partitions).map_batches(
+        in_bucket_pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+            )
+        return df.drop_duplicates(["a", "b"])
+
+    return keyed_blocks(raw, ["a", "b"], num_partitions).map_batches(
+        dedup, batch_size=None, batch_format="pandas"
+    )

@@ -145,3 +145,44 @@ def test_ngram_df_cap_matches_duckdb(ray_session, tmp_path):
     # the capped token never produced the all-pairs clique: doc 7 (only
     # 'hot') pairs with nobody
     assert 7 not in set(got.a) | set(got.b)
+
+
+def test_embedding_dup_pairs_lsh_recall(ray_session, tmp_path):
+    """The LSH-bucketed pair-mining path finds >=90% of the exact path's
+    pairs on a clustered fixture and never emits a false pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.similarity import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+
+    rng = np.random.RandomState(3)
+    dim, n_clusters, per = 32, 40, 5
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, per, axis=0) + 0.05 * rng.randn(n_clusters * per, dim)
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs],
+                                      pa.list_(pa.float64())),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    thr = 0.9
+    exact = embedding_dup_pairs(str(d), thr).to_pandas()
+    lsh = embedding_dup_pairs_lsh(str(d), thr).to_pandas()
+    exact_set = set(zip(exact.a, exact.b))
+    lsh_set = set(zip(lsh.a, lsh.b))
+    assert len(exact_set) >= 100
+    assert lsh_set <= exact_set  # in-bucket verify is exact → precision 1.0
+    assert len(lsh_set) / len(exact_set) >= 0.9
+    # the size gate routes big inputs to the LSH path
+    gated = embedding_dup_pairs(str(d), thr, max_broadcast_rows=10).to_pandas()
+    assert set(zip(gated.a, gated.b)) == lsh_set
