@@ -29,7 +29,13 @@ class DedupConfig:
     # --- LSH banding: num_perm = bands * rows ---
     bands: int = 32
     rows: int = 4
-    salt_buckets: int = 4           # salted re-partition of band buckets (skew)
+    # Salted re-partition of band buckets (skew control).  Recall note:
+    # equal signatures always share a salt, but a *near*-identical pair can
+    # land in different salt sub-buckets — each band's collision chance for
+    # a J-similar pair becomes ≈ J + (1-J)/salt_buckets.  At the default 32
+    # bands this is negligible (pair recall stays ~1 for J ≥ 0.8); with few
+    # bands or high thresholds, lower salt_buckets before lowering bands.
+    salt_buckets: int = 4
     bucket_pair_cap: int = 50       # clique emission below this group size; chain above
     max_bucket_emit: int = 2_000    # hard cap on edges emitted per (band,hash,salt) bucket
 

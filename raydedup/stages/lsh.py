@@ -41,7 +41,6 @@ _EMPTY_PAIRS = pd.DataFrame(
     }
 )
 
-
 def signature_matrix(batch: pa.Table, num_perm: int) -> np.ndarray:
     """(n, num_perm) uint64 from the minhash list column (fixed-size or plain list)."""
     col = batch["minhash"].combine_chunks() if isinstance(batch["minhash"], pa.ChunkedArray) else batch["minhash"]
@@ -68,6 +67,7 @@ def make_band_rows(cfg: DedupConfig):
                     "band_idx": pa.array([], pa.int32()),
                     "band_hash": pa.array([], pa.uint64()),
                     "salt": pa.array([], pa.int32()),
+                    "sk": pa.array([], pa.uint64()),
                     "conv_id": pa.array([], pa.string()),
                 }
             )
@@ -76,12 +76,17 @@ def make_band_rows(cfg: DedupConfig):
         bh = (grouped * powers[None, None, :]).sum(axis=2, dtype=np.uint64)
         bh = splitmix64(bh ^ band_mix[None, :])  # (n, bands)
         salt = (splitmix64(sig[:, 0]) % np.uint64(cfg.salt_buckets)).astype(np.int32)
+        # chain-ordering key for over-cap buckets: a secondary signature
+        # element, so near-identical docs sort adjacently inside a capped
+        # bucket and their chain edges survive exact verification
+        sk = splitmix64(sig[:, 1] ^ np.uint64(0x5EED))
         conv = np.asarray(batch["conv_id"], dtype=object)
         return pa.table(
             {
                 "band_idx": pa.array(np.tile(np.arange(cfg.bands, dtype=np.int32), n)),
                 "band_hash": pa.array(bh.reshape(-1)),
                 "salt": pa.array(np.repeat(salt, cfg.bands)),
+                "sk": pa.array(np.repeat(sk, cfg.bands)),
                 "conv_id": pa.array(np.repeat(conv, cfg.bands), pa.string()),
             }
         )
@@ -100,8 +105,13 @@ def make_bucket_emitter(cfg: DedupConfig):
         bi = df["band_idx"].to_numpy()
         bh = df["band_hash"].to_numpy()
         sa = df["salt"].to_numpy()
+        sk = df["sk"].to_numpy()
         cv = df["conv_id"].to_numpy(dtype=object)
-        order = np.lexsort((cv, sa, bh, bi))
+        # members order by (sk, conv_id) inside each bucket: the capped
+        # chain then runs through signature space, keeping near-identical
+        # docs adjacent (duplicate members share sk, so the member dedup's
+        # adjacency requirement still holds)
+        order = np.lexsort((cv, sk, sa, bh, bi))
         bi, bh, sa, cv = bi[order], bh[order], sa[order], cv[order]
         gid = group_ids_from_sorted(bi, bh, sa)
         keep = dedup_sorted_members(gid, cv)
@@ -109,9 +119,11 @@ def make_bucket_emitter(cfg: DedupConfig):
         i, j, capped = emit_bucket_pairs(gid, cap)
         if len(i) == 0:
             return _EMPTY_PAIRS
-        return pd.DataFrame(
-            {"a": cv[i], "b": cv[j], "capped": capped.astype(np.int32)}
-        )
+        x, y = cv[i], cv[j]
+        swap = x > y  # normalize a < b (bucket order is signature order)
+        a = np.where(swap, y, x)
+        b = np.where(swap, x, y)
+        return pd.DataFrame({"a": a, "b": b, "capped": capped.astype(np.int32)})
 
     return emit
 

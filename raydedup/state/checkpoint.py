@@ -80,6 +80,7 @@ class CheckpointStore:
             ds = compute_fn()
             tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
             ds.write_parquet(tmp)
+            _ensure_nonempty_parquet(tmp, ds)
             rows = _parquet_rows(tmp)
             manifest = {
                 "stage": name,
@@ -176,6 +177,7 @@ class CheckpointStore:
                 ds_i = make_ds_fn(groups[i])
                 tmp = f"{part_dir}.tmp-{uuid.uuid4().hex[:8]}"
                 ds_i.write_parquet(tmp)
+                _ensure_nonempty_parquet(tmp, ds_i)
                 pm = {
                     "stage": name,
                     "part": i,
@@ -218,6 +220,19 @@ class CheckpointStore:
             f"{self.lineage}|{name}|{self.config_hash}".encode()
         ).hexdigest()[:16]
         return ds
+
+
+def _ensure_nonempty_parquet(path: str, ds) -> None:
+    """A 0-row ``write_parquet`` produces no directory and no files, which
+    would make the checkpoint unreadable on resume — materialize the
+    schema as one empty parquet file instead."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    if any(f.endswith(".parquet") for f in os.listdir(path)):
+        return
+    schema = ds.schema().base_schema
+    pq.write_table(schema.empty_table(), os.path.join(path, "empty-0.parquet"))
 
 
 def _files_fingerprint(files: list) -> str:

@@ -132,3 +132,63 @@ def test_determinism_across_partitioning(e2e, tmp_path_factory):
     cl2 = res2["clusters"].to_pandas().sort_values("conv_id").reset_index(drop=True)
     cl1 = e2e["clusters"].sort_values("conv_id").reset_index(drop=True)
     assert (cl1["cluster_id"].to_numpy() == cl2["cluster_id"].to_numpy()).all()
+
+
+def test_capped_bucket_recall(ray_session, tmp_path):
+    """Skew hardening: shared boilerplate makes every band a mega-bucket;
+    with caps tight enough to actually trigger (asserted), the
+    signature-ordered chain emission still keeps dup-pair recall >= 0.99."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydedup.config import DedupConfig
+    from raydedup.pipelines.dedup import run_pipeline
+    from raydedup.pipelines.oracle import greedy_star_pairs, pair_recall
+
+    rng = np.random.RandomState(11)
+    boiler = " ".join(f"b{i}" for i in range(200))
+    texts, convs = [], []
+    for g in range(5):  # 5 groups x 6 near-identical members
+        uniq = " ".join(f"u{g}_{k}" for k in range(100))
+        for m in range(6):
+            words = (boiler + " " + uniq).split()
+            words[-(m + 1) * 7] = f"mut{g}_{m}"  # ~7 shingles differ per member
+            convs.append(f"dup{g:02d}_{m}")
+            texts.append(" ".join(words))
+    for i in range(80):  # fillers share only the boilerplate
+        convs.append(f"fill{i:03d}")
+        texts.append(boiler + " " + " ".join(f"f{i}_{k}" for k in range(100)))
+    order = rng.permutation(len(convs))
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([convs[i] for i in order]),
+            "turn_idx": pa.array(np.zeros(len(convs), dtype=np.int32)),
+            "role": pa.array(["user"] * len(convs)),
+            "text": pa.array([texts[i] for i in order]),
+            "tool": pa.array([""] * len(convs)),
+            "ts": pa.array(np.zeros(len(convs), dtype="datetime64[us]")),
+        }
+    )
+    src = tmp_path / "skew"
+    src.mkdir()
+    pq.write_table(tbl, src / "transcripts.parquet")
+
+    cfg = DedupConfig(
+        num_partitions=4, bucket_pair_cap=4, salt_buckets=2, checkpoint_parts=2
+    )
+    res = run_pipeline(str(src / "transcripts.parquet"), str(tmp_path / "out"), cfg)
+    cands = res["pairs"]  # post-verify pairs carry no capped flag; check candidates
+    import ray.data as rd
+
+    cand_capped = rd.read_parquet(str(tmp_path / "out" / "candidates")).to_pandas()
+    assert cand_capped["capped"].sum() > 0  # the caps really triggered
+
+    cl = res["clusters"].to_pandas()
+    docs = sorted(zip(convs, texts))
+    orc = greedy_star_pairs(docs, cfg.shingle_k, cfg.jaccard_threshold)
+    recall = pair_recall(orc.pairs, dict(zip(cl.conv_id, cl.cluster_id)))
+    assert len(orc.pairs) >= 5 * (6 - 1)  # every group is a real dup family
+    assert recall >= 0.99
+    _ = cands
