@@ -81,6 +81,12 @@ class DedupConfig:
     # independently-resumable parts (1 disables partitioning)
     checkpoint_parts: int = 4
 
+    # optional artifact sink (S11 analog: the reference saves every
+    # detected face crop, face_recognition_custom.py:95-100): per-doc
+    # extracted-feature debug table written under <out>/artifacts
+    emit_artifacts: bool = False
+    artifact_top_k: int = 8         # smallest shingle hashes kept per doc
+
     # --- quality gates (analog of the blur gate face_recognition_custom.py:73-77) ---
     min_doc_chars: int = 1          # normalized docs shorter than this -> status 'no_content'
 

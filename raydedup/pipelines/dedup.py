@@ -166,6 +166,13 @@ def run_pipeline(
 
     clusters = store.stage("clusters", compute_clusters)
 
+    # optional artifact sink (S11 analog: the reference writes every
+    # detected face crop to detected_faces/, face_recognition_custom.py:95-100;
+    # here: a per-doc extracted-feature debug table, resumable like every
+    # stage, off by default)
+    if cfg.emit_artifacts:
+        store.stage("artifacts", lambda: _artifact_table(store, cfg))
+
     # quarantine partition (S9 analog: the corrupted-list writer,
     # duplicate_face.py:136-140) — resumable like every stage
     store.stage(
@@ -209,6 +216,46 @@ def run_pipeline(
         "metrics": metrics,
         "config": cfg,
     }
+
+
+def _artifact_table(store, cfg: DedupConfig):
+    """Per-doc feature artifacts: the ``artifact_top_k`` smallest stored
+    shingle hashes (exact mode) or the leading MinHash elements (estimate
+    mode), plus the SimHash fingerprint — content-addressed debug output,
+    never a global counter (T3 mapping).  Debug-only stage: the per-row
+    partition loop is acceptable off the hot path."""
+    k = cfg.artifact_top_k
+    cols = ["conv_id", "simhash", "n_shingles"]
+    cols.append("shingles" if cfg.store_shingles else "minhash")
+
+    def art(t: pa.Table) -> pa.Table:
+        src = t.column(cols[-1])
+        src = src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
+        src = src.cast(pa.list_(pa.uint64()))  # minhash may be fixed-size list
+        offs = src.offsets.to_numpy()
+        vals = src.values.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        tops = []
+        for i in range(t.num_rows):
+            v = vals[offs[i]: offs[i + 1]]
+            tops.append(np.sort(v if len(v) <= k else np.partition(v, k)[:k])[:k])
+        lens = np.array([len(x) for x in tops], dtype=np.int32)
+        flat = np.concatenate(tops) if tops else np.empty(0, np.uint64)
+        top_col = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(lens)]), pa.int32()),
+            pa.array(flat, pa.uint64()),
+        )
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "top_features": top_col,
+                "simhash": t["simhash"],
+                "n_shingles": t["n_shingles"],
+            }
+        )
+
+    return store.read("signatures", cols).map_batches(
+        art, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def label_turns(turns_ds, clusters_ds, cfg: DedupConfig | None = None):

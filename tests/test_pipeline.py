@@ -192,3 +192,34 @@ def test_capped_bucket_recall(ray_session, tmp_path):
     assert len(orc.pairs) >= 5 * (6 - 1)  # every group is a real dup family
     assert recall >= 0.99
     _ = cands
+
+
+def test_artifact_sink(ray_session, fixture_dir, tmp_path):
+    """S11 analog: emit_artifacts writes a resumable per-doc feature table
+    (top shingle hashes + simhash), one row per signature row."""
+    import numpy as np
+    import ray.data as rd
+
+    from raydedup.config import DedupConfig
+    from raydedup.pipelines.dedup import run_pipeline
+
+    for mode in ("exact", "estimate"):
+        cfg = DedupConfig(num_partitions=4, emit_artifacts=True, verify_mode=mode,
+                          artifact_top_k=6)
+        out = str(tmp_path / f"art_{mode}")
+        res = run_pipeline(f"{fixture_dir}/transcripts.parquet", out, cfg)
+        art = rd.read_parquet(f"{out}/artifacts").to_pandas()
+        n_sigs = res["signatures"].count()
+        assert len(art) == n_sigs
+        assert set(art.columns) == {"conv_id", "top_features", "simhash", "n_shingles"}
+        lens = art["top_features"].map(len)
+        assert (lens <= 6).all()
+        nonempty = art[art["n_shingles"] > 0]
+        assert (nonempty["top_features"].map(len) > 0).all()
+        # content-addressed & sorted ascending (deterministic debug output)
+        assert all(
+            (lambda a: len(a) < 2 or np.all(a[:-1] <= a[1:]))(
+                np.asarray(v, dtype=np.uint64)
+            )
+            for v in art["top_features"]
+        )
