@@ -73,7 +73,16 @@ def run_flagship(sf_dir: str, num_cpus: int, fresh: bool = True,
     out_dir = f"/tmp/raydedup_bench/n{n_convs}_c{num_cpus}"
     if fresh and os.path.exists(out_dir):
         shutil.rmtree(out_dir)
-    cfg = DedupConfig(num_partitions=max(8, num_cpus), sig_concurrency=(2, max(2, num_cpus // 2)))
+    # Scale configuration: estimate-mode verification is the documented
+    # big-run default — it skips storing shingle sets entirely (the
+    # signature checkpoint drops from ~6 GB to ~150 MB per 1M convs) and
+    # verifies on MinHash agreement; recall vs the oracle stays >= 0.98
+    # (tests/test_verify_modes.py::test_estimate_mode_pipeline_recall).
+    cfg = DedupConfig(
+        num_partitions=max(8, num_cpus),
+        sig_concurrency=(2, max(2, num_cpus // 2)),
+        verify_mode="estimate",
+    )
     t0 = time.time()
     res = run_pipeline(f"{fixture}/transcripts.parquet", out_dir, cfg)
     n_clusters = res["clusters"].count()
@@ -84,6 +93,9 @@ def run_flagship(sf_dir: str, num_cpus: int, fresh: bool = True,
         "convs": int(n_convs),
         "clusters": int(n_clusters),
         "turns_per_sec": round(n_turns / dt, 1),
+        "stages": {
+            e["stage"]: e["sec"] for e in res["events"] if e.get("action") == "computed"
+        },
     }
 
 

@@ -57,18 +57,28 @@ def quality_flags(texts: pd.Series, min_tokens: int = 5, max_digit_ratio: float 
 
 
 def langid(texts: pd.Series) -> np.ndarray:
-    """Stopword-overlap language heuristic → best language code or 'und'."""
+    """Stopword-overlap language heuristic → best language code or 'und'.
+
+    Vectorized: one explode of distinct (row, token) pairs, one stopword
+    membership scan per language, bincount per row — no per-row Python.
+    Ties break in ``_STOPWORDS`` declaration order (same as argmax over
+    the per-row score list)."""
     langs = list(_STOPWORDS)
-    out = np.full(len(texts), "und", dtype=object)
-    toks = texts.fillna("").str.lower().str.split(_WS)
-    for i, words in enumerate(toks):
-        if not words:
-            continue
-        ws = set(words)
-        scores = [len(ws & _STOPWORDS[lg]) for lg in langs]
-        best = int(np.argmax(scores))
-        if scores[best] > 0:
-            out[i] = langs[best]
+    n = len(texts)
+    out = np.full(n, "und", dtype=object)
+    if n == 0:
+        return out
+    ex = texts.fillna("").str.lower().reset_index(drop=True).str.split(_WS).explode()
+    pairs = pd.DataFrame(
+        {"row": ex.index.to_numpy(dtype=np.int64), "tok": ex.to_numpy(dtype=object)}
+    ).drop_duplicates()  # set semantics: each distinct token counts once per row
+    scores = np.zeros((n, len(langs)), dtype=np.int64)
+    for j, lg in enumerate(langs):
+        hits = pairs.loc[pairs["tok"].isin(_STOPWORDS[lg]), "row"].to_numpy()
+        scores[:, j] = np.bincount(hits, minlength=n)
+    best = scores.argmax(axis=1)
+    has = scores.max(axis=1) > 0
+    out[has] = np.asarray(langs, dtype=object)[best[has]]
     return out
 
 

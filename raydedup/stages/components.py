@@ -67,24 +67,52 @@ def _make_propagate_block():
     """Block fn over union(edge rows, message rows) hash-partitioned by node.
 
     Edge rows have ``nbr`` set; message rows carry candidate labels.  The
-    block *reduces* (min label per node, over last round's reduced label
-    and incoming messages) and *re-emits* in the same pass:
-    ``(node, min_label, is_lab=True)`` + ``(nbr, min_label, False)`` per
-    out-edge — one hash shuffle per iteration, all vectorized.
+    block computes the *local transitive closure* of everything it sees —
+    nodes, neighbors and label values are all vertices of one in-block
+    graph, min-labels propagate by repeated ``np.minimum.at`` relaxation +
+    pointer halving (``lab = lab[lab]``) to a local fixpoint — then
+    re-emits ``(node, min_label, is_lab=True)`` per node and
+    ``(nbr, min_label, False)`` per out-edge.  Compared to one
+    groupby-min hop per round, in-block closure jumps arbitrarily many
+    hops per round, so the number of *global* shuffle rounds drops from
+    O(component diameter) to roughly O(log diameter) — each round is one
+    hash shuffle either way.  Vertex codes come from sorted ``np.unique``,
+    so code order equals lexicographic node order and code-min equals
+    label-min.
     """
 
     def propagate(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return _EMPTY_MSGS
-        lab = df.loc[df["label"].notna(), ["node", "label"]]
-        lab = lab.groupby("node", sort=False).agg(label=("label", "min")).reset_index()
-        edges = df.loc[df["nbr"].notna(), ["node", "nbr"]]
-        sent = edges.merge(lab, on="node", how="inner")[["nbr", "label"]].rename(
-            columns={"nbr": "node"}
+        lab_rows = df["label"].notna().to_numpy()
+        edge_rows = df["nbr"].notna().to_numpy()
+        node = df["node"].to_numpy(dtype=object)
+        l_n, l_v = node[lab_rows], df["label"].to_numpy(dtype=object)[lab_rows]
+        e_u, e_v = node[edge_rows], df["nbr"].to_numpy(dtype=object)[edge_rows]
+        names, codes = np.unique(np.concatenate([l_n, l_v, e_u, e_v]), return_inverse=True)
+        i = 0
+        cl_n = codes[i : i + len(l_n)]; i += len(l_n)
+        cl_v = codes[i : i + len(l_v)]; i += len(l_v)
+        ce_u = codes[i : i + len(e_u)]; i += len(e_u)
+        ce_v = codes[i : i + len(e_v)]
+        lab = np.arange(len(names), dtype=np.int64)
+        while True:
+            prev = lab.copy()
+            np.minimum.at(lab, cl_n, lab[cl_v])
+            np.minimum.at(lab, cl_v, lab[cl_n])
+            np.minimum.at(lab, ce_u, lab[ce_v])
+            np.minimum.at(lab, ce_v, lab[ce_u])
+            np.minimum(lab, lab[lab], out=lab)  # pointer halving
+            if np.array_equal(lab, prev):
+                break
+        out_nodes = np.unique(cl_n)  # nodes owned by this block (have label rows)
+        reduced = pd.DataFrame(
+            {"node": names[out_nodes], "label": names[lab[out_nodes]], "is_lab": True}
         )
-        lab["is_lab"] = True
-        sent["is_lab"] = False
-        return pd.concat([lab, sent], ignore_index=True)
+        sent = pd.DataFrame(
+            {"node": names[ce_v], "label": names[lab[ce_u]], "is_lab": False}
+        )
+        return pd.concat([reduced, sent], ignore_index=True)
 
     return propagate
 

@@ -11,8 +11,11 @@ computed vectorized per block:
 
 * ``verify_mode="exact"``  — exact Jaccard of the stored shingle-hash sets
   (matches the oracle's threshold exactly);
-* ``verify_mode="estimate"`` — agreement fraction of the full MinHash
-  signatures, accepted at ``threshold - est_margin``.
+* ``verify_mode="estimate"`` — agreement fraction of the MinHash
+  signatures, accepted at ``threshold - est_margin``.  The signature rides
+  the attach shuffle as its *low byte* only (8× smaller payload); two
+  differing minima collide on the low byte with p=1/256, inflating the
+  estimate by at most (1-J)/256 ≈ 0.004 — far inside ``est_margin``.
 """
 
 from __future__ import annotations
@@ -24,14 +27,16 @@ import pyarrow as pa
 from raydedup.config import DedupConfig
 from raydedup.ray_utils import keyed_blocks
 
-_PAYLOAD_TYPE = pa.list_(pa.uint64())
+
+def _payload_type(cfg: DedupConfig):
+    return pa.list_(pa.uint64()) if cfg.verify_mode == "exact" else pa.list_(pa.uint8())
 
 
 def _payload_col(cfg: DedupConfig) -> str:
     return "shingles" if cfg.verify_mode == "exact" else "minhash"
 
 
-def _endpoint_rows(pairs_ds):
+def _endpoint_rows(pairs_ds, ptype):
     """pairs → two rows per pair: (endpoint, a, b, side∈{0,1}, payload=null)."""
 
     def explode(t: pa.Table) -> pa.Table:
@@ -45,7 +50,7 @@ def _endpoint_rows(pairs_ds):
                 "a": pa.concat_arrays([a, a]),
                 "b": pa.concat_arrays([b, b]),
                 "side": pa.array(np.concatenate([np.zeros(n), np.ones(n)]).astype(np.int8)),
-                "payload": pa.nulls(2 * n, _PAYLOAD_TYPE),
+                "payload": pa.nulls(2 * n, ptype),
             }
         )
 
@@ -83,6 +88,7 @@ def _sig_rows(sigs_ds, cfg: DedupConfig, endpoint_hashes=None):
     from raydedup.functions.hashing import hash_strings
 
     col = _payload_col(cfg)
+    ptype = _payload_type(cfg)
     eh_ref = ray.put(endpoint_hashes) if endpoint_hashes is not None else None
 
     def tag(t: pa.Table) -> pa.Table:
@@ -96,7 +102,13 @@ def _sig_rows(sigs_ds, cfg: DedupConfig, endpoint_hashes=None):
                 pos[pos >= len(eh)] = 0
                 t = t.filter(pa.array(eh[pos] == h))
         payload = t[col].combine_chunks() if isinstance(t[col], pa.ChunkedArray) else t[col]
-        payload = payload.cast(_PAYLOAD_TYPE)
+        payload = payload.cast(pa.list_(pa.uint64()))
+        if cfg.verify_mode != "exact":
+            # low byte per permutation: 8× lighter through both shuffles
+            vals = payload.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+            payload = pa.ListArray.from_arrays(
+                payload.offsets, pa.array((vals & np.uint64(0xFF)).astype(np.uint8))
+            )
         n = t.num_rows
         return pa.table(
             {
@@ -114,16 +126,16 @@ def _sig_rows(sigs_ds, cfg: DedupConfig, endpoint_hashes=None):
 def _attach_block(t: pa.Table) -> pa.Table:
     """Block fn keyed by endpoint: give each pair-endpoint row its payload.
 
-    Payloads stay Arrow end-to-end (a pandas round-trip of list<uint64>
-    columns is both slow and fragile); only the small string/index columns
-    touch numpy/pandas.
+    Payloads stay Arrow end-to-end (a pandas round-trip of list columns
+    is both slow and fragile); only the small string/index columns touch
+    numpy/pandas.
     """
     empty = pa.table(
         {
             "a": pa.array([], pa.string()),
             "b": pa.array([], pa.string()),
             "side": pa.array([], pa.int8()),
-            "payload": pa.array([], _PAYLOAD_TYPE),
+            "payload": pa.array([], t.schema.field("payload").type),
         }
     )
     if t.num_rows == 0:
@@ -275,7 +287,9 @@ def verified_pairs(pairs_ds, sigs_ds, cfg: DedupConfig):
         eh = None
     else:
         eh = _endpoint_hash_set(pairs_ds)
-    combined = _endpoint_rows(pairs_ds).union(_sig_rows(sigs_ds, cfg, eh))
+    combined = _endpoint_rows(pairs_ds, _payload_type(cfg)).union(
+        _sig_rows(sigs_ds, cfg, eh)
+    )
     attached = keyed_blocks(combined, ["endpoint"], cfg.num_partitions).map_batches(
         _attach_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
