@@ -187,6 +187,15 @@ def main_scaling():
         results[cpus] = best
     t8, t32 = results[8]["turns_per_sec"], results[32]["turns_per_sec"]
     eff = (t32 / t8) / (32 / 8)
+    # per-stage efficiency decomposition: stage wall at 8 cpus / (4 × wall
+    # at 32 cpus) — isolates which stages are CPU-bound (≈1.0) vs bounded
+    # by the shared disk / fixed per-execution costs this single-node
+    # sandbox cannot scale (see BASELINE.md caveats)
+    stage_eff = {}
+    s8, s32 = results[8].get("stages", {}), results[32].get("stages", {})
+    for k in s32:
+        if k in s8 and s32[k] > 0:
+            stage_eff[k] = round(s8[k] / (4 * s32[k]), 3)
     print(
         json.dumps(
             {
@@ -195,6 +204,7 @@ def main_scaling():
                 "unit": "efficiency",
                 "throughput_8": t8,
                 "throughput_32": t32,
+                "stage_efficiency": stage_eff,
                 "detail": results,
                 "sf": _sf_of(SF_DIR),
             }

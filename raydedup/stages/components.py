@@ -30,22 +30,35 @@ _EMPTY_MSGS = pd.DataFrame(
         "node": pd.Series([], dtype=object),
         "label": pd.Series([], dtype=object),
         "is_lab": pd.Series([], dtype=bool),
+        "nbr": pd.Series([], dtype=object),
     }
 )
 
 
 def _label_checksum(msgs_ds) -> tuple:
-    """Order-independent checksum of the reduced (node,label) rows:
-    per-block XOR + wrapping sum, combined on the driver (one tiny row per
-    block — no overflow, no shuffle)."""
+    """Order-independent checksum of the FULL propagation state — reduced
+    labels, in-flight messages and contracted edges — per-block XOR +
+    wrapping sum, combined on the driver (one tiny row per block, no
+    shuffle).  Labels alone are not enough: with per-round graph
+    contraction the edge set keeps evolving for a round or two after
+    labels plateau, and an early stop there is both non-deterministic
+    across partitionings and potentially non-minimal."""
 
     def h(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(batch["is_lab"])
         if batch.num_rows == 0:
             return pa.table({"x": pa.array([], pa.int64()), "s": pa.array([], pa.int64())})
         hn = hash_strings(batch["node"].to_pylist())
-        hl = hash_strings(batch["label"].to_pylist())
-        v = (hn * np.uint64(0x9E3779B97F4A7C15)) ^ hl
+        hl = hash_strings(["" if v is None else v for v in batch["label"].to_pylist()])
+        hb = hash_strings(["" if v is None else v for v in batch["nbr"].to_pylist()])
+        lab_mask = np.asarray(
+            pa.compute.fill_null(batch["is_lab"], False), dtype=bool
+        ).astype(np.uint64)
+        v = (
+            (hn * np.uint64(0x9E3779B97F4A7C15))
+            ^ hl
+            ^ (hb * np.uint64(0xC2B2AE3D27D4EB4F))
+            ^ (lab_mask * np.uint64(0xD6E8FEB86659FD93))
+        )
         x = np.bitwise_xor.reduce(v)
         s = v.sum(dtype=np.uint64)  # wrapping mod-2^64 sum
         return pa.table(
@@ -109,10 +122,30 @@ def _make_propagate_block():
         reduced = pd.DataFrame(
             {"node": names[out_nodes], "label": names[lab[out_nodes]], "is_lab": True}
         )
+        # graph contraction for the next round: this round's edges re-keyed
+        # to the endpoints' current labels (self-loops vanish as components
+        # collapse) plus a label-link edge per unconverged node (u ↔
+        # lab(u)).  The label links are the pointer-jumping channel:
+        # lab(u)'s block sees the (lab(u), u) edge next round and messages
+        # u with lab(lab(u)), so label chains halve per round.  Messages
+        # are emitted along THIS round's input edges (one per directed edge
+        # row) — never only along the contracted ones: an edge that
+        # collapses to a self-loop locally must still deliver the merged
+        # label to both original endpoints, or a remote node keeps a stale
+        # pointer forever (a stable-but-non-minimal state).
+        cx, cy = lab[ce_u], lab[ce_v]
+        keep = cx != cy
+        ln_keep = lab[out_nodes] != out_nodes
+        src = np.concatenate([cx[keep], cy[keep], out_nodes[ln_keep], lab[out_nodes][ln_keep]])
+        dst = np.concatenate([cy[keep], cx[keep], lab[out_nodes][ln_keep], out_nodes[ln_keep]])
+        if len(src):
+            uniq = np.unique(src * np.int64(len(names)) + dst)
+            src, dst = uniq // len(names), uniq % len(names)
+        edges = pd.DataFrame({"node": names[src], "nbr": names[dst], "is_lab": False})
         sent = pd.DataFrame(
             {"node": names[ce_v], "label": names[lab[ce_u]], "is_lab": False}
         )
-        return pd.concat([reduced, sent], ignore_index=True)
+        return pd.concat([reduced, sent, edges], ignore_index=True)
 
     return propagate
 
@@ -197,20 +230,25 @@ def connected_components(pairs_ds, cfg: DedupConfig):
     prev_sum = None
     n_iters = 0
     converged = False
+    state = None  # round ≥2 input: propagate's own output (labels + messages + contracted edges)
     for _ in range(cfg.max_cc_iters):
         n_iters += 1
-        msg_rows = msgs.map_batches(
-            lambda t: pa.table(
-                {"node": t["node"], "nbr": pa.nulls(t.num_rows, pa.string()), "label": t["label"]}
-            ),
-            batch_format="pyarrow",
-        )
-        combined = keyed_blocks(
-            with_null_label.union(msg_rows), ["node"], cfg.num_partitions
-        )
-        msgs = combined.map_batches(
+        if state is None:
+            msg_rows = msgs.map_batches(
+                lambda t: pa.table(
+                    {"node": t["node"], "nbr": pa.nulls(t.num_rows, pa.string()), "label": t["label"]}
+                ),
+                batch_format="pyarrow",
+            )
+            combined = keyed_blocks(
+                with_null_label.union(msg_rows), ["node"], cfg.num_partitions
+            )
+        else:
+            combined = keyed_blocks(state, ["node"], cfg.num_partitions)
+        state = combined.map_batches(
             propagate, batch_size=None, batch_format="pandas"
         ).materialize()
+        msgs = state
         cur = _label_checksum(msgs)
         if prev_sum is not None and cur == prev_sum:
             converged = True

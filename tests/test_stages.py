@@ -86,3 +86,29 @@ def test_assemble_block_empty():
     res = _assemble_block(_block_df([]))
     assert len(res) == 0
     assert list(res.columns) == ["conv_id", "doc_text", "n_turns", "status"]
+
+
+def test_cc_pendant_chains_all_partitionings(ray_session):
+    """Regression (stale-pointer bug): pendant nodes attached to long
+    chains must converge to the component min at every partition count —
+    an edge that contracts to a local self-loop must still deliver the
+    merged label to the remote endpoint."""
+    import ray.data as rd
+
+    from raydedup.config import DedupConfig
+    from raydedup.ray_utils import ensure_hash_shuffle
+    from raydedup.stages.components import connected_components
+
+    ensure_hash_shuffle()
+    edges = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(30)]
+    edges += [(f"c{i:03d}", f"p{i:03d}") for i in range(1, 31, 3)]  # pendants
+    df = pd.DataFrame({"a": [a for a, _ in edges], "b": [b for _, b in edges]})
+    expected = "c000"
+    for p in (2, 5, 9):
+        labels, n_iters = connected_components(
+            rd.from_pandas(df), DedupConfig(num_partitions=p)
+        )
+        lp = labels.to_pandas()
+        assert n_iters > 0, "must converge"
+        assert set(lp["label"]) == {expected}, f"partitions={p}"
+        assert len(lp) == len(set(df.a) | set(df.b))
