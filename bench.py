@@ -158,6 +158,13 @@ def main_scaling():
     # Scaling evidence runs on a compute-dominated input (default 1M
     # conversations ≈ 12M turns): per-execution fixed costs (~4-6 s per
     # stage regardless of data size) would otherwise swamp the comparison.
+    #
+    # Each leg is pinned to exactly `cpus` physical cores with CPU
+    # affinity (taskset), not just ray.init(num_cpus=...): Ray's num_cpus
+    # only bounds task *slots*, while pyarrow I/O threads, shuffle
+    # aggregator actors (0.05 CPU each) and object-store workers would
+    # otherwise spill onto the host's idle cores and flatter the
+    # small-"cluster" leg.
     scale_n = int(os.environ.get("RAYDEDUP_SCALE_CONVS", "1000000"))
     attempts = int(os.environ.get("RAYDEDUP_SCALE_ATTEMPTS", "1"))
     results = {}
@@ -169,8 +176,11 @@ def main_scaling():
                 "r = bench.run_flagship(bench.SF_DIR, %d, n_convs=%d); "
                 "print('SCALEJSON ' + json.dumps(r))" % (cpus, scale_n)
             )
+            cmd = [sys.executable, "-c", code]
+            if shutil.which("taskset") and (os.cpu_count() or 0) >= cpus:
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             p = subprocess.run(
-                [sys.executable, "-c", code],
+                cmd,
                 capture_output=True,
                 text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),

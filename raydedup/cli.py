@@ -18,11 +18,16 @@ import json
 import sys
 
 
+_OWNS_RAY = False  # shut down only a session this process started
+
+
 def _ensure_ray():
+    global _OWNS_RAY
     import ray
 
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        _OWNS_RAY = True
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
@@ -45,6 +50,12 @@ def cmd_run(args) -> int:
     from raydedup.pipelines.dedup import run_pipeline
 
     res = run_pipeline(args.input, args.out, _cfg_from_args(args))
+    if getattr(args, "csv", False):
+        # CSV report surface (the reference's duplicate/unique CSV writers,
+        # duplicate_face.py:114-134 and final consolidated CSV :200-229);
+        # parquet checkpoints stay the source of truth — these are exports
+        for name in ("clusters", "pairs"):
+            res[name].write_csv(f"{args.out}/csv/{name}")
     summary = {
         "clusters": res["clusters"].count(),
         "pairs": res["pairs"].count(),
@@ -89,6 +100,8 @@ def main(argv=None) -> int:
         sp.add_argument("--bands", type=int, default=32)
         sp.add_argument("--rows", type=int, default=4)
         sp.add_argument("--partitions", type=int, default=32)
+        sp.add_argument("--csv", action="store_true",
+                        help="also export clusters/pairs as CSV reports")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("synth")
@@ -101,7 +114,7 @@ def main(argv=None) -> int:
     rc = args.fn(args)
     import ray
 
-    if ray.is_initialized():
+    if _OWNS_RAY and ray.is_initialized():
         ray.shutdown()
     return rc
 
