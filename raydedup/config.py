@@ -69,6 +69,13 @@ class DedupConfig:
 
     # --- connected components ---
     max_cc_iters: int = 25
+    # Size-gated driver endgame: when the block-contracted directed edge
+    # list has at most this many rows, finish union-find on the driver
+    # (one bounded collect + vectorized min-label relaxation + one
+    # broadcast map) instead of paying per-round shuffle fixed costs for
+    # O(log diameter) propagation rounds.  Bounds driver memory at
+    # ~gate × 2 short strings; 0 disables (always distributed).
+    cc_driver_finish_edges: int = 4_000_000
 
     # --- execution sizing ---
     sig_batch_size: int = 1024      # docs per signature-actor batch

@@ -151,13 +151,10 @@ def run_pipeline(
         )
 
         def finalize(batch: pa.Table) -> pa.Table:
-            lab = batch["label"].to_pylist()
-            conv = batch["conv_id"].to_pylist()
-            out = [l if l is not None else c for l, c in zip(lab, conv)]
             return pa.table(
                 {
                     "conv_id": batch["conv_id"],
-                    "cluster_id": pa.array(out, pa.string()),
+                    "cluster_id": pa.compute.coalesce(batch["label"], batch["conv_id"]),
                     "status": batch["status"],
                 }
             )

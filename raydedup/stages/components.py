@@ -150,11 +150,67 @@ def _make_propagate_block():
     return propagate
 
 
+def _finish_on_driver(directed, n_directed: int):
+    """labels for the gated endgame: driver union-find over the collected
+    contracted edge list, broadcast back through one narrow map.
+
+    ``directed`` is the block-contracted, hash-partitioned (node, nbr)
+    edge list with both directions present, so its distinct ``node``
+    values cover every vertex incident to an edge — the same output
+    contract as the distributed path.  The min-label relaxation is the
+    vectorized in-block-closure kernel from ``_make_propagate_block``
+    applied to the whole (gated, bounded) graph at once; sorted
+    ``np.unique`` codes make code-min equal lexicographic node-min, so
+    labels match the distributed fixpoint exactly.
+    """
+    import ray
+    import ray.data
+
+    if n_directed == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.string()), "label": pa.array([], pa.string())})
+        )
+
+    chunks_u, chunks_v = [], []
+    for b in directed.iter_batches(batch_format="pyarrow", batch_size=None):
+        chunks_u.append(np.asarray(b["node"].to_pylist(), dtype=object))
+        chunks_v.append(np.asarray(b["nbr"].to_pylist(), dtype=object))
+    e_u = np.concatenate(chunks_u)
+    e_v = np.concatenate(chunks_v)
+    names, codes = np.unique(np.concatenate([e_u, e_v]), return_inverse=True)
+    u, v = codes[: len(e_u)], codes[len(e_u) :]
+    lab = np.arange(len(names), dtype=np.int64)
+    while True:
+        prev = lab.copy()
+        np.minimum.at(lab, u, lab[v])
+        np.minimum.at(lab, v, lab[u])
+        np.minimum(lab, lab[lab], out=lab)  # pointer halving
+        if np.array_equal(lab, prev):
+            break
+    mapping_ref = ray.put((names, names[lab]))  # one object-store copy, read per task
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype=object), "label": pd.Series([], dtype=object)}
+            )
+        names_, roots_ = ray.get(mapping_ref)
+        nodes = pd.unique(df["node"])  # block-complete: hash-partitioned by node
+        idx = np.searchsorted(names_, nodes)
+        return pd.DataFrame({"node": nodes, "label": roots_[idx]})
+
+    return directed.map_batches(assign, batch_size=None, batch_format="pandas")
+
+
 def connected_components(pairs_ds, cfg: DedupConfig):
     """pairs(a,b,...) → (labels_ds(node,label), n_iters).
 
     Only nodes incident to an edge appear; callers default absent nodes to
     singleton clusters (label = own conv_id).
+
+    When the contracted edge list fits under ``cfg.cc_driver_finish_edges``
+    the gated driver endgame answers in one round (``n_iters`` = 1);
+    labels are identical to the distributed fixpoint.
 
     Convergence is detected by two consecutive identical label checksums;
     exhausting ``cfg.max_cc_iters`` without convergence means some
@@ -210,6 +266,20 @@ def connected_components(pairs_ds, cfg: DedupConfig):
         )
         .materialize()
     )
+
+    # Size-gated driver endgame (the distributed-CC analog of the endpoint
+    # semi-filter's size guard): once block-local contraction has shrunk
+    # the edge list under ``cc_driver_finish_edges`` rows, every remaining
+    # propagation round would shuffle a small dataset while still paying
+    # the full per-round fixed cost (aggregator spin-up + execution +
+    # checksum pass, ~4-5 s/round).  Finishing union-find on the driver —
+    # one bounded collect, the same vectorized min-relaxation the blocks
+    # use, one broadcast assignment map — replaces O(log diameter) such
+    # rounds.  Above the gate (real 100-TB runs) the distributed path
+    # below runs unchanged.
+    n_directed = directed.count()
+    if cfg.cc_driver_finish_edges and n_directed <= cfg.cc_driver_finish_edges:
+        return _finish_on_driver(directed, n_directed), 1
 
     # initial messages: every node labels itself (nodes are complete per
     # block after the keyed repartition, so one reduced row per node)

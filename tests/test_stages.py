@@ -105,10 +105,46 @@ def test_cc_pendant_chains_all_partitionings(ray_session):
     df = pd.DataFrame({"a": [a for a, _ in edges], "b": [b for _, b in edges]})
     expected = "c000"
     for p in (2, 5, 9):
+        # gate disabled: this regression targets the distributed propagation
         labels, n_iters = connected_components(
-            rd.from_pandas(df), DedupConfig(num_partitions=p)
+            rd.from_pandas(df), DedupConfig(num_partitions=p, cc_driver_finish_edges=0)
         )
         lp = labels.to_pandas()
         assert n_iters > 0, "must converge"
         assert set(lp["label"]) == {expected}, f"partitions={p}"
         assert len(lp) == len(set(df.a) | set(df.b))
+
+
+def test_cc_driver_endgame_matches_distributed(ray_session):
+    """The size-gated driver endgame must produce byte-identical labels to
+    the distributed propagation fixpoint on random graphs (chains, stars,
+    isolated pairs, cross-links)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raydedup.config import DedupConfig
+    from raydedup.ray_utils import ensure_hash_shuffle
+    from raydedup.stages.components import connected_components
+
+    ensure_hash_shuffle()
+    rng = np.random.RandomState(11)
+    for trial in range(3):
+        n = 120
+        m = rng.randint(40, 200)
+        a = rng.randint(0, n, size=m)
+        b = rng.randint(0, n, size=m)
+        keep = a != b
+        df = pd.DataFrame(
+            {"a": [f"v{x:03d}" for x in a[keep]], "b": [f"v{x:03d}" for x in b[keep]]}
+        )
+        res = {}
+        for gate in (0, 10**6):  # distributed vs driver endgame
+            labels, n_iters = connected_components(
+                rd.from_pandas(df),
+                DedupConfig(num_partitions=3, cc_driver_finish_edges=gate),
+            )
+            assert n_iters > 0
+            res[gate] = (
+                labels.to_pandas().sort_values("node").reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(res[0], res[10**6])
