@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search over embeddings ---
         "q_knn_bruteforce": similarity.knn_bruteforce,
         "q_ann_lsh": similarity.ann_lsh,
+        # IVF coarse-quantizer variant (sampled spherical-k-means codebook,
+        # broadcast once; deterministic; recall<1 by design → no SQL twin)
+        "q_ann_ivf": similarity.ann_ivf,
         "q_embedding_dup_pairs": lambda sf: similarity.embedding_dup_pairs(sf, 0.5),
         # the 100-TB pair-mining path: hyperplane buckets + in-bucket exact
         # cosine (deterministic; recall<1 by design → no SQL twin)

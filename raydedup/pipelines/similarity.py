@@ -326,3 +326,88 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9,
     return keyed_blocks(raw, ["a", "b"], num_partitions).map_batches(
         dedup, batch_size=None, batch_format="pandas"
     )
+
+
+def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 5, n_cells: int = 16,
+            n_probe: int = 4, sample_rows: int = 2048, kmeans_iters: int = 10,
+            seed: int = 42):
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    path alongside :func:`ann_lsh`.
+
+    A tiny spherical k-means codebook is trained on a bounded driver-side
+    sample (``sample_rows``, deterministic: the table head + seeded init),
+    then broadcast once.  Each block assigns its vectors to their nearest
+    centroid and scans a vector only for queries probing that cell
+    (``n_probe`` nearest cells per query), so scanned candidates per query
+    scale with ``n_probe / n_cells`` of the data instead of N.  Exact
+    cosine re-rank inside probed cells; same partial-top-k + small driver
+    merge as the brute-force path.  Recall < 1 by design (a neighbor whose
+    cell is not probed is missed) → no SQL twin.
+    """
+    import ray
+
+    ds = _read_embeddings(sf_dir)
+
+    # --- codebook: spherical k-means on a bounded sample (driver, tiny) ---
+    sample = ds.limit(sample_rows).to_pandas()
+    smat = _normalize(_matrix(sample))
+    rng = np.random.RandomState(seed)
+    n_cells = min(n_cells, len(smat))
+    cent = smat[rng.choice(len(smat), size=n_cells, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(smat @ cent.T, axis=1)
+        for c in range(n_cells):
+            members = smat[assign == c]
+            if len(members):
+                cent[c] = members.sum(axis=0)
+        cent = _normalize(cent)
+
+    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    qids = qdf["vec_id"].to_numpy(dtype=np.int64)
+    qmat = _normalize(_matrix(qdf))
+    n_probe = min(n_probe, n_cells)
+    q_cells = np.argsort(-(qmat @ cent.T), axis=1, kind="stable")[:, :n_probe]
+    ref = ray.put((qids, qmat, q_cells, cent))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "query_id": pd.Series([], dtype=np.int64),
+            "neighbor_id": pd.Series([], dtype=np.int64),
+            "sim": pd.Series([], dtype=np.float64),
+        }
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        qids_, qmat_, q_cells_, cent_ = ray.get(ref)
+        vids = df["vec_id"].to_numpy(dtype=np.int64)
+        m = _normalize(_matrix(df))
+        cell = np.argmax(m @ cent_.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for c in range(len(qids_)):
+            cand = np.flatnonzero(np.isin(cell, q_cells_[c]) & (vids != qids_[c]))
+            if len(cand) == 0:
+                continue
+            sims = m[cand] @ qmat_[c]
+            top = np.argsort(-sims, kind="stable")[: min(len(cand), 2 * k)]
+            out_q.append(np.full(len(top), qids_[c], dtype=np.int64))
+            out_n.append(vids[cand[top]])
+            out_s.append(sims[top])
+        if not out_q:
+            return pd.DataFrame(cols)
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    partials = partials.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+    )
+    partials["rnk"] = partials.groupby("query_id").cumcount() + 1
+    out = partials[partials["rnk"] <= k][["query_id", "neighbor_id", "rnk"]]
+    return pa.Table.from_pandas(
+        out.astype({"query_id": np.int64, "neighbor_id": np.int64, "rnk": np.int64}),
+        preserve_index=False,
+    )

@@ -55,6 +55,22 @@ def test_ann_lsh_subset_of_corpus(ray_session):
     assert (t.query_id != t.neighbor_id).all()
 
 
+def test_ann_ivf_recall_vs_bruteforce(ray_session):
+    """IVF top-k is deterministic, well-formed, and recalls most exact
+    top-k neighbors at a generous probe setting."""
+    from raydedup.pipelines.similarity import ann_ivf, knn_bruteforce
+
+    exact = knn_bruteforce(SF, n_queries=4, k=3).to_pandas()
+    t = ann_ivf(SF, n_queries=4, k=3, n_cells=8, n_probe=4).to_pandas()
+    t2 = ann_ivf(SF, n_queries=4, k=3, n_cells=8, n_probe=4).to_pandas()
+    pd.testing.assert_frame_equal(t, t2)  # deterministic
+    assert (t.rnk <= 3).all()
+    assert (t.query_id != t.neighbor_id).all()
+    got = set(map(tuple, t[["query_id", "neighbor_id"]].itertuples(index=False)))
+    want = set(map(tuple, exact[["query_id", "neighbor_id"]].itertuples(index=False)))
+    assert len(got & want) >= 0.5 * len(want)  # probing half the cells
+
+
 def test_minhash_doc_clusters_cover_all(ray_session):
     import pyarrow.parquet as pq
 
