@@ -92,6 +92,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_docs_by_source_lang": docops.docs_by_source_lang,
         "q_events_by_user": docops.events_by_user,
         "q_events_by_type": docops.events_by_type,
+        # temporal operators (engine surface beyond reference parity):
+        # tumbling-window counts + gap-based sessionization
+        "q_events_by_window": docops.events_by_window,
+        "q_user_sessions": docops.user_sessions,
         "q_dup_size_histogram": docops.dup_size_histogram,
         "q_cluster_report": docdedup.cluster_report,
         # --- multimodal plumbing (stubbed decoder; real Ray path) ---
@@ -220,6 +224,28 @@ def oracle_sql() -> dict[str, str]:
         "q_events_by_type": (
             "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type"
         ),
+        # window_start is a formatted string on both sides so the value
+        # hash is stable across timestamp dtypes
+        "q_events_by_window": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "
+            "AS window_start, event_type, COUNT(*) AS n_events "
+            "FROM events GROUP BY 1, 2"
+        ),
+        # gap rule: a session break is a >30-minute inter-event gap; the
+        # multiset of sorted-ts gaps is tie-order invariant, so LAG over
+        # (user_id ORDER BY ts) is deterministic here
+        "q_user_sessions": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events
+            )
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(SUM(CASE WHEN prev IS NULL
+                                   OR ts - prev > INTERVAL 30 MINUTE
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM o GROUP BY user_id
+        """,
         "q_dup_size_histogram": (
             "SELECT n_docs, COUNT(*) AS n_groups FROM "
             "(SELECT COUNT(*) AS n_docs FROM documents GROUP BY COALESCE(text,'')) "

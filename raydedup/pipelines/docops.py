@@ -404,3 +404,101 @@ def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 1, tau_den: int = 2,
     return keyed_blocks(raw, ["a", "b"], _P).map_batches(
         count_block, batch_size=None, batch_format="pandas"
     )
+
+
+def events_by_window(sf_dir: str, hours: int = 1):
+    """Tumbling-window event counts: (window_start, event_type, n_events).
+
+    The windowed-aggregate operator a streaming training-data pipeline
+    needs (SURVEY.md §2.5 notes the reference has none — this is engine
+    surface beyond parity).  Partial aggregation inside ``map_batches``
+    (each block pre-reduces to one row per (window, type)) then one small
+    hash shuffle over the reduced keys — never a shuffle of raw events.
+    ``window_start`` is emitted as an ISO string so the DuckDB twin
+    hash-matches across timestamp dtypes.
+    """
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+    freq = f"{hours}h"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["ts"].dt.floor(freq).dt.strftime("%Y-%m-%d %H:%M:%S")
+        out = (
+            df.assign(window_start=w)
+            .groupby(["window_start", "event_type"], sort=False)
+            .size()
+            .rename("n_events")
+            .reset_index()
+        )
+        return out.astype({"n_events": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "window_start": pd.Series([], dtype=object),
+                    "event_type": pd.Series([], dtype=object),
+                    "n_events": pd.Series([], dtype=np.int64),
+                }
+            )
+        out = (
+            df.groupby(["window_start", "event_type"], sort=False)
+            .agg(n_events=("n_events", "sum"))
+            .reset_index()
+        )
+        return out.astype({"n_events": np.int64})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return keyed_blocks(partials, ["window_start", "event_type"], 4).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization: (user_id, n_events, n_sessions).
+
+    A new session starts when a user's inter-event gap exceeds
+    ``gap_minutes``.  One hash shuffle co-locates each user's (pruned)
+    rows; the block function is fully vectorized (one sort + diff per
+    block, C-level groupby sums — no per-user Python).  Deterministic
+    under timestamp ties: the multiset of consecutive gaps of a sorted
+    timestamp sequence is invariant to tie order.
+    """
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "n_sessions": pd.Series([], dtype=np.int64),
+                }
+            )
+        df = df.sort_values(["user_id", "ts"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy()
+        new_user = np.ones(len(df), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap_break = np.zeros(len(df), dtype=bool)
+        gap_break[1:] = (ts[1:] - ts[:-1]) > gap
+        starts = new_user | gap_break
+        out = (
+            pd.DataFrame({"user_id": uid, "s": starts})
+            .groupby("user_id", sort=False)
+            .agg(n_events=("s", "size"), n_sessions=("s", "sum"))
+            .reset_index()
+        )
+        return out.astype(
+            {"user_id": np.int64, "n_events": np.int64, "n_sessions": np.int64}
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return keyed_blocks(ds, ["user_id"], 4).map_batches(
+        block, batch_size=None, batch_format="pandas"
+    )

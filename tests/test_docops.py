@@ -55,6 +55,39 @@ def test_ann_lsh_subset_of_corpus(ray_session):
     assert (t.query_id != t.neighbor_id).all()
 
 
+def test_events_by_window_totals(ray_session):
+    """Windowed counts partition the event stream: per-type window sums
+    equal whole-table counts, and windows align to the hour."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import events_by_window
+
+    df = events_by_window(SF).to_pandas()
+    raw = pq.read_table(f"{SF}/events.parquet", columns=["event_type"]).to_pandas()
+    assert df.n_events.sum() == len(raw)
+    by_type = df.groupby("event_type")["n_events"].sum()
+    for t, n in raw.value_counts("event_type").items():
+        assert by_type[t] == n
+    assert df.window_start.str.endswith(":00:00").all()
+    assert not df.duplicated(["window_start", "event_type"]).any()
+
+
+def test_user_sessions_gap_rule(ray_session):
+    """Sessionization matches a sequential per-user replay of the gap rule."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import user_sessions
+
+    df = user_sessions(SF, gap_minutes=30).to_pandas().set_index("user_id")
+    raw = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"]).to_pandas()
+    gap = pd.Timedelta(minutes=30)
+    for uid, g in raw.groupby("user_id"):
+        ts = g["ts"].sort_values()
+        n_sessions = int((ts.diff() > gap).sum()) + 1
+        assert df.loc[uid, "n_events"] == len(g), uid
+        assert df.loc[uid, "n_sessions"] == n_sessions, uid
+
+
 def test_ann_ivf_recall_vs_bruteforce(ray_session):
     """IVF top-k is deterministic, well-formed, and recalls most exact
     top-k neighbors at a generous probe setting."""
