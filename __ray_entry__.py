@@ -97,6 +97,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_by_window": docops.events_by_window,
         "q_user_sessions": docops.user_sessions,
         "q_dup_size_histogram": docops.dup_size_histogram,
+        # heavy hitters / distribution stats / sampling / broadcast join
+        "q_top_tokens": docops.top_tokens,
+        "q_length_quantiles": docops.length_quantiles,
+        "q_sample_docs": docops.sample_docs,
+        "q_docs_enriched": docops.docs_enriched,
         "q_cluster_report": docdedup.cluster_report,
         # --- multimodal plumbing (stubbed decoder; real Ray path) ---
         "q_media_features": _media_features,
@@ -250,6 +255,44 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_docs, COUNT(*) AS n_groups FROM "
             "(SELECT COUNT(*) AS n_docs FROM documents GROUP BY COALESCE(text,'')) "
             "GROUP BY n_docs"
+        ),
+        # document frequency = distinct docs containing the token; rank
+        # ties break by token text so the top-k cut is deterministic
+        "q_top_tokens": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_split_to_array(lower(trim(COALESCE(text,''))), '\s+'))) AS tok
+              FROM documents WHERE len(trim(COALESCE(text,''))) > 0
+            ),
+            d AS (SELECT tok, COUNT(*) AS df FROM t GROUP BY tok),
+            r AS (SELECT tok, df,
+                         ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS rnk
+                  FROM d)
+            SELECT tok, df, rnk FROM r WHERE rnk <= 100
+        """,
+        # quantile_disc = sorted position ceil(q*n)-1, mirrored by the
+        # engine's count-distribution quantile
+        "q_length_quantiles": r"""
+            WITH t AS (
+              SELECT source,
+                     CASE WHEN len(trim(COALESCE(text,''))) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+              FROM documents
+            )
+            SELECT source,
+                   CAST(quantile_disc(n_tok, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(n_tok, 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(n_tok, 0.99) AS BIGINT) AS p99
+            FROM t GROUP BY source
+        """,
+        # deterministic hash sample: md5 prefix of the stringified id
+        "q_sample_docs": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '1f'"
+        ),
+        "q_docs_enriched": (
+            "SELECT doc_id, source, "
+            "COUNT(*) OVER (PARTITION BY source) AS source_n_docs FROM documents"
         ),
         "q_knn_bruteforce": """
             WITH s AS (

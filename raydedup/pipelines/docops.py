@@ -406,6 +406,167 @@ def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 1, tau_den: int = 2,
     )
 
 
+def top_tokens(sf_dir: str, k: int = 100):
+    """Heavy hitters: top-``k`` tokens by document frequency →
+    (tok, df, rnk), rank tie-broken by token text ascending.
+
+    Scale shape: each block pre-reduces its docs to distinct (tok,
+    partial-df) rows, one hash shuffle on ``tok`` (volume ∝ vocabulary ×
+    blocks, not corpus size) sums exact document frequencies, each block
+    keeps only its local top-``k`` candidates, and the final exact top-``k``
+    runs over the ≤ partitions × k survivors in a single tiny block —
+    the classic two-level heavy-hitter reduction, no driver-side state.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids, toks = [], []
+        for did, txt in zip(df["doc_id"].to_numpy(), df["text"].fillna("")):
+            ts = set(txt.lower().strip().split())
+            ids.extend([did] * len(ts))
+            toks.extend(ts)
+        out = pd.DataFrame({"tok": np.asarray(toks, dtype=object)})
+        out = out.groupby("tok", sort=False).size().rename("df").reset_index()
+        return out.astype({"df": np.int64})
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype=np.int64)})
+        out = df.groupby("tok", sort=False).agg(df=("df", "sum")).reset_index()
+        out = out.sort_values(["df", "tok"], ascending=[False, True], kind="stable")
+        return out.head(k).astype({"df": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype=np.int64),
+                                 "rnk": pd.Series([], dtype=np.int64)})
+        out = df.sort_values(["df", "tok"], ascending=[False, True], kind="stable").head(k)
+        out = out.reset_index(drop=True)
+        out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out.astype({"df": np.int64, "rnk": np.int64})
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    partials = docs.map_batches(partial, batch_format="pandas")
+    cands = keyed_blocks(partials, ["tok"], _P).map_batches(
+        local_topk, batch_size=None, batch_format="pandas"
+    )
+    return cands.repartition(1).map_batches(final, batch_size=None, batch_format="pandas")
+
+
+def length_quantiles(sf_dir: str):
+    """Per-source token-count quantiles → (source, p50, p90, p99).
+
+    Exact quantiles without a global sort: token counts are small
+    integers, so each block pre-reduces to (source, n_tokens, cnt)
+    histogram rows, one small hash shuffle on ``source`` co-locates each
+    source's histogram, and the quantile is read off the cumulative
+    distribution — count-distribution quantiles, shuffle volume ∝
+    sources × distinct lengths, never ∝ rows.  Index semantics match
+    DuckDB ``quantile_disc``: sorted position ``ceil(q·n) − 1``.
+    """
+    qs = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"source": df["source"].to_numpy(dtype=object),
+                            "n_tokens": token_counts(df["text"])})
+        out = out.groupby(["source", "n_tokens"], sort=False).size().rename("cnt").reset_index()
+        return out.astype({"n_tokens": np.int64, "cnt": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"source": pd.Series([], dtype=object)}
+        cols.update({name: pd.Series([], dtype=np.int64) for name, _ in qs})
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        rows = []
+        agg = df.groupby(["source", "n_tokens"], sort=False).agg(cnt=("cnt", "sum")).reset_index()
+        for src, g in agg.groupby("source", sort=False):
+            g = g.sort_values("n_tokens", kind="stable")
+            vals = g["n_tokens"].to_numpy(dtype=np.int64)
+            cum = np.cumsum(g["cnt"].to_numpy(dtype=np.int64))
+            n = cum[-1]
+            row = [src]
+            for _, q in qs:
+                idx = max(0, int(np.ceil(round(q * n, 9))) - 1)
+                row.append(int(vals[np.searchsorted(cum, idx + 1)]))
+            rows.append(row)
+        out = pd.DataFrame(rows, columns=["source"] + [name for name, _ in qs])
+        return out.astype({name: np.int64 for name, _ in qs})
+
+    docs = _docs(sf_dir, ["source", "text"])
+    partials = docs.map_batches(partial, batch_format="pandas")
+    return keyed_blocks(partials, ["source"], 4).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
+def sample_docs(sf_dir: str, hex_cap: str = "1f"):
+    """Deterministic content-addressed sample → (doc_id, source).
+
+    Keeps a document iff the first two hex chars of ``md5(str(doc_id))``
+    are <= ``hex_cap`` ('1f' → 32/256 = a 12.5% sample).  Pure map — no
+    shuffle, no RNG state, reproducible across cluster sizes and runs,
+    and consistent across tables (any table keyed by doc_id samples the
+    same ids) — the standard hash-based sampling idiom for building
+    held-out slices of a 100-TB corpus.
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        pref = np.asarray(
+            [hashlib_md5_prefix(str(i)) for i in ids], dtype=object
+        )
+        keep = pref <= hex_cap
+        return pd.DataFrame(
+            {"doc_id": ids[keep], "source": df["source"].to_numpy(dtype=object)[keep]}
+        )
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(fn, batch_format="pandas")
+
+
+def hashlib_md5_prefix(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode("utf-8")).hexdigest()[:2]
+
+
+def docs_enriched(sf_dir: str):
+    """Broadcast-join enrichment → (doc_id, source, source_n_docs).
+
+    The map-side join pattern for small dimension tables: the per-source
+    count table (rows = #sources, tiny) is aggregated with one partial-agg
+    pass, put in the object store ONCE (``ray.put``), and every map task
+    reads the shared reference — the 100-TB alternative to shuffling the
+    big side for a join whose right side fits in one block.
+    """
+    import ray
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("source", sort=False).size().rename("n").reset_index()
+        return out.astype({"n": np.int64})
+
+    parts = (
+        _docs(sf_dir, ["source"])
+        .map_batches(count_partial, batch_format="pandas")
+        .to_pandas()  # tiny: one row per (source, block)
+    )
+    dim = parts.groupby("source", sort=False)["n"].sum()
+    dim_ref = ray.put(dim.to_dict())
+
+    def enrich(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(dim_ref)
+        src = df["source"].to_numpy(dtype=object)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "source": src,
+                "source_n_docs": np.asarray([lookup[s] for s in src], dtype=np.int64),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(enrich, batch_format="pandas")
+
+
 def events_by_window(sf_dir: str, hours: int = 1):
     """Tumbling-window event counts: (window_start, event_type, n_events).
 

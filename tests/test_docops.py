@@ -88,6 +88,64 @@ def test_user_sessions_gap_rule(ray_session):
         assert df.loc[uid, "n_sessions"] == n_sessions, uid
 
 
+def test_top_tokens_matches_sequential(ray_session):
+    """Two-level heavy-hitter reduction equals a sequential pandas count."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import top_tokens
+
+    df = top_tokens(SF, k=10).to_pandas()
+    src = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    counts = {}
+    for t in src["text"].fillna(""):
+        for tok in set(t.lower().strip().split()):
+            counts[tok] = counts.get(tok, 0) + 1
+    exp = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = list(zip(df.sort_values("rnk")["tok"], df.sort_values("rnk")["df"]))
+    assert got == exp
+    assert list(df.sort_values("rnk")["rnk"]) == list(range(1, len(exp) + 1))
+
+
+def test_length_quantiles_matches_numpy(ray_session):
+    """Count-distribution quantiles equal ceil(q*n)-1 indexing per source."""
+    import pyarrow.parquet as pq
+
+    from raydedup.functions.textstats import token_counts
+    from raydedup.pipelines.docops import length_quantiles
+
+    df = length_quantiles(SF).to_pandas().set_index("source").sort_index()
+    src = pq.read_table(f"{SF}/documents.parquet", columns=["source", "text"]).to_pandas()
+    src["n_tok"] = token_counts(src["text"])
+    for s, g in src.groupby("source"):
+        vals = np.sort(g["n_tok"].to_numpy())
+        for col, q in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]:
+            idx = max(0, int(np.ceil(round(q * len(vals), 9))) - 1)
+            assert df.loc[s, col] == vals[idx], (s, col)
+
+
+def test_sample_docs_deterministic_subset(ray_session):
+    """Hash sample: deterministic, id-addressed, rate near 32/256."""
+    from raydedup.pipelines.docops import sample_docs
+
+    a = sample_docs(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = sample_docs(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    import hashlib
+
+    for i in a["doc_id"]:
+        assert hashlib.md5(str(i).encode()).hexdigest()[:2] <= "1f"
+
+
+def test_docs_enriched_counts(ray_session):
+    """Broadcast-join enrichment carries exact per-source totals to every row."""
+    from raydedup.pipelines.docops import docs_enriched
+
+    df = docs_enriched(SF).to_pandas()
+    sizes = df.groupby("source")["doc_id"].size()
+    assert (df["source_n_docs"] == df["source"].map(sizes)).all()
+    assert df.doc_id.is_unique
+
+
 def test_ann_ivf_recall_vs_bruteforce(ray_session):
     """IVF top-k is deterministic, well-formed, and recalls most exact
     top-k neighbors at a generous probe setting."""
