@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tumbling-window counts + gap-based sessionization
         "q_events_by_window": docops.events_by_window,
         "q_user_sessions": docops.user_sessions,
+        "q_asof_attribution": docops.asof_attribution,
         "q_dup_size_histogram": docops.dup_size_histogram,
         # heavy hitters / distribution stats / sampling / broadcast join
         "q_top_tokens": docops.top_tokens,
@@ -250,6 +251,24 @@ def oracle_sql() -> dict[str, str]:
                                    OR ts - prev > INTERVAL 30 MINUTE
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM o GROUP BY user_id
+        """,
+        # as-of attribution; tie rule = engine's: at an identical ts a
+        # click attributes iff its event_id sorts before the purchase
+        "q_asof_attribution": """
+            WITH u AS (
+              SELECT event_id, user_id, ts, event_type FROM events
+              WHERE event_type IN ('purchase', 'click')
+            ), o AS (
+              SELECT event_id, user_id, event_type,
+                     LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                                IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS attributed_id
+              FROM u
+            )
+            SELECT event_id, user_id, attributed_id FROM o
+            WHERE event_type = 'purchase' AND attributed_id IS NOT NULL
         """,
         "q_dup_size_histogram": (
             "SELECT n_docs, COUNT(*) AS n_groups FROM "

@@ -567,6 +567,62 @@ def docs_enriched(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "source"]).map_batches(enrich, batch_format="pandas")
 
 
+def asof_attribution(sf_dir: str, left_type: str = "purchase", right_type: str = "click"):
+    """As-of join: each ``left_type`` event attributed to the same user's
+    most recent ``right_type`` event at-or-before it →
+    (event_id, user_id, attributed_id).
+
+    The as-of/range-join operator Ray Data lacks, composed as one hash
+    shuffle on ``user_id`` (rows pre-filtered to the two event types and
+    pruned to 4 columns) + a fully vectorized in-block merge: sort by
+    (ts, event_id), forward-fill the right-side ids with one
+    ``np.maximum.accumulate``, select left rows.  Tie rule — a right
+    event at the identical timestamp attributes iff its event_id is
+    smaller — makes the result deterministic; the DuckDB twin encodes
+    the same rule via LAST_VALUE IGNORE NULLS over (ts, event_id).
+    Left rows with no prior right event are dropped (no NULLs → stable
+    value hashing).
+    """
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "event_id": pd.Series([], dtype=np.int64),
+            "user_id": pd.Series([], dtype=np.int64),
+            "attributed_id": pd.Series([], dtype=np.int64),
+        }
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy(dtype=np.int64)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        is_right = (df["event_type"] == right_type).to_numpy()
+        # forward-fill the running row index of the last right-side event,
+        # reset at user boundaries by masking the fill across them
+        idx = np.where(is_right, np.arange(len(df)), -1)
+        filled = np.maximum.accumulate(idx)
+        new_user = np.ones(len(df), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        first_of_user = np.maximum.accumulate(np.where(new_user, np.arange(len(df)), -1))
+        ok = (df["event_type"] == left_type).to_numpy() & (filled >= first_of_user)
+        return pd.DataFrame(
+            {
+                "event_id": eid[ok],
+                "user_id": uid[ok],
+                "attributed_id": eid[filled[ok]],
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    ).filter(expr=f"event_type == '{left_type}' or event_type == '{right_type}'")
+    return keyed_blocks(ds, ["user_id"], 4).map_batches(
+        block, batch_size=None, batch_format="pandas"
+    )
+
+
 def events_by_window(sf_dir: str, hours: int = 1):
     """Tumbling-window event counts: (window_start, event_type, n_events).
 

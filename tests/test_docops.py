@@ -146,6 +146,31 @@ def test_docs_enriched_counts(ray_session):
     assert df.doc_id.is_unique
 
 
+def test_asof_attribution_matches_sequential(ray_session):
+    """As-of join equals a per-user sequential replay: every purchase gets
+    the user's latest click at-or-before it; purchases without one drop."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import asof_attribution
+
+    df = asof_attribution(SF).to_pandas().set_index("event_id").sort_index()
+    raw = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    raw = raw[raw.event_type.isin(["purchase", "click"])]
+    expected = {}
+    for _, g in raw.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        last_click = None
+        for _, r in g.iterrows():
+            if r.event_type == "click":
+                last_click = r.event_id
+            elif last_click is not None:
+                expected[r.event_id] = (r.user_id, last_click)
+    assert len(df) == len(expected)
+    for eid, (uid, cid) in expected.items():
+        assert df.loc[eid, "user_id"] == uid
+        assert df.loc[eid, "attributed_id"] == cid
+
+
 def test_ann_ivf_recall_vs_bruteforce(ray_session):
     """IVF top-k is deterministic, well-formed, and recalls most exact
     top-k neighbors at a generous probe setting."""
