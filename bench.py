@@ -42,7 +42,7 @@ def _transcripts_fixture(sf: float) -> tuple:
 
 
 def run_flagship(sf_dir: str, num_cpus: int, fresh: bool = True,
-                 n_convs: int | None = None) -> dict:
+                 n_convs: int | None = None, checkpoint_mode: str = "disk") -> dict:
     """Full transcript dedup at the sf-matched synthetic scale; returns
     timing + turns/sec.  Checkpoints go to a throwaway dir (cold run)."""
     import ray
@@ -82,6 +82,7 @@ def run_flagship(sf_dir: str, num_cpus: int, fresh: bool = True,
         num_partitions=max(8, num_cpus),
         sig_concurrency=(2, max(2, num_cpus // 2)),
         verify_mode="estimate",
+        checkpoint_mode=checkpoint_mode,
     )
     t0 = time.time()
     res = run_pipeline(f"{fixture}/transcripts.parquet", out_dir, cfg)
@@ -115,6 +116,9 @@ def run_doc_queries(sf_dir: str) -> dict:
         ("q_ngram_jaccard_capped", lambda sf: docops.ngram_jaccard_pairs(sf, df_cap=256)),
         ("q_token_stats", docops.doc_token_stats),
         ("q_knn_bruteforce", similarity.knn_bruteforce),
+        ("q_top_tokens", docops.top_tokens),
+        ("q_user_sessions", docops.user_sessions),
+        ("q_asof_attribution", docops.asof_attribution),
     ]:
         t0 = time.time()
         res = fn(sf_dir)
@@ -135,7 +139,13 @@ def main_bench():
     ray.data.DataContext.get_current().enable_progress_bars = False
 
     flag = run_flagship(SF_DIR, NUM_CPUS)
-    queries = {"flagship_transcript_dedup": flag["sec"]}
+    # one-shot ephemeral mode: same pipeline, object-store stage
+    # boundaries instead of resumable parquet checkpoints
+    flag_mem = run_flagship(SF_DIR, NUM_CPUS, checkpoint_mode="memory")
+    queries = {
+        "flagship_transcript_dedup": flag["sec"],
+        "flagship_ephemeral": flag_mem["sec"],
+    }
     queries.update(run_doc_queries(SF_DIR))
     total = round(sum(queries.values()), 2)
     print(

@@ -42,6 +42,8 @@ def _cfg_from_args(args):
         rows=args.rows,
         num_perm=args.bands * args.rows,
         num_partitions=args.partitions,
+        verify_mode=getattr(args, "verify_mode", "exact"),
+        checkpoint_mode=getattr(args, "checkpoint_mode", "disk"),
     )
 
 
@@ -102,6 +104,14 @@ def main(argv=None) -> int:
         sp.add_argument("--partitions", type=int, default=32)
         sp.add_argument("--csv", action="store_true",
                         help="also export clusters/pairs as CSV reports")
+        sp.add_argument("--verify-mode", dest="verify_mode",
+                        choices=("exact", "estimate"), default="exact",
+                        help="estimate = MinHash-agreement verify, skips "
+                             "shingle storage (the big-run default)")
+        sp.add_argument("--checkpoint-mode", dest="checkpoint_mode",
+                        choices=("disk", "memory"), default="disk",
+                        help="memory = ephemeral one-shot run, no resumable "
+                             "checkpoints, ~2x faster at small scale")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("synth")

@@ -88,6 +88,12 @@ class DedupConfig:
     # independently-resumable parts (1 disables partitioning)
     checkpoint_parts: int = 4
 
+    # "disk" (default): every stage persists resumable Parquet checkpoints.
+    # "memory": ephemeral one-shot mode — stage boundaries materialize in
+    # the object store instead (no parquet round-trip, no resume); the
+    # right choice for runs whose outputs are consumed immediately.
+    checkpoint_mode: str = "disk"
+
     # optional artifact sink (S11 analog: the reference saves every
     # detected face crop, face_recognition_custom.py:95-100): per-doc
     # extracted-feature debug table written under <out>/artifacts
@@ -106,6 +112,8 @@ class DedupConfig:
             )
         if self.verify_mode not in ("exact", "estimate"):
             raise ValueError(f"bad verify_mode {self.verify_mode!r}")
+        if self.checkpoint_mode not in ("disk", "memory"):
+            raise ValueError(f"bad checkpoint_mode {self.checkpoint_mode!r}")
         if self.store_shingles is None:
             object.__setattr__(self, "store_shingles", self.verify_mode == "exact")
         if self.verify_mode == "exact" and not self.store_shingles:

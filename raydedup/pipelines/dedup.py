@@ -51,7 +51,10 @@ def run_pipeline(
 
     ensure_hash_shuffle()
     cfg = cfg or DedupConfig()
-    store = CheckpointStore(out_dir, cfg.config_hash(), input_fingerprint(input_path))
+    store = CheckpointStore(
+        out_dir, cfg.config_hash(), input_fingerprint(input_path),
+        mode=cfg.checkpoint_mode,
+    )
     metrics = MetricsSink()
 
     docs = store.stage(
@@ -63,7 +66,7 @@ def run_pipeline(
     # the signature stage (the expensive narrow stage) checkpoints with
     # per-partition lineage: a crash mid-stage resumes from the completed
     # part-i/ dirs and recomputes only the missing ones (north rule)
-    if cfg.checkpoint_parts > 1:
+    if cfg.checkpoint_parts > 1 and cfg.checkpoint_mode == "disk":
         sigs = store.partitioned_map_stage(
             "signatures",
             "docs",

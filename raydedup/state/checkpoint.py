@@ -21,11 +21,17 @@ import uuid
 
 
 class CheckpointStore:
-    def __init__(self, out_dir: str, config_hash: str, input_fingerprint: str):
+    def __init__(self, out_dir: str, config_hash: str, input_fingerprint: str,
+                 mode: str = "disk"):
         self.out_dir = out_dir
         self.config_hash = config_hash
         self.lineage = input_fingerprint  # grows as a hash chain, stage by stage
         self.events: list[dict] = []      # (stage, action, rows) for metrics/tests
+        # "memory": ephemeral one-shot mode — stage boundaries are
+        # object-store materializations (multiple consumers read the same
+        # blocks, nothing recomputes), no parquet round-trip, no resume
+        self.mode = mode
+        self._mem: dict = {}
         os.makedirs(out_dir, exist_ok=True)
 
     def _manifest_path(self, name):
@@ -43,6 +49,9 @@ class CheckpointStore:
         prune at the read."""
         import ray.data as rd
 
+        if self.mode == "memory":
+            ds = self._mem[name]
+            return ds.select_columns(columns) if columns else ds
         return rd.read_parquet(self.path(name), columns=columns)
 
     def _valid(self, name) -> dict | None:
@@ -69,8 +78,20 @@ class CheckpointStore:
         import ray.data as rd
 
         target = os.path.join(self.out_dir, name)
-        m = self._valid(name)
         t0 = time.time()
+        if self.mode == "memory":
+            ds = compute_fn().materialize()
+            rows = ds.count()
+            self._mem[name] = ds
+            self.events.append(
+                {"stage": name, "action": "computed", "rows": rows,
+                 "sec": round(time.time() - t0, 2)}
+            )
+            self.lineage = hashlib.sha256(
+                f"{self.lineage}|{name}|{self.config_hash}".encode()
+            ).hexdigest()[:16]
+            return ds
+        m = self._valid(name)
         if m is not None:
             self.events.append(
                 {"stage": name, "action": "resumed", "rows": m["rows"], "sec": 0.0}
@@ -133,6 +154,11 @@ class CheckpointStore:
 
         import ray.data as rd
 
+        if self.mode == "memory":
+            raise ValueError(
+                "partitioned_map_stage requires disk checkpoints; callers gate "
+                "on checkpoint_mode"
+            )
         target = self.path(name)
         m = self._valid(name)
         t0 = time.time()

@@ -96,6 +96,24 @@ def test_row_invariant_label_turns(e2e, ray_session):
     assert b["cluster_id"].notna().all()
 
 
+def test_memory_mode_matches_disk(e2e, tmp_path):
+    """Ephemeral checkpoint_mode='memory' (object-store materialization,
+    no parquet round-trip, no resume) yields byte-identical clusters."""
+    from raydedup.pipelines.dedup import run_pipeline
+
+    cfg = DedupConfig(
+        num_partitions=4, sig_concurrency=(1, 2), checkpoint_mode="memory"
+    )
+    res = run_pipeline(
+        f"{e2e['fixture_dir']}/transcripts.parquet", str(tmp_path / "mem"), cfg
+    )
+    mem = res["clusters"].to_pandas().sort_values("conv_id").reset_index(drop=True)
+    disk = e2e["clusters"].sort_values("conv_id").reset_index(drop=True)
+    assert mem.equals(disk)
+    # no stage checkpoint dirs were written
+    assert not os.path.exists(str(tmp_path / "mem" / "signatures"))
+
+
 def test_resume_skips_recompute(e2e):
     """Second run with identical (input, config) resumes every stage."""
     from raydedup.pipelines.dedup import run_pipeline
