@@ -103,6 +103,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_length_quantiles": docops.length_quantiles,
         "q_sample_docs": docops.sample_docs,
         "q_docs_enriched": docops.docs_enriched,
+        # windowed rank / tf-idf / semi-anti join / pivot
+        "q_top_docs_per_lang": docops.top_docs_per_group,
+        "q_tfidf_top_terms": docops.tfidf_top_terms,
+        "q_docs_events_antijoin": docops.docs_events_antijoin,
+        "q_docs_events_semijoin": lambda sf: docops.docs_events_antijoin(sf, semi=True),
+        "q_event_value_pivot": docops.event_value_pivot,
         "q_cluster_report": docdedup.cluster_report,
         # --- multimodal plumbing (stubbed decoder; real Ray path) ---
         "q_media_features": _media_features,
@@ -313,6 +319,55 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, "
             "COUNT(*) OVER (PARTITION BY source) AS source_n_docs FROM documents"
         ),
+        # windowed rank within partitions; ties: longer first, then doc_id
+        "q_top_docs_per_lang": """
+            SELECT lang, doc_id, n_chars, rnk FROM (
+              SELECT lang, doc_id, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id) AS rnk
+              FROM documents)
+            WHERE rnk <= 3
+        """,
+        # tf-idf with score = tf * ln(N/df); rank on the ROUNDED score so
+        # both engines order identically, ties broken by token ascending
+        "q_tfidf_top_terms": r"""
+            WITH tf AS (
+              SELECT doc_id, tok, COUNT(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(COALESCE(text,''))), '\s+')) AS tok
+                FROM documents WHERE len(trim(COALESCE(text,''))) > 0)
+              GROUP BY doc_id, tok
+            ),
+            d AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            s AS (
+              SELECT tf.doc_id, tf.tok, tf.tf, d.df,
+                     ROUND(tf.tf * ln(n.n / CAST(d.df AS DOUBLE)), 6) AS score
+              FROM tf JOIN d ON tf.tok = d.tok CROSS JOIN n
+            )
+            SELECT doc_id, tok, tf, df, score, rnk FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, tok) AS rnk
+              FROM s)
+            WHERE rnk <= 5
+        """,
+        "q_docs_events_antijoin": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE doc_id NOT IN (SELECT DISTINCT user_id FROM events)"
+        ),
+        "q_docs_events_semijoin": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE doc_id IN (SELECT DISTINCT user_id FROM events)"
+        ),
+        "q_event_value_pivot": """
+            SELECT user_id,
+                   ROUND(SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 6) AS click,
+                   ROUND(SUM(CASE WHEN event_type = 'error' THEN value ELSE 0 END), 6) AS error,
+                   ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 6) AS purchase,
+                   ROUND(SUM(CASE WHEN event_type = 'signup' THEN value ELSE 0 END), 6) AS signup,
+                   ROUND(SUM(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 6) AS view
+            FROM events GROUP BY user_id
+        """,
         "q_knn_bruteforce": """
             WITH s AS (
               SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

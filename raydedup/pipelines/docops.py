@@ -719,3 +719,202 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
     return keyed_blocks(ds, ["user_id"], 4).map_batches(
         block, batch_size=None, batch_format="pandas"
     )
+
+def top_docs_per_group(sf_dir: str, k: int = 3):
+    """Windowed rank within partitions: the ``k`` longest documents per
+    language → (lang, doc_id, n_chars, rnk) — the distributed analog of
+    ``ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)``.
+
+    Scale shape: every block pre-prunes to its local top-``k`` per lang
+    (sort + C-level ``groupby.head``), so the hash shuffle on ``lang``
+    moves ≤ blocks × langs × k rows, never the corpus; the final exact
+    rank runs per co-located language group.  Deterministic tie rule:
+    longer first, then smaller ``doc_id``.
+    """
+
+    def _empty():
+        return pd.DataFrame(
+            {
+                "lang": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_chars": pd.Series([], dtype=np.int64),
+            }
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return _empty()
+        df = df.sort_values(["lang", "n_chars", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("lang", sort=False).head(k)[["lang", "doc_id", "n_chars"]]
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = _empty()
+            out["rnk"] = pd.Series([], dtype=np.int64)
+            return out
+        df = df.sort_values(["lang", "n_chars", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+        df = df.groupby("lang", sort=False).head(k).reset_index(drop=True)
+        df["rnk"] = df.groupby("lang", sort=False).cumcount().to_numpy() + 1
+        return df.astype({"doc_id": np.int64, "n_chars": np.int64, "rnk": np.int64})
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    partials = docs.map_batches(partial, batch_format="pandas")
+    return keyed_blocks(partials, ["lang"], 4).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5):
+    """Per-document top-``k`` TF-IDF terms →
+    (doc_id, tok, tf, df, score, rnk).
+
+    Three-stage shape, no driver-side vocabulary: (1) a map pass emits
+    one (doc_id, tok, tf) row per distinct token per document (each doc
+    lives in one block, so tf is exact without a shuffle); (2) one hash
+    shuffle on ``tok`` attaches the exact document frequency (df = group
+    size, since (doc, tok) rows are globally unique); (3) one hash
+    shuffle on ``doc_id`` scores ``tf · ln(N/df)`` and keeps the per-doc
+    top-``k``.  Shuffle volume ∝ distinct (doc, token) pairs — the same
+    inverted-index explode as ``ngram_jaccard_pairs``, and the place a
+    100-TB run would add the same ``df_cap`` hot-token guard.  Ranking
+    uses the score ROUNDED to 6 decimals (ties then broken by token
+    ascending) so the DuckDB twin orders identically.
+    """
+    from collections import Counter
+
+    n_docs = _docs(sf_dir, ["doc_id"]).count()  # parquet metadata, no scan
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, toks, tfs = [], [], []
+        for did, txt in zip(df["doc_id"].to_numpy(), df["text"].fillna("")):
+            c = Counter(txt.lower().strip().split())
+            ids.extend([did] * len(c))
+            toks.extend(c.keys())
+            tfs.extend(c.values())
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "tok": np.asarray(toks, dtype=object),
+                "tf": np.asarray(tfs, dtype=np.int64),
+            }
+        )
+
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            df["df"] = pd.Series([], dtype=np.int64)
+            return df
+        df = df.copy()
+        df["df"] = df.groupby("tok", sort=False)["tok"].transform("size").to_numpy(np.int64)
+        return df
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            df["score"] = pd.Series([], dtype=np.float64)
+            df["rnk"] = pd.Series([], dtype=np.int64)
+            return df
+        df = df.copy()
+        df["score"] = np.round(
+            df["tf"].to_numpy(np.float64) * np.log(n_docs / df["df"].to_numpy(np.float64)),
+            6,
+        )
+        df = df.sort_values(["doc_id", "score", "tok"],
+                            ascending=[True, False, True], kind="stable")
+        df = df.groupby("doc_id", sort=False).head(k).reset_index(drop=True)
+        df["rnk"] = df.groupby("doc_id", sort=False).cumcount().to_numpy() + 1
+        return df.astype({"tf": np.int64, "df": np.int64, "rnk": np.int64})
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    tf_rows = docs.map_batches(explode, batch_format="pandas")
+    with_df = keyed_blocks(tf_rows, ["tok"], _P).map_batches(
+        attach_df, batch_size=None, batch_format="pandas"
+    )
+    return keyed_blocks(with_df, ["doc_id"], _P).map_batches(
+        topk, batch_size=None, batch_format="pandas"
+    )
+
+
+def docs_events_antijoin(sf_dir: str, semi: bool = False):
+    """Broadcast anti-join (``semi=True`` → semi-join): documents whose
+    ``doc_id`` has no (any) event activity under the author-id = user-id
+    convention → (doc_id, source).
+
+    The small side (distinct event user ids) is reduced with one partial
+    pass, shipped to the object store ONCE (``ray.put``), and the big
+    side filters against the shared set inside ``map_batches`` — the
+    broadcast pattern for semi/anti joins whose key set fits in a block;
+    above that, flip to the two-sided hash-shuffle join (`keyed_blocks`
+    on the key + presence flag), same block function.
+    """
+    import ray
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["user_id"].unique().astype(np.int64)})
+
+    users = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .map_batches(distinct_partial, batch_format="pandas")
+        .to_pandas()  # tiny: ≤ distinct users × blocks rows
+    )
+    uid_ref = ray.put(frozenset(users["user_id"].tolist()))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        uids = ray.get(uid_ref)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        present = np.fromiter((i in uids for i in ids), dtype=bool, count=len(ids))
+        keep = present if semi else ~present
+        return pd.DataFrame(
+            {"doc_id": ids[keep], "source": df["source"].to_numpy(dtype=object)[keep]}
+        )
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(fn, batch_format="pandas")
+
+
+def event_value_pivot(
+    sf_dir: str, types: tuple = ("click", "error", "purchase", "signup", "view")
+):
+    """Pivot (long → wide) aggregate: per-user total ``value`` by event
+    type → (user_id, click, error, purchase, signup, view), sums rounded
+    to 6 decimals.
+
+    Pivot needs its output column domain declared up front (``types``) —
+    the standard contract for a distributed pivot, since discovering the
+    domain would itself be a pass.  Partial aggregation per block to
+    (user_id, event_type, v) rows, one hash shuffle on ``user_id``, then
+    a vectorized in-block pivot_table; shuffle volume ∝ users × types.
+    """
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .agg(v=("value", "sum"))
+            .reset_index()
+        )
+        return out.astype({"user_id": np.int64, "v": np.float64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            cols = {"user_id": pd.Series([], dtype=np.int64)}
+            cols.update({t: pd.Series([], dtype=np.float64) for t in types})
+            return pd.DataFrame(cols)
+        wide = df.pivot_table(
+            index="user_id", columns="event_type", values="v", aggfunc="sum", fill_value=0.0
+        )
+        out = pd.DataFrame({"user_id": wide.index.to_numpy(dtype=np.int64)})
+        for t in types:
+            vals = wide[t].to_numpy(np.float64) if t in wide.columns else np.zeros(len(wide))
+            out[t] = np.round(vals, 6)
+        return out
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"])
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return keyed_blocks(partials, ["user_id"], 4).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )

@@ -318,3 +318,79 @@ def test_embedding_dup_pairs_lsh_recall(ray_session, tmp_path):
     # the size gate routes big inputs to the LSH path
     gated = embedding_dup_pairs(str(d), thr, max_broadcast_rows=10).to_pandas()
     assert set(zip(gated.a, gated.b)) == lsh_set
+
+
+def test_top_docs_per_group_rank_semantics(ray_session):
+    """Per-lang rank: k rows per lang, ordered by (n_chars desc, doc_id)."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import top_docs_per_group
+
+    got = top_docs_per_group(SF, k=3).to_pandas().sort_values(["lang", "rnk"])
+    src = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for lang, g in got.groupby("lang"):
+        assert list(g.rnk) == list(range(1, len(g) + 1))
+        exp = (
+            src[src.lang == lang]
+            .sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .head(3)
+        )
+        assert list(g.doc_id) == list(exp.doc_id)
+
+
+def test_tfidf_top_terms_scoring(ray_session):
+    """tf·ln(N/df) scoring vs a sequential pandas recomputation."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import tfidf_top_terms
+
+    got = tfidf_top_terms(SF, k=5).to_pandas()
+    src = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    n = len(src)
+    docs = {
+        r.doc_id: Counter(r.text.lower().strip().split())
+        for r in src.itertuples()
+        if r.text.strip()
+    }
+    df_counts = Counter(t for c in docs.values() for t in c)
+    for did, c in list(docs.items())[:20]:
+        scored = sorted(
+            (
+                (-round(tf * np.log(n / df_counts[t]), 6), t)
+                for t, tf in c.items()
+            )
+        )[:5]
+        g = got[got.doc_id == did].sort_values("rnk")
+        assert list(g.tok) == [t for _, t in scored]
+        assert (g.rnk.to_numpy() == np.arange(1, len(g) + 1)).all()
+
+
+def test_docs_events_semi_anti_partition(ray_session):
+    """Semi + anti partition the documents table on event activity."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import docs_events_antijoin
+
+    anti = docs_events_antijoin(SF).to_pandas()
+    semi = docs_events_antijoin(SF, semi=True).to_pandas()
+    users = set(pq.read_table(f"{SF}/events.parquet", columns=["user_id"])["user_id"].to_pylist())
+    n_docs = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    assert len(anti) + len(semi) == n_docs
+    assert set(semi.doc_id) <= users
+    assert not (set(anti.doc_id) & users)
+
+
+def test_event_value_pivot_row_sums(ray_session):
+    """Pivot columns sum back to each user's total event value."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import event_value_pivot
+
+    got = event_value_pivot(SF).to_pandas().set_index("user_id").sort_index()
+    src = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    exp = src.groupby("user_id")["value"].sum().sort_index()
+    assert np.allclose(got.sum(axis=1).to_numpy(), exp.to_numpy(), atol=1e-5)
+    one = src[src.event_type == "purchase"].groupby("user_id")["value"].sum()
+    assert np.allclose(got["purchase"].to_numpy(), one.reindex(got.index, fill_value=0.0), atol=1e-5)
