@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_docs_events_antijoin": docops.docs_events_antijoin,
         "q_docs_events_semijoin": lambda sf: docops.docs_events_antijoin(sf, semi=True),
         "q_event_value_pivot": docops.event_value_pivot,
+        "q_user_cumulative_value": docops.user_cumulative_value,
         "q_cluster_report": docdedup.cluster_report,
         # --- multimodal plumbing (stubbed decoder; real Ray path) ---
         "q_media_features": _media_features,
@@ -367,6 +368,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(CASE WHEN event_type = 'signup' THEN value ELSE 0 END), 6) AS signup,
                    ROUND(SUM(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 6) AS view
             FROM events GROUP BY user_id
+        """,
+        # running window aggregate: frame order (ts, event_id) makes the
+        # sequential double accumulation identical in both engines
+        "q_user_cumulative_value": """
+            SELECT event_id, user_id,
+                   ROUND(SUM(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 6) AS cum_value
+            FROM events
         """,
         "q_knn_bruteforce": """
             WITH s AS (

@@ -119,6 +119,7 @@ def run_doc_queries(sf_dir: str) -> dict:
         ("q_top_tokens", docops.top_tokens),
         ("q_user_sessions", docops.user_sessions),
         ("q_asof_attribution", docops.asof_attribution),
+        ("q_tfidf_top_terms", docops.tfidf_top_terms),
     ]:
         t0 = time.time()
         res = fn(sf_dir)

@@ -918,3 +918,46 @@ def event_value_pivot(
     return keyed_blocks(partials, ["user_id"], 4).map_batches(
         final, batch_size=None, batch_format="pandas"
     )
+
+def user_cumulative_value(sf_dir: str):
+    """Ordered running-window aggregate: each event with its user's
+    cumulative ``value`` so far → (event_id, user_id, cum_value) — the
+    distributed ``SUM(value) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)``.
+
+    One hash shuffle on ``user_id`` co-locates each user's (pruned) rows;
+    the block function is one sort + C-level per-group ``cumsum`` — no
+    per-user Python.  The per-group accumulation is sequential in frame
+    order, i.e. the exact double-addition sequence the SQL window
+    computes, so sums are bit-identical to the twin; emitted rounded to
+    6 decimals.
+    """
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "cum_value": pd.Series([], dtype=np.float64),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        cum = df.groupby("user_id", sort=False)["value"].cumsum().to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(dtype=np.int64),
+                "user_id": df["user_id"].to_numpy(dtype=np.int64),
+                "cum_value": np.round(cum, 6),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return keyed_blocks(ds, ["user_id"], 4).map_batches(
+        block, batch_size=None, batch_format="pandas"
+    )

@@ -394,3 +394,23 @@ def test_event_value_pivot_row_sums(ray_session):
     assert np.allclose(got.sum(axis=1).to_numpy(), exp.to_numpy(), atol=1e-5)
     one = src[src.event_type == "purchase"].groupby("user_id")["value"].sum()
     assert np.allclose(got["purchase"].to_numpy(), one.reindex(got.index, fill_value=0.0), atol=1e-5)
+
+
+def test_user_cumulative_value_monotone_and_total(ray_session):
+    """Running sums are per-user monotone (values >= 0 in the fixture)
+    and the final row equals the user's total."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import user_cumulative_value
+
+    got = user_cumulative_value(SF).to_pandas()
+    src = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    assert len(got) == len(src)
+    m = src.set_index("event_id").loc[got.event_id]
+    order = got.assign(ts=m["ts"].to_numpy()).sort_values(
+        ["user_id", "ts", "event_id"], kind="stable"
+    )
+    for uid, g in order.groupby("user_id"):
+        assert (np.diff(g.cum_value.to_numpy()) >= -1e-9).all()
+        exp_total = src[src.user_id == uid]["value"].sum()
+        assert abs(g.cum_value.iloc[-1] - exp_total) < 1e-5
