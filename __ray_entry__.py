@@ -71,7 +71,7 @@ def _dup_groups_table(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from raydedup.pipelines import docdedup, docops, similarity
+    from raydedup.pipelines import docdedup, docops, relops, similarity
 
     return {
         # --- exact dedup family (hash-partition + per-group first) ---
@@ -110,6 +110,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_docs_events_semijoin": lambda sf: docops.docs_events_antijoin(sf, semi=True),
         "q_event_value_pivot": docops.event_value_pivot,
         "q_user_cumulative_value": docops.user_cumulative_value,
+        # relational side-table patterns: filtered scan, grouped agg
+        # (cent-exact integer sums), co-shuffle join + rollup
+        "q_pricing_summary": relops.pricing_summary,
+        "q_segment_revenue": relops.segment_revenue,
+        "q_priority_counts": relops.priority_counts,
         "q_cluster_report": docdedup.cluster_report,
         # --- multimodal plumbing (stubbed decoder; real Ray path) ---
         "q_media_features": _media_features,
@@ -368,6 +373,30 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(CASE WHEN event_type = 'signup' THEN value ELSE 0 END), 6) AS signup,
                    ROUND(SUM(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 6) AS view
             FROM events GROUP BY user_id
+        """,
+        # cent-exact integer sums: round(x*100) per row, int64 sum, so
+        # double-accumulation order can never drift the hash
+        "q_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) // 100)
+                       AS sum_disc_cents,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_segment_revenue": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q_priority_counts": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY o_orderpriority
         """,
         # running window aggregate: frame order (ts, event_id) makes the
         # sequential double accumulation identical in both engines

@@ -178,14 +178,19 @@ def main_scaling():
     # small-"cluster" leg.
     scale_n = int(os.environ.get("RAYDEDUP_SCALE_CONVS", "1000000"))
     attempts = int(os.environ.get("RAYDEDUP_SCALE_ATTEMPTS", "1"))
+    # RAYDEDUP_SCALE_MODE=memory measures the ephemeral path: stage
+    # boundaries in the object store, no shared-disk checkpoint writes
+    # (the dominant non-scaling resource on this single-node proxy)
+    mode = os.environ.get("RAYDEDUP_SCALE_MODE", "disk")
     results = {}
     for cpus in (8, 32):
         best = None
         for _attempt in range(attempts):
             code = (
                 "import json, bench; "
-                "r = bench.run_flagship(bench.SF_DIR, %d, n_convs=%d); "
-                "print('SCALEJSON ' + json.dumps(r))" % (cpus, scale_n)
+                "r = bench.run_flagship(bench.SF_DIR, %d, n_convs=%d, "
+                "checkpoint_mode=%r); "
+                "print('SCALEJSON ' + json.dumps(r))" % (cpus, scale_n, mode)
             )
             cmd = [sys.executable, "-c", code]
             if shutil.which("taskset") and (os.cpu_count() or 0) >= cpus:
@@ -226,6 +231,7 @@ def main_scaling():
                 "throughput_8": t8,
                 "throughput_32": t32,
                 "stage_efficiency": stage_eff,
+                "checkpoint_mode": mode,
                 "detail": results,
                 "sf": _sf_of(SF_DIR),
             }

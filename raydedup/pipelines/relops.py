@@ -1,0 +1,233 @@
+"""Relational operators over the TPC-H-ish fixture tables — the
+grouped-aggregate / shuffle-join / filtered-scan patterns a
+training-data pipeline needs when its metadata lives in relational
+side tables (beyond the reference's scope; the reference has no joins
+at all — its only "join" is the linear index scan in
+``duplicate_face.py:64-75``).
+
+Monetary measures are summed as CENT-EXACT int64 (``round(x·100)`` per
+row, integer sum) so results hash-match the DuckDB twins bit-for-bit:
+summing 60k+ doubles in different orders drifts ~1e-3 at TPC-H price
+magnitudes, which no output rounding can reliably hide.
+
+Patterns:
+
+* filtered scan    → pyarrow filter expression pushed into
+                     ``read_parquet`` (row groups pruned at the read)
+* grouped agg      → partial per-block reduce, one small key shuffle
+* shuffle join     → both sides hash-partitioned on the key
+                     (``keyed_blocks`` over the union), one vectorized
+                     in-block pandas merge — the scale path when
+                     neither side fits in a broadcast
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from raydedup.ray_utils import ensure_hash_shuffle, keyed_blocks
+
+_P = 8
+
+
+def _cents(x: pd.Series) -> np.ndarray:
+    return np.round(x.to_numpy(np.float64) * 100.0).astype(np.int64)
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style pricing summary over ``lineitem`` →
+    (l_returnflag, l_linestatus, sum_qty, sum_base_cents,
+    sum_disc_cents, n_rows).
+
+    ``sum_disc_cents`` = Σ ⌊round(price·100) · (100 − round(disc·100)) / 100⌋
+    — all int64 math with an explicit floor divide, mirrored by DuckDB's
+    integer ``//`` on the same operands (both positive, so floor agrees).
+    """
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pc = _cents(df["l_extendedprice"])
+        disc_pct = np.round(df["l_discount"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"].to_numpy(dtype=object),
+                "l_linestatus": df["l_linestatus"].to_numpy(dtype=object),
+                "qty": np.round(df["l_quantity"].to_numpy(np.float64)).astype(np.int64),
+                "base": pc,
+                "disc": pc * (100 - disc_pct) // 100,
+            }
+        )
+        g = (
+            out.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(sum_qty=("qty", "sum"), sum_base_cents=("base", "sum"),
+                 sum_disc_cents=("disc", "sum"), n_rows=("qty", "size"))
+            .reset_index()
+        )
+        return g.astype({"sum_qty": np.int64, "sum_base_cents": np.int64,
+                         "sum_disc_cents": np.int64, "n_rows": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "l_returnflag": pd.Series([], dtype=object),
+                    "l_linestatus": pd.Series([], dtype=object),
+                    "sum_qty": pd.Series([], dtype=np.int64),
+                    "sum_base_cents": pd.Series([], dtype=np.int64),
+                    "sum_disc_cents": pd.Series([], dtype=np.int64),
+                    "n_rows": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(sum_qty=("sum_qty", "sum"), sum_base_cents=("sum_base_cents", "sum"),
+                 sum_disc_cents=("sum_disc_cents", "sum"), n_rows=("n_rows", "sum"))
+            .reset_index()
+        )
+        return g.astype({"sum_qty": np.int64, "sum_base_cents": np.int64,
+                         "sum_disc_cents": np.int64, "n_rows": np.int64})
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return keyed_blocks(partials, ["l_returnflag", "l_linestatus"], 4).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
+def segment_revenue(sf_dir: str):
+    """Shuffle join + rollup: order count and cent-exact revenue per
+    customer market segment → (c_mktsegment, n_orders, revenue_cents).
+
+    Both sides are hash-partitioned on ``custkey`` (the same
+    ``keyed_blocks`` primitive the dedup shuffles use) over a tagged
+    union, then joined with one vectorized in-block merge — the
+    co-shuffle join for when neither side fits in a broadcast.  The
+    joined rows pre-reduce per block to (segment, partials) before one
+    tiny final shuffle.
+    """
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+
+    def cust_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "custkey": df["c_custkey"].to_numpy(np.int64),
+                "seg": df["c_mktsegment"].to_numpy(dtype=object),
+                "price_cents": np.zeros(len(df), dtype=np.int64),
+                "is_order": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "custkey": df["o_custkey"].to_numpy(np.int64),
+                "seg": np.full(len(df), "", dtype=object),
+                "price_cents": _cents(df["o_totalprice"]),
+                "is_order": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    def join_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "seg": pd.Series([], dtype=object),
+                    "n_orders": pd.Series([], dtype=np.int64),
+                    "revenue_cents": pd.Series([], dtype=np.int64),
+                }
+            )
+        dim = df[df["is_order"] == 0][["custkey", "seg"]]
+        fact = df[df["is_order"] == 1][["custkey", "price_cents"]]
+        j = fact.merge(dim, on="custkey", how="inner")
+        g = (
+            j.groupby("seg", sort=False)
+            .agg(n_orders=("price_cents", "size"), revenue_cents=("price_cents", "sum"))
+            .reset_index()
+        )
+        return g.astype({"n_orders": np.int64, "revenue_cents": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "c_mktsegment": pd.Series([], dtype=object),
+                    "n_orders": pd.Series([], dtype=np.int64),
+                    "revenue_cents": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = (
+            df.groupby("seg", sort=False)
+            .agg(n_orders=("n_orders", "sum"), revenue_cents=("revenue_cents", "sum"))
+            .reset_index()
+            .rename(columns={"seg": "c_mktsegment"})
+        )
+        return g.astype({"n_orders": np.int64, "revenue_cents": np.int64})
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(cust_rows, batch_format="pandas")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(order_rows, batch_format="pandas")
+    joined = keyed_blocks(cust.union(orders), ["custkey"], _P).map_batches(
+        join_reduce, batch_size=None, batch_format="pandas"
+    )
+    return keyed_blocks(joined, ["seg"], 4).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
+def priority_counts(sf_dir: str, year: int = 1996):
+    """Filtered scan + count: orders per priority within one year →
+    (o_orderpriority, n_orders).
+
+    The year predicate is a pyarrow dataset expression passed to
+    ``read_parquet`` — evaluated against parquet row-group statistics,
+    so non-matching row groups never leave storage (prune at the read).
+    """
+    import datetime
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+    lo = datetime.datetime(year, 1, 1)
+    hi = datetime.datetime(year + 1, 1, 1)
+    flt = (pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", sort=False).size().rename("n_orders").reset_index()
+        return g.astype({"n_orders": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series([], dtype=object),
+                    "n_orders": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = (
+            df.groupby("o_orderpriority", sort=False)
+            .agg(n_orders=("n_orders", "sum"))
+            .reset_index()
+        )
+        return g.astype({"n_orders": np.int64})
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderdate"],
+        filter=flt,
+    ).map_batches(partial, batch_format="pandas")
+    return keyed_blocks(ds, ["o_orderpriority"], 4).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )

@@ -414,3 +414,67 @@ def test_user_cumulative_value_monotone_and_total(ray_session):
         assert (np.diff(g.cum_value.to_numpy()) >= -1e-9).all()
         exp_total = src[src.user_id == uid]["value"].sum()
         assert abs(g.cum_value.iloc[-1] - exp_total) < 1e-5
+
+
+def test_pricing_summary_cent_exact(ray_session):
+    """Grouped agg with cent-exact integer sums vs a pandas recompute."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.relops import pricing_summary
+
+    got = (
+        pricing_summary(SF)
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    src = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    pc = np.round(src.l_extendedprice.to_numpy() * 100).astype(np.int64)
+    dp = np.round(src.l_discount.to_numpy() * 100).astype(np.int64)
+    exp = (
+        pd.DataFrame(
+            {
+                "l_returnflag": src.l_returnflag,
+                "l_linestatus": src.l_linestatus,
+                "qty": np.round(src.l_quantity.to_numpy()).astype(np.int64),
+                "base": pc,
+                "disc": pc * (100 - dp) // 100,
+            }
+        )
+        .groupby(["l_returnflag", "l_linestatus"])
+        .agg(sum_qty=("qty", "sum"), sum_base_cents=("base", "sum"),
+             sum_disc_cents=("disc", "sum"), n_rows=("qty", "size"))
+        .reset_index()
+    )
+    assert (got[exp.columns].values == exp.values).all()
+
+
+def test_segment_revenue_join(ray_session):
+    """Co-shuffle join totals match a pandas merge."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.relops import segment_revenue
+
+    got = segment_revenue(SF).to_pandas().set_index("c_mktsegment").sort_index()
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = np.round(j.o_totalprice.to_numpy() * 100).astype(np.int64)
+    exp = j.groupby("c_mktsegment").agg(
+        n_orders=("cents", "size"), revenue_cents=("cents", "sum")
+    ).sort_index()
+    assert (got.values == exp.values).all()
+    assert got.n_orders.sum() == len(orders)  # every order has a customer
+
+
+def test_priority_counts_filter_pushdown(ray_session):
+    """Year-filtered scan matches a pandas filter; no rows outside."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.relops import priority_counts
+
+    got = priority_counts(SF, year=1996).to_pandas().set_index("o_orderpriority")
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    mask = (orders.o_orderdate >= "1996-01-01") & (orders.o_orderdate < "1997-01-01")
+    exp = orders[mask].groupby("o_orderpriority").size()
+    assert got.n_orders.sort_index().equals(exp.sort_index().rename("n_orders"))
