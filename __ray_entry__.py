@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quality_flags": docops.doc_quality_flags,
         "q_doc_fingerprint": docops.doc_fingerprint,
         "q_langid": docops.doc_langid,
+        "q_bpe_tokens": docops.doc_bpe_tokens,
         # --- grouped aggregations / reports ---
         "q_docs_by_source_lang": docops.docs_by_source_lang,
         "q_events_by_user": docops.events_by_user,
@@ -374,21 +375,35 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 6) AS view
             FROM events GROUP BY user_id
         """,
+        # BPE-ish regex token count: the pattern is restricted to syntax
+        # Python re and RE2 count identically (verified empirically)
+        "q_bpe_tokens": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(COALESCE(text, ''),
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+                       AS n_bpe_tokens,
+                   CASE WHEN len(trim(COALESCE(text,''))) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                       AS n_ws_tokens
+            FROM documents
+        """,
         # cent-exact integer sums: round(x*100) per row, int64 sum, so
         # double-accumulation order can never drift the hash
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
-                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) // 100)
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_base_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) // 100) AS BIGINT)
                        AS sum_disc_cents,
                    COUNT(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "q_segment_revenue": """
             SELECT c_mktsegment, COUNT(*) AS n_orders,
-                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
             FROM customer JOIN orders ON c_custkey = o_custkey
             GROUP BY c_mktsegment
         """,

@@ -961,3 +961,33 @@ def user_cumulative_value(sf_dir: str):
     return keyed_blocks(ds, ["user_id"], 4).map_batches(
         block, batch_size=None, batch_format="pandas"
     )
+
+# GPT-2-style pre-tokenizer approximation, restricted to syntax both
+# Python re and DuckDB RE2 implement with identical leftmost-first
+# semantics (verified empirically over contraction/punct/unicode cases):
+# contractions | space?letters | space?digits | space?other-punct-runs
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def doc_bpe_tokens(sf_dir: str):
+    """BPE-ish token counting → (doc_id, n_bpe_tokens, n_ws_tokens):
+    the GPT-2-pre-tokenizer-shaped regex count next to the whitespace
+    count — the cheap proxy for "how many LLM tokens is this corpus"
+    that a training-data pipeline budgets with.  Pure vectorized map
+    (compiled regex, C-level ``str.count``); no shuffle.
+    """
+    import re
+
+    pat = re.compile(_BPE_PAT)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_bpe_tokens": t.str.count(pat).to_numpy(dtype=np.int64),
+                "n_ws_tokens": token_counts(df["text"]),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")

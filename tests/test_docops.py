@@ -478,3 +478,18 @@ def test_priority_counts_filter_pushdown(ray_session):
     mask = (orders.o_orderdate >= "1996-01-01") & (orders.o_orderdate < "1997-01-01")
     exp = orders[mask].groupby("o_orderpriority").size()
     assert got.n_orders.sort_index().equals(exp.sort_index().rename("n_orders"))
+
+
+def test_bpe_tokens_counts(ray_session):
+    """BPE-ish regex count vs a sequential re.findall recompute."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import _BPE_PAT, doc_bpe_tokens
+
+    got = doc_bpe_tokens(SF).to_pandas().set_index("doc_id").sort_index()
+    src = pq.read_table(f"{SF}/documents.parquet").to_pandas().set_index("doc_id").sort_index()
+    exp = src["text"].map(lambda t: len(re.findall(_BPE_PAT, t or "")))
+    assert (got["n_bpe_tokens"] == exp).all()
+    assert (got["n_ws_tokens"] <= got["n_bpe_tokens"]).all()
