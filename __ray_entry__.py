@@ -83,6 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash_doc_pairs": docdedup.simhash_doc_pairs,
         "q_doc_signatures": docdedup.minhash_doc_signatures,
         "q_transcript_dedup": _transcript_dedup,
+        # incremental batch-vs-corpus dedup (T2 growing-index analog;
+        # deterministic hash split; sketch-based → no SQL twin)
+        "q_incremental_dedup": docdedup.incremental_dedup,
         # --- text analysis ---
         "q_token_stats": docops.doc_token_stats,
         "q_quality_flags": docops.doc_quality_flags,

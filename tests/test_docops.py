@@ -493,3 +493,59 @@ def test_bpe_tokens_counts(ray_session):
     exp = src["text"].map(lambda t: len(re.findall(_BPE_PAT, t or "")))
     assert (got["n_bpe_tokens"] == exp).all()
     assert (got["n_ws_tokens"] <= got["n_bpe_tokens"]).all()
+
+
+def test_incremental_dedup_planted(ray_session, tmp_path):
+    """New-batch docs that duplicate corpus docs attach to the corpus
+    canonical; new-new twins cluster to their min member; unique new
+    docs stay self-canonical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydedup.functions.hashing import splitmix64
+    from raydedup.pipelines.docdedup import incremental_dedup
+
+    n = 200
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    is_new = (splitmix64(ids.astype(np.uint64)) % np.uint64(4)) == 0
+    new_ids = ids[is_new]
+    old_ids = ids[~is_new]
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(3000)]
+    texts = {
+        int(i): " ".join(rng.choice(vocab, size=12, replace=False)) for i in ids
+    }
+    # plant: first 4 new ids copy texts of first 4 old ids
+    planted = list(zip(new_ids[:4].tolist(), old_ids[:4].tolist()))
+    for nid, oid in planted:
+        texts[nid] = texts[oid]
+    # plant: new ids [4] and [5] are twins of each other (unknown to corpus)
+    twins = (int(new_ids[4]), int(new_ids[5]))
+    texts[twins[1]] = texts[twins[0]]
+
+    d = tmp_path / "sfx"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[int(i)] for i in ids], pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    got = incremental_dedup(str(d)).to_pandas().set_index("conv_id")
+    conv = lambda i: f"doc-{i:010d}"
+    assert len(got) == len(new_ids)
+    for nid, oid in planted:
+        row = got.loc[conv(nid)]
+        assert row.matched_existing == 1
+        assert row.canonical_id == conv(oid)
+    lo, hi = min(twins), max(twins)
+    assert got.loc[conv(hi)].canonical_id == conv(lo)
+    assert got.loc[conv(hi)].matched_existing == 0
+    # everything else self-canonical, unmatched
+    others = set(map(conv, new_ids)) - {conv(a) for a, _ in planted} - {conv(t) for t in twins}
+    sub = got.loc[sorted(others)]
+    assert (sub.index == sub.canonical_id).all()
+    assert (sub.matched_existing == 0).all()
