@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_fingerprint": docops.doc_fingerprint,
         "q_langid": docops.doc_langid,
         "q_bpe_tokens": docops.doc_bpe_tokens,
+        # composed curation pipeline (gate → exact dedup → langid)
+        "q_curated_docs": docops.curate_corpus,
         # --- grouped aggregations / reports ---
         "q_docs_by_source_lang": docops.docs_by_source_lang,
         "q_events_by_user": docops.events_by_user,
@@ -229,6 +231,25 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_fingerprint": (
             "SELECT doc_id, md5(COALESCE(text,'')) AS fp_md5 FROM documents"
         ),
+        # composed curation: quality gate -> exact dedup among survivors
+        # (min doc_id per identical text) -> langid annotation
+        "q_curated_docs": rf"""
+            WITH lid AS ({_langid_sql()}),
+            k AS (
+              SELECT doc_id, source, COALESCE(text,'') AS txt,
+                     CASE WHEN len(trim(COALESCE(text,''))) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                     len(regexp_replace(COALESCE(text,''), '[^0-9]', '', 'g')) AS n_digits,
+                     len(COALESCE(text,'')) AS n_chars
+              FROM documents
+            ),
+            q AS (SELECT * FROM k WHERE n_tokens >= 5 AND 10 * n_digits <= 3 * n_chars),
+            c AS (SELECT doc_id, source, n_tokens, txt,
+                         MIN(doc_id) OVER (PARTITION BY txt) AS canon FROM q)
+            SELECT c.doc_id, c.source, lid.lang_pred, c.n_tokens
+            FROM c JOIN lid ON c.doc_id = lid.doc_id
+            WHERE c.doc_id = c.canon
+        """,
         "q_media_features": (
             "SELECT 'media-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS media_id, "
             "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "

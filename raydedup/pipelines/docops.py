@@ -991,3 +991,55 @@ def doc_bpe_tokens(sf_dir: str):
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+def curate_corpus(sf_dir: str, min_tokens: int = 5):
+    """Composed curation pipeline — the end-to-end shape of a training-data
+    prep job, every stage streaming: quality gate (same rule as
+    ``doc_quality_flags``) → exact dedup among survivors (min ``doc_id``
+    per identical text keeps one copy) → language-ID annotation →
+    curated table (doc_id, source, lang_pred, n_tokens).
+
+    One vectorized map computes the gate, the 128-bit content key, the
+    language prediction and the token count in a single pass over the
+    pruned (doc_id, text, source) columns; rejected docs never enter the
+    one hash shuffle (volume ∝ surviving rows); the dedup collapse is a
+    per-block ``transform('min')``.
+    """
+    from raydedup.functions.textstats import langid
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        n_tok = token_counts(df["text"])
+        n_digits = t.str.count(r"[0-9]").to_numpy(dtype=np.int64)
+        n_chars = t.str.len().to_numpy(dtype=np.int64)
+        keep = (n_tok >= min_tokens) & (10 * n_digits <= 3 * n_chars)
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "source": df["source"].to_numpy(dtype=object),
+                "text_md5": np.asarray(md5_fingerprints(df["text"]), dtype=object),
+                "lang_pred": langid(df["text"]),
+                "n_tokens": n_tok,
+            }
+        )
+        return out[keep].reset_index(drop=True)
+
+    def dedup_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "source": pd.Series([], dtype=object),
+                    "lang_pred": pd.Series([], dtype=object),
+                    "n_tokens": pd.Series([], dtype=np.int64),
+                }
+            )
+        canon = df.groupby("text_md5", sort=False)["doc_id"].transform("min")
+        sel = df["doc_id"].to_numpy() == canon.to_numpy()
+        return df[sel][["doc_id", "source", "lang_pred", "n_tokens"]].reset_index(drop=True)
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+    survivors = docs.map_batches(prep, batch_format="pandas")
+    return keyed_blocks(survivors, ["text_md5"], _P).map_batches(
+        dedup_block, batch_size=None, batch_format="pandas"
+    )

@@ -549,3 +549,23 @@ def test_incremental_dedup_planted(ray_session, tmp_path):
     sub = got.loc[sorted(others)]
     assert (sub.index == sub.canonical_id).all()
     assert (sub.matched_existing == 0).all()
+
+
+def test_curate_corpus_composition(ray_session):
+    """Curated output = quality survivors, one per exact-text group,
+    with langid annotation — recomputed sequentially."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import curate_corpus
+
+    got = curate_corpus(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    src = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    t = src.text.fillna("")
+    n_tok = t.map(lambda s: len(s.split()))
+    keep = (n_tok >= 5) & (10 * t.str.count(r"[0-9]") <= 3 * t.str.len())
+    surv = src[keep].copy()
+    surv["canon"] = surv.groupby(surv.text.fillna(""))["doc_id"].transform("min")
+    exp_ids = sorted(surv[surv.doc_id == surv.canon].doc_id)
+    assert list(got.doc_id) == exp_ids
+    assert (got.n_tokens >= 5).all()
+    assert set(got.lang_pred) <= {"en", "de", "fr", "es", "und"}
