@@ -51,6 +51,12 @@ def _media_features(sf_dir: str):
     return media_feature_pipeline(sf_dir)
 
 
+def _frame_samples(sf_dir: str):
+    from raydedup.stages.multimodal import frame_sample_pipeline
+
+    return frame_sample_pipeline(sf_dir)
+
+
 def _dup_groups_table(sf_dir: str):
     """q_dup_groups materialized to a pyarrow Table: the result is tiny
     (exact-duplicate groups) and legitimately empty on fixtures without
@@ -124,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cluster_report": docdedup.cluster_report,
         # --- multimodal plumbing (stubbed decoder; real Ray path) ---
         "q_media_features": _media_features,
+        "q_frame_samples": _frame_samples,
         # --- similarity search over embeddings ---
         "q_knn_bruteforce": similarity.knn_bruteforce,
         "q_ann_lsh": similarity.ann_lsh,
@@ -255,6 +262,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "'ok' AS status FROM documents"
         ),
+        # frame-sample explosion: frame i covers payload bytes
+        # [i*256, min((i+1)*256, nb)), first 4 chunks per media row
+        "q_frame_samples": """
+            WITH m AS (
+              SELECT 'media-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS media_id,
+                     octet_length(encode(COALESCE(text, ''))) AS nb
+              FROM documents
+            ),
+            f AS (
+              SELECT media_id, nb,
+                     unnest(generate_series(0,
+                        LEAST(4, CAST(CEIL(nb / 256.0) AS BIGINT)) - 1)) AS frame_idx
+              FROM m WHERE nb > 0
+            )
+            SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(LEAST(256, nb - frame_idx * 256) AS BIGINT) AS n_bytes_frame,
+                   'ok' AS status
+            FROM f
+        """,
         "q_docs_by_source_lang": (
             "SELECT source, lang, COUNT(*) AS n_docs, "
             "CAST(SUM(n_chars) AS BIGINT) AS total_chars "

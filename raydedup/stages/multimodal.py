@@ -144,3 +144,71 @@ def media_feature_pipeline(sf_dir: str):
     media decode/featurize pipeline over the fixture adapter."""
     feats = extract_media_features(documents_as_media(sf_dir))
     return feats.select_columns(["media_id", "n_bytes", "status"])
+
+
+FRAMES = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("frame_idx", pa.int64()),
+        ("n_bytes_frame", pa.int64()),
+        ("status", pa.string()),
+    ]
+)
+
+
+class FrameSampleActor:
+    """Actor-pool frame-sampling stage: one media row → up to
+    ``max_frames`` frame rows (a 1→N explosion over binary payloads — the
+    video-frame-sample plumbing shape).
+
+    The real frame decoder is stubbed like ``MediaFeatureActor``: a
+    "frame" is a contiguous ``chunk_bytes`` slice of the payload (first
+    ``max_frames`` chunks), deterministic and oracle-checkable; a real
+    deployment swaps the slicing for codec keyframe extraction, keeping
+    the same schema and explosion shape.  Empty / null payloads emit no
+    frames (mirrored by the SQL twin's ``nb > 0`` filter).
+    """
+
+    def __init__(self, decoder: str = "none", chunk_bytes: int = 256, max_frames: int = 4):
+        if decoder != "none":
+            raise NotImplementedError(
+                f"decoder={decoder!r}: real video codecs are not available in "
+                "this environment; only the deterministic chunk stub exists"
+            )
+        self.chunk = chunk_bytes
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, sizes = [], [], []
+        for mid, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            nb = 0 if p is None else len(p)
+            if nb == 0:
+                continue
+            k = min(self.max_frames, -(-nb // self.chunk))
+            for i in range(k):
+                ids.append(mid)
+                idxs.append(i)
+                sizes.append(min(self.chunk, nb - i * self.chunk))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "frame_idx": pa.array(np.asarray(idxs, dtype=np.int64)),
+                "n_bytes_frame": pa.array(np.asarray(sizes, dtype=np.int64)),
+                "status": pa.array(["ok"] * len(ids), pa.string()),
+            },
+            schema=FRAMES,
+        )
+
+
+def frame_sample_pipeline(sf_dir: str, chunk_bytes: int = 256, max_frames: int = 4):
+    """(media_id, frame_idx, n_bytes_frame, status) — frame-sample rows
+    over the fixture media adapter; actor pool, small batches."""
+    return documents_as_media(sf_dir).map_batches(
+        FrameSampleActor,
+        fn_constructor_kwargs={"chunk_bytes": chunk_bytes, "max_frames": max_frames},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+        num_cpus=1,
+        zero_copy_batch=True,
+    )

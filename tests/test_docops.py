@@ -569,3 +569,20 @@ def test_curate_corpus_composition(ray_session):
     assert list(got.doc_id) == exp_ids
     assert (got.n_tokens >= 5).all()
     assert set(got.lang_pred) <= {"en", "de", "fr", "es", "und"}
+
+
+def test_frame_sample_explosion(ray_session):
+    """1→N frame explosion: chunk count and sizes match payload bytes."""
+    import pyarrow.parquet as pq
+
+    from raydedup.stages.multimodal import frame_sample_pipeline
+
+    got = frame_sample_pipeline(SF).to_pandas()
+    src = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    nb = src.text.fillna("").str.encode("utf-8").str.len()
+    exp_frames = np.minimum(4, np.ceil(nb / 256.0).astype(int))[nb > 0]
+    assert len(got) == int(exp_frames.sum())
+    per = got.groupby("media_id")["frame_idx"].agg(["size", "max"])
+    assert (per["max"] == per["size"] - 1).all()  # dense 0..k-1 per media
+    assert (got.n_bytes_frame > 0).all()
+    assert (got.n_bytes_frame <= 256).all()
