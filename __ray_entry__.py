@@ -57,6 +57,12 @@ def _frame_samples(sf_dir: str):
     return frame_sample_pipeline(sf_dir)
 
 
+def _media_resize(sf_dir: str):
+    from raydedup.stages.multimodal import media_resize_pipeline
+
+    return media_resize_pipeline(sf_dir)
+
+
 def _dup_groups_table(sf_dir: str):
     """q_dup_groups materialized to a pyarrow Table: the result is tiny
     (exact-duplicate groups) and legitimately empty on fixtures without
@@ -131,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (stubbed decoder; real Ray path) ---
         "q_media_features": _media_features,
         "q_frame_samples": _frame_samples,
+        "q_media_resize": _media_resize,
         # --- similarity search over embeddings ---
         "q_knn_bruteforce": similarity.knn_bruteforce,
         "q_ann_lsh": similarity.ann_lsh,
@@ -260,6 +267,12 @@ def oracle_sql() -> dict[str, str]:
         "q_media_features": (
             "SELECT 'media-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS media_id, "
             "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "'ok' AS status FROM documents"
+        ),
+        "q_media_resize": (
+            "SELECT 'media-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS media_id, "
+            "CAST(octet_length(encode(COALESCE(text,''))) AS BIGINT) AS n_bytes_in, "
+            "CAST(LEAST(octet_length(encode(COALESCE(text,''))), 512) AS BIGINT) AS n_bytes_out, "
             "'ok' AS status FROM documents"
         ),
         # frame-sample explosion: frame i covers payload bytes

@@ -212,3 +212,76 @@ def frame_sample_pipeline(sf_dir: str, chunk_bytes: int = 256, max_frames: int =
         num_cpus=1,
         zero_copy_batch=True,
     )
+
+
+RESIZED = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("payload", pa.binary()),
+        ("n_bytes_in", pa.int64()),
+        ("n_bytes_out", pa.int64()),
+        ("status", pa.string()),
+    ]
+)
+
+
+class MediaResizeActor:
+    """Actor-pool resize stage: payload → bounded-size payload.
+
+    The real image resampler is stubbed like the other decoders: "resize"
+    is a deterministic truncation of the byte stream to ``target_bytes``
+    (a real deployment swaps in codec decode → resample → re-encode,
+    keeping the same 1→1 schema).  The plumbing this exercises is the
+    payload-REWRITING shape: output blocks carry (smaller) binaries
+    onward, so block sizes shrink mid-pipeline and downstream batch
+    sizing can grow.
+    """
+
+    def __init__(self, decoder: str = "none", target_bytes: int = 512):
+        if decoder != "none":
+            raise NotImplementedError(
+                f"decoder={decoder!r}: real image codecs are not available in "
+                "this environment; only the deterministic truncation stub exists"
+            )
+        self.target = target_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        out, nin, nout, status = [], [], [], []
+        for p in payloads:
+            if p is None:
+                out.append(None)
+                nin.append(0)
+                nout.append(0)
+                status.append("decode_error")
+                continue
+            q = p[: self.target]
+            out.append(q)
+            nin.append(len(p))
+            nout.append(len(q))
+            status.append("ok")
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "payload": pa.array(out, pa.binary()),
+                "n_bytes_in": pa.array(np.asarray(nin, dtype=np.int64)),
+                "n_bytes_out": pa.array(np.asarray(nout, dtype=np.int64)),
+                "status": pa.array(status, pa.string()),
+            },
+            schema=RESIZED,
+        )
+
+
+def media_resize_pipeline(sf_dir: str, target_bytes: int = 512):
+    """(media_id, n_bytes_in, n_bytes_out, status) — metadata output of
+    the resize stage over the fixture media adapter."""
+    resized = documents_as_media(sf_dir).map_batches(
+        MediaResizeActor,
+        fn_constructor_kwargs={"target_bytes": target_bytes},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+        num_cpus=1,
+        zero_copy_batch=True,
+    )
+    return resized.select_columns(["media_id", "n_bytes_in", "n_bytes_out", "status"])

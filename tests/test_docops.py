@@ -586,3 +586,13 @@ def test_frame_sample_explosion(ray_session):
     assert (per["max"] == per["size"] - 1).all()  # dense 0..k-1 per media
     assert (got.n_bytes_frame > 0).all()
     assert (got.n_bytes_frame <= 256).all()
+
+
+def test_media_resize_bounds(ray_session):
+    """Resize stub: output payload metadata bounded by target bytes."""
+    from raydedup.stages.multimodal import media_resize_pipeline
+
+    got = media_resize_pipeline(SF, target_bytes=100).to_pandas()
+    assert (got.n_bytes_out <= 100).all()
+    assert (got.n_bytes_out == np.minimum(got.n_bytes_in, 100)).all()
+    assert (got.status == "ok").all()
