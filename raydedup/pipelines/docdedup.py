@@ -160,15 +160,13 @@ def incremental_dedup(sf_dir: str, cfg: DedupConfig | None = None):
 
     docs = documents_as_docs(sf_dir)
     sigs = compute_signatures(docs, cfg).materialize()
-    cands = candidate_pairs(sigs, cfg)
-
-    def touch_new(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df
-        keep = is_new_mask(df["a"]) | is_new_mask(df["b"])
-        return df[keep]
-
-    new_cands = cands.map_batches(touch_new, batch_format="pandas").materialize()
+    # corpus-vs-corpus pairs are pruned INSIDE the bucket emitter — they
+    # never enter the (a, b) dedup shuffle (at scale they are the
+    # overwhelming majority of bucket pairs)
+    new_cands = candidate_pairs(
+        sigs, cfg,
+        pair_mask_fn=lambda a, b: is_new_mask(a) | is_new_mask(b),
+    ).materialize()
     edges = verified_pairs(new_cands, sigs, cfg).materialize()
     labels, _ = connected_components(edges, cfg)
 

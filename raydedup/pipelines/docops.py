@@ -766,7 +766,7 @@ def top_docs_per_group(sf_dir: str, k: int = 3):
     )
 
 
-def tfidf_top_terms(sf_dir: str, k: int = 5):
+def tfidf_top_terms(sf_dir: str, k: int = 5, df_cap: int | None = None):
     """Per-document top-``k`` TF-IDF terms →
     (doc_id, tok, tf, df, score, rnk).
 
@@ -777,10 +777,13 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
     size, since (doc, tok) rows are globally unique); (3) one hash
     shuffle on ``doc_id`` scores ``tf · ln(N/df)`` and keeps the per-doc
     top-``k``.  Shuffle volume ∝ distinct (doc, token) pairs — the same
-    inverted-index explode as ``ngram_jaccard_pairs``, and the place a
-    100-TB run would add the same ``df_cap`` hot-token guard.  Ranking
-    uses the score ROUNDED to 6 decimals (ties then broken by token
-    ascending) so the DuckDB twin orders identically.
+    inverted-index explode as ``ngram_jaccard_pairs``.  ``df_cap`` is the
+    100-TB hot-token guard: tokens appearing in more than ``df_cap``
+    documents are dropped at the df-attach stage (they carry near-zero
+    IDF anyway), bounding the doc-shuffle volume under boilerplate skew;
+    the default ``None`` keeps exact oracle parity.  Ranking uses the
+    score ROUNDED to 6 decimals (ties then broken by token ascending) so
+    the DuckDB twin orders identically.
     """
     from collections import Counter
 
@@ -807,6 +810,8 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
             return df
         df = df.copy()
         df["df"] = df.groupby("tok", sort=False)["tok"].transform("size").to_numpy(np.int64)
+        if df_cap is not None:
+            df = df[df["df"] <= df_cap]
         return df
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:

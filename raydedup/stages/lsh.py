@@ -94,8 +94,14 @@ def make_band_rows(cfg: DedupConfig):
     return bands_fn
 
 
-def make_bucket_emitter(cfg: DedupConfig):
-    """Whole-block fn over hash-partitioned band rows → candidate pairs (a<b)."""
+def make_bucket_emitter(cfg: DedupConfig, pair_mask_fn=None):
+    """Whole-block fn over hash-partitioned band rows → candidate pairs (a<b).
+
+    ``pair_mask_fn(a, b) -> bool mask`` optionally prunes pairs AT THE
+    EMITTER, before they ever enter the (a, b) dedup shuffle — the hook
+    incremental dedup uses to drop corpus-vs-corpus pairs (at scale the
+    overwhelming majority) instead of shuffling and then filtering them.
+    """
 
     cap = cfg.bucket_pair_cap
 
@@ -123,6 +129,11 @@ def make_bucket_emitter(cfg: DedupConfig):
         swap = x > y  # normalize a < b (bucket order is signature order)
         a = np.where(swap, y, x)
         b = np.where(swap, x, y)
+        if pair_mask_fn is not None:
+            m = pair_mask_fn(a, b)
+            if not m.any():
+                return _EMPTY_PAIRS
+            a, b, capped = a[m], b[m], capped[m]
         return pd.DataFrame({"a": a, "b": b, "capped": capped.astype(np.int32)})
 
     return emit
@@ -151,11 +162,15 @@ def make_pair_dedup():
     return dedup
 
 
-def candidate_pairs(sigs_ds, cfg: DedupConfig):
-    """signatures → deduplicated candidate pairs (a, b, n_bands, capped)."""
+def candidate_pairs(sigs_ds, cfg: DedupConfig, pair_mask_fn=None):
+    """signatures → deduplicated candidate pairs (a, b, n_bands, capped).
+
+    ``pair_mask_fn`` prunes pairs inside the bucket emitter (see
+    ``make_bucket_emitter``) so unwanted pairs never enter the (a, b)
+    shuffle."""
     bands = sigs_ds.map_batches(make_band_rows(cfg), batch_format="pyarrow", zero_copy_batch=True)
     raw = keyed_blocks(bands, ["band_idx", "band_hash", "salt"], cfg.num_partitions).map_batches(
-        make_bucket_emitter(cfg), batch_size=None, batch_format="pandas"
+        make_bucket_emitter(cfg, pair_mask_fn), batch_size=None, batch_format="pandas"
     )
     return keyed_blocks(raw, ["a", "b"], cfg.num_partitions).map_batches(
         make_pair_dedup(), batch_size=None, batch_format="pandas"

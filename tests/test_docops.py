@@ -596,3 +596,25 @@ def test_media_resize_bounds(ray_session):
     assert (got.n_bytes_out <= 100).all()
     assert (got.n_bytes_out == np.minimum(got.n_bytes_in, 100)).all()
     assert (got.status == "ok").all()
+
+
+def test_tfidf_df_cap_drops_hot_tokens(ray_session):
+    """With a df cap, tokens above the document-frequency bound vanish
+    from every doc's top terms; the rest keep their relative order."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from raydedup.pipelines.docops import tfidf_top_terms
+
+    cap = 50
+    got = tfidf_top_terms(SF, k=5, df_cap=cap).to_pandas()
+    src = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    df_counts = Counter(
+        t
+        for txt in src.text.fillna("")
+        if txt.strip()
+        for t in set(txt.lower().strip().split())
+    )
+    hot = {t for t, c in df_counts.items() if c > cap}
+    assert hot  # the cap bites on this fixture
+    assert not (set(got.tok) & hot)
