@@ -170,12 +170,15 @@ def run_pipeline(
     # detected face crop to detected_faces/, face_recognition_custom.py:95-100;
     # here: a per-doc extracted-feature debug table, resumable like every
     # stage, off by default)
+    artifacts = None
     if cfg.emit_artifacts:
-        store.stage("artifacts", lambda: _artifact_table(store, cfg))
+        artifacts = store.stage("artifacts", lambda: _artifact_table(store, cfg))
 
     # quarantine partition (S9 analog: the corrupted-list writer,
-    # duplicate_face.py:136-140) — resumable like every stage
-    store.stage(
+    # duplicate_face.py:136-140) — resumable like every stage.  The
+    # returned handles matter in memory mode, where no <out>/quarantine
+    # (or artifacts) directory exists to read back.
+    quarantine = store.stage(
         "quarantine",
         lambda: store.read("clusters").filter(
             expr="status == 'corrupted' or status == 'no_content'"
@@ -212,6 +215,8 @@ def run_pipeline(
         "signatures": sigs,
         "pairs": pairs,
         "clusters": clusters,
+        "quarantine": quarantine,
+        "artifacts": artifacts,
         "events": store.events,
         "metrics": metrics,
         "config": cfg,

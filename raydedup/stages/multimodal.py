@@ -121,7 +121,10 @@ def documents_as_media(sf_dir: str):
     ensure_hash_shuffle()
 
     def fn(df: pd.DataFrame) -> pa.Table:
-        payloads = [t.encode("utf-8") if t is not None else None for t in df["text"]]
+        # NULL text maps to an EMPTY payload (COALESCE semantics, matching
+        # the SQL twins); the actors' None-payload decode_error branch is
+        # reserved for genuinely missing media in real deployments
+        payloads = [(t or "").encode("utf-8") for t in df["text"]]
         n = len(df)
         return pa.table(
             {

@@ -3,22 +3,35 @@ measure-don't-guess loop: run one operator, materialize it, and dump
 Ray's per-operator wall/CPU/row/bytes breakdown (``Dataset.stats()``)
 so slow stages are identified from measurements, not intuition.
 
-Usage: python tools/stage_stats.py [query ...] [--sf SF_DIR]
+Usage: python tools/stage_stats.py [query ...] [--sf SF_DIR | --sf=SF_DIR]
 Defaults to the three heaviest headline operators at sf0.01.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.01"
-    for a in sys.argv[1:]:
+    args = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--sf" and i + 1 < len(argv):
+            sf_dir = argv[i + 1]
+            i += 2
+            continue
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     names = args or ["q_minhash_doc_clusters", "q_tfidf_top_terms", "q_exact_dedup"]
 
     import ray
