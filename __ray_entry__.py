@@ -83,7 +83,7 @@ def _dup_groups_table(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from raydedup.pipelines import docdedup, docops, relops, similarity
+    from raydedup.pipelines import curation, docdedup, docops, relops, similarity
 
     return {
         # --- exact dedup family (hash-partition + per-group first) ---
@@ -148,6 +148,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the 100-TB pair-mining path: hyperplane buckets + in-bucket exact
         # cosine (deterministic; recall<1 by design → no SQL twin)
         "q_embedding_dup_pairs_lsh": lambda sf: similarity.embedding_dup_pairs_lsh(sf, 0.5),
+        # --- corpus curation (benchmark decontamination, splits, PII) ---
+        "q_decontaminate": curation.decontaminate,
+        "q_train_split": curation.train_split,
+        "q_distinct_counts": curation.distinct_counts,
+        "q_pii_scrub": curation.pii_scrub,
+        "q_label_centroids": curation.label_centroids,
     }
 
 
@@ -188,6 +194,8 @@ def _ngram_df_cap() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from raydedup.pipelines import curation as _CUR
+
     return {
         "q_langid": _langid_sql(),
         # text is wrapped COALESCE(text,'') in the exact-dedup twins so a
@@ -504,4 +512,57 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id "
             "WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.5"
         ),
+        # probes = first-40-char prefixes of the 5 lowest-doc_id docs with
+        # n_chars >= 80 (deterministic stand-in for a benchmark probe set)
+        "q_decontaminate": f"""
+            WITH probes AS (
+              SELECT substr(COALESCE(text,''), 1, {_CUR.PROBE_LEN}) AS probe
+              FROM documents WHERE n_chars >= {_CUR.PROBE_MIN_CHARS}
+              ORDER BY doc_id LIMIT {_CUR.N_PROBES}
+            ),
+            h AS (
+              SELECT d.doc_id,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM probes p
+                      WHERE instr(COALESCE(d.text,''), p.probe) > 0) AS n_hits
+              FROM documents d
+            )
+            SELECT doc_id, n_hits, CAST(n_hits > 0 AS BIGINT) AS contaminated
+            FROM h
+        """,
+        # fixed-width lowercase hex compares lexicographically == numerically,
+        # so the same string thresholds work in both engines
+        "q_train_split": f"""
+            SELECT doc_id,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_CUR.SPLIT_TRAIN_CAP}' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_CUR.SPLIT_VALID_CAP}' THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "q_distinct_counts": (
+            "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+            "CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types FROM events"
+        ),
+        # emails are replaced before digit runs, composing identically to
+        # the engine's two sequential str.replace passes
+        "q_pii_scrub": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(COALESCE(text,''), '{_CUR.EMAIL_RE}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(COALESCE(text,''), '{_CUR.LONGNUM_RE}')) AS BIGINT) AS n_longnums,
+                   regexp_replace(
+                     regexp_replace(COALESCE(text,''), '{_CUR.EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{_CUR.LONGNUM_RE}', '<NUM>', 'g') AS clean_text
+            FROM documents
+        """,
+        # 2^20 fixed-point scale: float32→float64 products are exact, so
+        # floor() agrees bit-for-bit between numpy and DuckDB
+        "q_label_centroids": """
+            SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+                   CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT) AS sum_q,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT label, unnest(embedding) AS e,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings)
+            GROUP BY label, i
+        """,
     }

@@ -1,0 +1,269 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+beyond dedup: benchmark decontamination, deterministic train/val/test
+splits, global distinct counts, PII scrubbing, per-label embedding
+centroids, and a partition-aware export sink.
+
+Each operator follows the engine's standard patterns (see ``docops``):
+vectorized ``map_batches`` for per-row work, partial-aggregate → one small
+hash shuffle for wide work, ``ray.put`` broadcast for small lookup sides.
+Every SQL-expressible operator has a DuckDB twin in
+``__ray_entry__.oracle_sql`` with identical column names and dtypes.
+
+Reference parity note: the reference has no curation surface at all (its
+only gate is the blur filter, ``face_recognition_custom.py:32-34``); these
+operators are the engine's beyond-parity additions for LLM-corpus work.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raydedup.ray_utils import keyed_blocks
+
+_P = 8  # hash partitions for sf-scale correctness runs (cluster: ~cores)
+
+# --------------------------------------------------------- decontamination
+# Probe derivation is data-deterministic (no external benchmark files in
+# this sandbox): the first-40-char prefixes of the N lowest-doc_id
+# documents with n_chars >= min_chars stand in for a benchmark probe set.
+PROBE_LEN = 40
+N_PROBES = 5
+PROBE_MIN_CHARS = 80
+
+
+def _probe_list(sf_dir: str) -> list:
+    """Top-k smallest doc_id probe docs via per-block partial top-k → tiny
+    driver merge (the same partial/merge shape as ``knn_bruteforce``; no
+    global sort, no full materialization)."""
+    import ray.data as rd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["n_chars"] >= PROBE_MIN_CHARS]
+        d = d.nsmallest(N_PROBES, "doc_id")
+        return pd.DataFrame(
+            {
+                "doc_id": d["doc_id"].to_numpy(dtype=np.int64),
+                "probe": d["text"].fillna("").str.slice(0, PROBE_LEN),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()  # ≤ N_PROBES × num_blocks rows — tiny at any scale
+    )
+    return parts.nsmallest(N_PROBES, "doc_id")["probe"].tolist()
+
+
+def decontaminate(sf_dir: str):
+    """(doc_id, n_hits, contaminated): docs containing any probe string.
+
+    The probe set is broadcast once (``ray.put``) and each batch runs a
+    vectorized substring scan per probe (``Series.str.contains`` with
+    ``regex=False``) — the classic benchmark-decontamination shape: a
+    small pattern side against a 100-TB corpus, no shuffle at all.
+    """
+    import ray
+    import ray.data as rd
+
+    probes_ref = ray.put(_probe_list(sf_dir))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        probes = ray.get(probes_ref)
+        text = df["text"].fillna("")
+        n_hits = np.zeros(len(df), dtype=np.int64)
+        for p in probes:
+            n_hits += text.str.contains(p, regex=False).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_hits": n_hits,
+                "contaminated": (n_hits > 0).astype(np.int64),
+            }
+        )
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        scan, batch_format="pandas"
+    )
+
+
+# -------------------------------------------------- deterministic split
+# Hex-string bucket thresholds (first 2 md5 hex chars, 256 buckets):
+# lexicographic compare on fixed-width lowercase hex == numeric compare,
+# so the same thresholds work verbatim in the DuckDB twin.
+SPLIT_TRAIN_CAP = "cc"  # 0x00-0xcb → 204/256 ≈ 79.7% train
+SPLIT_VALID_CAP = "e6"  # 0xcc-0xe5 →  26/256 ≈ 10.2% valid; rest test
+
+
+def train_split(sf_dir: str):
+    """(doc_id, bucket, split): deterministic content-free assignment by
+    md5 of the doc id — stable across runs, partitions and cluster sizes,
+    the property a training-data split needs (pure map, no shuffle)."""
+    import ray.data as rd
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        buckets = [hashlib.md5(str(i).encode()).hexdigest()[:2] for i in ids]
+        b = pd.Series(buckets)
+        split = np.where(
+            b < SPLIT_TRAIN_CAP, "train", np.where(b < SPLIT_VALID_CAP, "valid", "test")
+        )
+        return pd.DataFrame({"doc_id": ids, "bucket": b, "split": split})
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+# -------------------------------------------------------- distinct counts
+def _distinct_count(ds, col: str) -> int:
+    """Exact global COUNT(DISTINCT col): per-block unique (the partial
+    combiner — shuffle volume ∝ distinct-per-block, not rows), one hash
+    shuffle on the value, per-block unique again, metadata count."""
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({col: df[col].unique()})
+
+    deduped = keyed_blocks(
+        ds.map_batches(uniq, batch_format="pandas"), [col], _P
+    ).map_batches(uniq, batch_size=None, batch_format="pandas")
+    return deduped.count()
+
+
+def distinct_counts(sf_dir: str) -> pd.DataFrame:
+    """One row: exact distinct cardinalities over the events table."""
+    import ray.data as rd
+
+    from raydedup.ray_utils import ensure_hash_shuffle
+
+    ensure_hash_shuffle()  # before read_parquet: the context binds at creation
+    users = _distinct_count(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]), "user_id"
+    )
+    types = _distinct_count(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"]), "event_type"
+    )
+    return pd.DataFrame({"n_users": [np.int64(users)], "n_event_types": [np.int64(types)]})
+
+
+# ------------------------------------------------------------ PII scrub
+# ASCII-explicit character classes so Python `re` and DuckDB's RE2 agree
+# (RE2 `\d` is ASCII, Python `\d` is unicode — never mix them here).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONGNUM_RE = r"[0-9]{6,}"
+
+
+def pii_scrub(sf_dir: str):
+    """(doc_id, n_emails, n_longnums, clean_text): count and redact
+    email-shaped and long-digit-run spans.  Pure vectorized map (pandas
+    str kernels over compiled regexes); emails are replaced before digit
+    runs so the two passes compose identically to the SQL twin's nested
+    ``regexp_replace``."""
+    import ray.data as rd
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        n_emails = text.str.count(EMAIL_RE).to_numpy(dtype=np.int64)
+        n_longnums = text.str.count(LONGNUM_RE).to_numpy(dtype=np.int64)
+        clean = text.str.replace(EMAIL_RE, "<EMAIL>", regex=True).str.replace(
+            LONGNUM_RE, "<NUM>", regex=True
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_emails": n_emails,
+                "n_longnums": n_longnums,
+                "clean_text": clean,
+            }
+        )
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+# ------------------------------------------------- per-label centroids
+# Fixed-point quantization scale: a power of two, so float32 → float64
+# products are EXACT and floor() agrees bit-for-bit between numpy and
+# DuckDB (a decimal scale like 1e6 would round differently per engine).
+_QSCALE = 1048576.0  # 2**20
+
+
+def label_centroids(sf_dir: str):
+    """(label, dim, sum_q, n): integer-exact per-label embedding sums —
+    the partial-aggregate side of a centroid / cluster-mean computation
+    (divide sum_q / (n · 2^20) for the float centroid).
+
+    Per block: one ``np.add.at`` scatter over (label, 64-dim) quantized
+    rows, emitting labels×64 partial rows; one small hash shuffle on
+    ``label`` then a final groupby.  Shuffle volume ∝ labels × dims ×
+    blocks — independent of row count.
+    """
+    import ray.data as rd
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        lab = np.asarray(t["label"], dtype=np.int64)
+        col = t["embedding"].combine_chunks() if isinstance(t["embedding"], pa.ChunkedArray) else t["embedding"]
+        if isinstance(col, pa.FixedSizeListArray):
+            flat = col.values
+        else:
+            flat = col.flatten()
+        dim = len(flat) // max(1, len(lab))
+        emb = flat.to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
+        q = np.floor(emb * _QSCALE).astype(np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        acc = np.zeros((len(ulab), dim), dtype=np.int64)
+        np.add.at(acc, inv, q)
+        cnt = np.bincount(inv, minlength=len(ulab)).astype(np.int64)
+        k = len(ulab)
+        return pd.DataFrame(
+            {
+                "label": np.repeat(ulab, dim),
+                "dim": np.tile(np.arange(dim, dtype=np.int64), k),
+                "sum_q": acc.reshape(-1),
+                "n": np.repeat(cnt, dim),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "label": pd.Series([], dtype=np.int64),
+                    "dim": pd.Series([], dtype=np.int64),
+                    "sum_q": pd.Series([], dtype=np.int64),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = df.groupby(["label", "dim"], sort=False).agg(
+            sum_q=("sum_q", "sum"), n=("n", "sum")
+        )
+        return g.reset_index()
+
+    from raydedup.ray_utils import ensure_hash_shuffle
+
+    ensure_hash_shuffle()  # before read_parquet: the context binds at creation
+    partials = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed_blocks(partials, ["label"], _P).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
+# ------------------------------------------------------- partitioned sink
+def export_partitioned(sf_dir: str, out_dir: str, by: str = "lang"):
+    """Write the documents table as hive-partitioned Parquet
+    (``out_dir/<by>=<value>/*.parquet``) — the resumable-output layout: a
+    re-run (or a downstream consumer) addresses each partition
+    independently instead of one giant file.  Returns the output path.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    ds.write_parquet(out_dir, partition_cols=[by])
+    return out_dir

@@ -1,0 +1,114 @@
+"""Curation-operator tests (decontamination, splits, distinct counts,
+PII scrub, centroids, partitioned export) over the sf0.001 tables."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_decontaminate_flags_probe_docs(ray_session):
+    from raydedup.pipelines.curation import (
+        N_PROBES,
+        PROBE_MIN_CHARS,
+        decontaminate,
+        _probe_list,
+    )
+
+    probes = _probe_list(SF)
+    assert len(probes) == N_PROBES
+    df = decontaminate(SF).to_pandas().set_index("doc_id")
+    src = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    # the probe source docs must flag themselves (each contains its prefix)
+    probe_ids = (
+        src[src.n_chars >= PROBE_MIN_CHARS].nsmallest(N_PROBES, "doc_id")["doc_id"].tolist()
+    )
+    assert (df.loc[probe_ids, "contaminated"] == 1).all()
+    # n_hits is an exact per-probe indicator sum
+    exp = src.set_index("doc_id")["text"].fillna("").map(
+        lambda t: sum(p in t for p in probes)
+    )
+    assert (df["n_hits"] == exp).all()
+
+
+def test_train_split_deterministic_and_complete(ray_session):
+    from raydedup.pipelines.curation import train_split
+
+    a = train_split(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = train_split(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # stable across runs
+    assert set(a["split"].unique()) <= {"train", "valid", "test"}
+    n = len(a)
+    frac_train = (a["split"] == "train").mean()
+    assert 0.6 < frac_train < 0.95  # ≈ 204/256, loose at n=500
+    assert a.doc_id.is_unique and n == 500
+
+
+def test_distinct_counts_exact(ray_session):
+    from raydedup.pipelines.curation import distinct_counts
+
+    row = distinct_counts(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    assert row["n_users"] == ev["user_id"].nunique()
+    assert row["n_event_types"] == ev["event_type"].nunique()
+
+
+def test_pii_scrub_counts_and_redaction():
+    # kernel-level check on crafted rows (the sf corpus may contain no PII)
+    from raydedup.pipelines.curation import EMAIL_RE, LONGNUM_RE
+
+    s = pd.Series(["contact a@b.com or c.d+x@e.org, id 1234567", "clean", None])
+    n_em = s.fillna("").str.count(EMAIL_RE)
+    assert list(n_em) == [2, 0, 0]
+    n_num = s.fillna("").str.count(LONGNUM_RE)
+    assert list(n_num) == [1, 0, 0]
+    clean = (
+        s.fillna("")
+        .str.replace(EMAIL_RE, "<EMAIL>", regex=True)
+        .str.replace(LONGNUM_RE, "<NUM>", regex=True)
+    )
+    assert clean[0] == "contact <EMAIL> or <EMAIL>, id <NUM>"
+
+
+def test_pii_scrub_preserves_rows(ray_session):
+    from raydedup.pipelines.curation import pii_scrub
+
+    df = pii_scrub(SF).to_pandas()
+    assert len(df) == 500 and df.doc_id.is_unique
+    assert (df["n_emails"] >= 0).all() and (df["n_longnums"] >= 0).all()
+
+
+def test_label_centroids_match_numpy(ray_session):
+    from raydedup.pipelines.curation import _QSCALE, label_centroids
+
+    df = label_centroids(SF).to_pandas().set_index(["label", "dim"]).sort_index()
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    lab = t["label"].to_numpy()
+    emb = np.vstack(t["embedding"].to_pylist()).astype(np.float64)
+    q = np.floor(emb * _QSCALE).astype(np.int64)
+    for ulab in np.unique(lab):
+        m = lab == ulab
+        exp = q[m].sum(axis=0)
+        got = df.loc[int(ulab)]["sum_q"].to_numpy()
+        assert (got == exp).all()
+        assert (df.loc[int(ulab)]["n"] == m.sum()).all()
+
+
+def test_export_partitioned_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raydedup.pipelines.curation import export_partitioned
+
+    out = str(tmp_path / "docs_by_lang")
+    export_partitioned(SF, out, by="lang")
+    src = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    # hive layout: one directory per lang value, independently addressable
+    parts = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert parts == sorted(f"lang={v}" for v in src["lang"].unique())
+    back = rd.read_parquet(out).to_pandas()
+    assert len(back) == len(src)
+    assert sorted(back["doc_id"]) == sorted(src["doc_id"])
