@@ -73,11 +73,24 @@ def decontaminate(sf_dir: str):
     probes_ref = ray.put(_probe_list(sf_dir))
 
     def scan(df: pd.DataFrame) -> pd.DataFrame:
+        import re
+
         probes = ray.get(probes_ref)
         text = df["text"].fillna("")
         n_hits = np.zeros(len(df), dtype=np.int64)
-        for p in probes:
-            n_hits += text.str.contains(p, regex=False).to_numpy()
+        if probes:
+            # one combined-alternation pass prunes to candidate rows, then
+            # the per-probe indicator loop runs only on those — with large
+            # probe sets and low contamination rates the scan stays ~one
+            # regex pass per batch instead of one pass per probe
+            any_probe = re.compile("|".join(re.escape(p) for p in probes))
+            cand = text.str.contains(any_probe, regex=True).to_numpy()
+            if cand.any():
+                hit_text = text[cand]
+                hits = np.zeros(int(cand.sum()), dtype=np.int64)
+                for p in probes:
+                    hits += hit_text.str.contains(p, regex=False).to_numpy()
+                n_hits[cand] = hits
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
