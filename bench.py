@@ -102,7 +102,7 @@ def run_flagship(sf_dir: str, num_cpus: int, fresh: bool = True,
 
 def run_doc_queries(sf_dir: str) -> dict:
     """Headline document/embedding operators over the sf dir."""
-    from raydedup.pipelines import docdedup, docops, similarity
+    from raydedup.pipelines import curation, docdedup, docops, similarity
 
     out = {}
     # ngram-Jaccard runs with a tight document-frequency cap: this
@@ -120,6 +120,8 @@ def run_doc_queries(sf_dir: str) -> dict:
         ("q_user_sessions", docops.user_sessions),
         ("q_asof_attribution", docops.asof_attribution),
         ("q_tfidf_top_terms", docops.tfidf_top_terms),
+        ("q_decontaminate", curation.decontaminate),
+        ("q_label_centroids", curation.label_centroids),
     ]:
         t0 = time.time()
         res = fn(sf_dir)
