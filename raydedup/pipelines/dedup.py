@@ -87,14 +87,18 @@ def run_pipeline(
             store.read("signatures", ["conv_id", "minhash", "n_shingles"]), cfg
         ),
     )
-    mh_edges = store.stage(
+    # Each edge source is consumed exactly once (by the pair dedup below),
+    # so in memory mode they stay lazy and fuse into the pairs execution —
+    # three fewer executor/aggregator spin-ups per run.  Disk mode
+    # checkpoints each for finer-grained resume, as before.
+    mh_edges = store.lazy_stage(
         "pairs_minhash",
         lambda: verified_pairs(
             cands, store.read("signatures", ["conv_id", payload]), cfg
         ),
     )
-    sf_edges = store.stage("pairs_suffix", lambda: suffix_pairs(docs, cfg))
-    sh_edges = store.stage(
+    sf_edges = store.lazy_stage("pairs_suffix", lambda: suffix_pairs(docs, cfg))
+    sh_edges = store.lazy_stage(
         "pairs_simhash",
         lambda: simhash_pairs(
             store.read("signatures", ["conv_id", "simhash", "n_shingles"]), cfg

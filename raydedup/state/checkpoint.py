@@ -130,6 +130,26 @@ class CheckpointStore:
         return ds
 
 
+    def lazy_stage(self, name: str, compute_fn):
+        """Like ``stage`` but, in memory mode, returns the Dataset
+        UNMATERIALIZED — for stages consumed exactly once downstream,
+        where a stage-boundary materialization is pure overhead (the
+        consumer's execution pipelines this stage's operators instead of
+        paying a separate executor + shuffle-aggregator spin-up).  Disk
+        mode is unchanged: the stage checkpoints and resumes normally.
+        Never use for a stage with multiple consumers or one whose
+        consumer calls ``count``/``take_all`` on it more than once."""
+        import hashlib
+
+        if self.mode != "memory":
+            return self.stage(name, compute_fn)
+        ds = compute_fn()
+        self.events.append({"stage": name, "action": "fused", "rows": 0, "sec": 0.0})
+        self.lineage = hashlib.sha256(
+            f"{self.lineage}|{name}|{self.config_hash}".encode()
+        ).hexdigest()[:16]
+        return ds
+
     def partitioned_map_stage(self, name: str, input_name: str, make_ds_fn, n_parts: int):
         """Per-partition resumable *narrow* stage (map-only, no shuffle)
         over the files of an upstream checkpoint.
