@@ -176,13 +176,13 @@ def run_pipeline(
     # stage, off by default)
     artifacts = None
     if cfg.emit_artifacts:
-        artifacts = store.stage("artifacts", lambda: _artifact_table(store, cfg))
+        artifacts = store.lazy_stage("artifacts", lambda: _artifact_table(store, cfg))
 
     # quarantine partition (S9 analog: the corrupted-list writer,
     # duplicate_face.py:136-140) — resumable like every stage.  The
     # returned handles matter in memory mode, where no <out>/quarantine
     # (or artifacts) directory exists to read back.
-    quarantine = store.stage(
+    quarantine = store.lazy_stage(
         "quarantine",
         lambda: store.read("clusters").filter(
             expr="status == 'corrupted' or status == 'no_content'"
