@@ -63,9 +63,12 @@ def minhash_doc_clusters(sf_dir: str, cfg: DedupConfig | None = None):
     docs = documents_as_docs(sf_dir)
     sigs = compute_signatures(docs, cfg).materialize()
     cands = candidate_pairs(sigs, cfg).materialize()
-    edges = verified_pairs(cands, sigs, cfg).materialize()
+    # edges feed connected_components exactly once (it contracts and
+    # materializes internally), so no barrier here; the join side reads
+    # conv_id from the materialized sigs instead of recomputing docs
+    edges = verified_pairs(cands, sigs, cfg)
     labels, _ = connected_components(edges, cfg)
-    joined = docs.select_columns(["conv_id"]).join(
+    joined = sigs.select_columns(["conv_id"]).join(
         labels,
         join_type="left_outer",
         num_partitions=cfg.num_partitions,
@@ -167,7 +170,8 @@ def incremental_dedup(sf_dir: str, cfg: DedupConfig | None = None):
         sigs, cfg,
         pair_mask_fn=lambda a, b: is_new_mask(a) | is_new_mask(b),
     ).materialize()
-    edges = verified_pairs(new_cands, sigs, cfg).materialize()
+    # consumed once by connected_components — no barrier needed
+    edges = verified_pairs(new_cands, sigs, cfg)
     labels, _ = connected_components(edges, cfg)
 
     assigned_schema = pa.schema(
@@ -218,7 +222,7 @@ def incremental_dedup(sf_dir: str, cfg: DedupConfig | None = None):
             schema=assigned_schema,
         )
 
-    defaults = docs.select_columns(["conv_id"]).map_batches(
+    defaults = sigs.select_columns(["conv_id"]).map_batches(
         new_defaults, batch_format="pandas"
     )
 
