@@ -17,6 +17,7 @@ operators are the engine's beyond-parity additions for LLM-corpus work.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -33,6 +34,16 @@ _P = 8  # hash partitions for sf-scale correctness runs (cluster: ~cores)
 PROBE_LEN = 40
 N_PROBES = 5
 PROBE_MIN_CHARS = 80
+
+
+@lru_cache(maxsize=8)
+def _cached_probe_regex(probes: tuple):
+    """Per-worker-process compile cache (cf. the minhasher cache in
+    ``stages/signatures.py``): a multi-thousand-alternative pattern is
+    compiled once per worker, not once per batch."""
+    import re
+
+    return re.compile("|".join(re.escape(p) for p in probes))
 
 
 def _probe_list(sf_dir: str) -> list:
@@ -73,8 +84,6 @@ def decontaminate(sf_dir: str):
     probes_ref = ray.put(_probe_list(sf_dir))
 
     def scan(df: pd.DataFrame) -> pd.DataFrame:
-        import re
-
         probes = ray.get(probes_ref)
         text = df["text"].fillna("")
         n_hits = np.zeros(len(df), dtype=np.int64)
@@ -83,7 +92,7 @@ def decontaminate(sf_dir: str):
             # the per-probe indicator loop runs only on those — with large
             # probe sets and low contamination rates the scan stays ~one
             # regex pass per batch instead of one pass per probe
-            any_probe = re.compile("|".join(re.escape(p) for p in probes))
+            any_probe = _cached_probe_regex(tuple(probes))
             cand = text.str.contains(any_probe, regex=True).to_numpy()
             if cand.any():
                 hit_text = text[cand]
@@ -133,34 +142,50 @@ def train_split(sf_dir: str):
 
 
 # -------------------------------------------------------- distinct counts
-def _distinct_count(ds, col: str) -> int:
-    """Exact global COUNT(DISTINCT col): per-block unique (the partial
-    combiner — shuffle volume ∝ distinct-per-block, not rows), one hash
-    shuffle on the value, per-block unique again, metadata count."""
-
-    def uniq(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({col: df[col].unique()})
-
-    deduped = keyed_blocks(
-        ds.map_batches(uniq, batch_format="pandas"), [col], _P
-    ).map_batches(uniq, batch_size=None, batch_format="pandas")
-    return deduped.count()
-
-
 def distinct_counts(sf_dir: str) -> pd.DataFrame:
-    """One row: exact distinct cardinalities over the events table."""
+    """One row: exact distinct cardinalities over the events table.
+
+    One scan, one shuffle: each block emits its distinct values for BOTH
+    columns as tagged ``(col, value)`` string rows (the partial combiner —
+    shuffle volume ∝ distinct-per-block, not rows), one hash shuffle on
+    the tagged value co-locates duplicates, a per-block unique + count
+    yields tiny per-column partial counts the driver sums.  NULLs are
+    dropped to match ``COUNT(DISTINCT)`` semantics.
+    """
     import ray.data as rd
 
     from raydedup.ray_utils import ensure_hash_shuffle
 
     ensure_hash_shuffle()  # before read_parquet: the context binds at creation
-    users = _distinct_count(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]), "user_id"
+
+    def tagged_uniques(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for col in ("user_id", "event_type"):
+            vals = df[col].dropna().unique()
+            frames.append(pd.DataFrame({"col": col, "val": vals.astype(str)}))
+        return pd.concat(frames, ignore_index=True)
+
+    def count_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["col", "val"]).groupby("col", sort=False).size()
+        return pd.DataFrame({"col": g.index.to_numpy(), "n": g.to_numpy(np.int64)})
+
+    parts = (
+        keyed_blocks(
+            rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+            .map_batches(tagged_uniques, batch_format="pandas"),
+            ["col", "val"],
+            _P,
+        )
+        .map_batches(count_block, batch_size=None, batch_format="pandas")
+        .to_pandas()  # ≤ 2 rows per partition
     )
-    types = _distinct_count(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"]), "event_type"
+    totals = parts.groupby("col")["n"].sum()
+    return pd.DataFrame(
+        {
+            "n_users": [np.int64(totals.get("user_id", 0))],
+            "n_event_types": [np.int64(totals.get("event_type", 0))],
+        }
     )
-    return pd.DataFrame({"n_users": [np.int64(users)], "n_event_types": [np.int64(types)]})
 
 
 # ------------------------------------------------------------ PII scrub
@@ -218,14 +243,24 @@ def label_centroids(sf_dir: str):
     """
     import ray.data as rd
 
+    empty_partial = pd.DataFrame(
+        {
+            "label": pd.Series([], dtype=np.int64),
+            "dim": pd.Series([], dtype=np.int64),
+            "sum_q": pd.Series([], dtype=np.int64),
+            "n": pd.Series([], dtype=np.int64),
+        }
+    )
+
     def partial(t: pa.Table) -> pd.DataFrame:
         lab = np.asarray(t["label"], dtype=np.int64)
+        if len(lab) == 0:
+            return empty_partial
         col = t["embedding"].combine_chunks() if isinstance(t["embedding"], pa.ChunkedArray) else t["embedding"]
-        if isinstance(col, pa.FixedSizeListArray):
-            flat = col.values
-        else:
-            flat = col.flatten()
-        dim = len(flat) // max(1, len(lab))
+        # flatten() honors slice offsets for both list and fixed-size-list
+        # (Array.values would ignore them)
+        flat = col.flatten()
+        dim = len(flat) // len(lab)
         emb = flat.to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
         q = np.floor(emb * _QSCALE).astype(np.int64)
         ulab, inv = np.unique(lab, return_inverse=True)

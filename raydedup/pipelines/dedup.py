@@ -192,6 +192,8 @@ def run_pipeline(
     # stage counters → metrics parquet (analog of the reference's summary
     # panel, duplicate_face.py:234-248), incl. per-status counts (A4)
     for ev in store.events:
+        if ev["action"] == "fused":
+            continue  # no standalone rows/timing: pipelined into its consumer
         metrics.add(ev["stage"], f"rows_{ev['action']}", ev["rows"])
         if "sec" in ev:
             metrics.add(ev["stage"], "wall_ms", int(ev["sec"] * 1000))

@@ -138,13 +138,17 @@ class CheckpointStore:
         paying a separate executor + shuffle-aggregator spin-up).  Disk
         mode is unchanged: the stage checkpoints and resumes normally.
         Never use for a stage with multiple consumers or one whose
-        consumer calls ``count``/``take_all`` on it more than once."""
+        consumer calls ``count``/``take_all`` on it more than once.
+        In memory mode the stage is NOT registered in the in-memory store,
+        so ``store.read(name)`` raises KeyError — consumers must use the
+        returned handle.  Fused events carry no row count or timing
+        (``rows=-1``); metrics consumers skip them."""
         import hashlib
 
         if self.mode != "memory":
             return self.stage(name, compute_fn)
         ds = compute_fn()
-        self.events.append({"stage": name, "action": "fused", "rows": 0, "sec": 0.0})
+        self.events.append({"stage": name, "action": "fused", "rows": -1})
         self.lineage = hashlib.sha256(
             f"{self.lineage}|{name}|{self.config_hash}".encode()
         ).hexdigest()[:16]
