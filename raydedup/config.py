@@ -94,6 +94,14 @@ class DedupConfig:
     # right choice for runs whose outputs are consumed immediately.
     checkpoint_mode: str = "disk"
 
+    # In memory mode, the three edge stages (minhash/suffix/simhash) fuse
+    # into the pair-dedup execution when the corpus has at most this many
+    # docs: small runs save three executor/aggregator spin-ups.  Above it
+    # they materialize one at a time — fusing makes their shuffles run
+    # CONCURRENTLY, and at 12M-turn scale the ~3× peak object-store
+    # footprint spills and costs ~25% wall (measured, BASELINE.md).
+    fuse_edges_max_docs: int = 100_000
+
     # optional artifact sink (S11 analog: the reference saves every
     # detected face crop, face_recognition_custom.py:95-100): per-doc
     # extracted-feature debug table written under <out>/artifacts

@@ -88,17 +88,24 @@ def run_pipeline(
         ),
     )
     # Each edge source is consumed exactly once (by the pair dedup below),
-    # so in memory mode they stay lazy and fuse into the pairs execution —
-    # three fewer executor/aggregator spin-ups per run.  Disk mode
-    # checkpoints each for finer-grained resume, as before.
-    mh_edges = store.lazy_stage(
+    # so on small memory-mode runs they stay lazy and fuse into the pairs
+    # execution — three fewer executor/aggregator spin-ups.  The fusion is
+    # size-gated (cfg.fuse_edges_max_docs): fused edge shuffles run
+    # concurrently, and at 12M-turn scale the ~3× peak object-store
+    # footprint spills and costs more than the spin-ups save.  Disk mode
+    # checkpoints each for finer-grained resume, as before.  The docs
+    # count is metadata on a materialized/checkpointed dataset, not an
+    # execution.
+    fuse = cfg.checkpoint_mode == "memory" and docs.count() <= cfg.fuse_edges_max_docs
+    edge_stage = store.lazy_stage if fuse else store.stage
+    mh_edges = edge_stage(
         "pairs_minhash",
         lambda: verified_pairs(
             cands, store.read("signatures", ["conv_id", payload]), cfg
         ),
     )
-    sf_edges = store.lazy_stage("pairs_suffix", lambda: suffix_pairs(docs, cfg))
-    sh_edges = store.lazy_stage(
+    sf_edges = edge_stage("pairs_suffix", lambda: suffix_pairs(docs, cfg))
+    sh_edges = edge_stage(
         "pairs_simhash",
         lambda: simhash_pairs(
             store.read("signatures", ["conv_id", "simhash", "n_shingles"]), cfg
