@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_counts": curation.distinct_counts,
         "q_pii_scrub": curation.pii_scrub,
         "q_label_centroids": curation.label_centroids,
+        "q_sample_per_lang": curation.sample_per_group,
+        # suffix-array long-repeat pass standalone (deterministic,
+        # winnowing-based → no SQL twin)
+        "q_suffix_doc_pairs": docdedup.suffix_doc_pairs,
     }
 
 
@@ -553,6 +557,17 @@ def oracle_sql() -> dict[str, str]:
                      regexp_replace(COALESCE(text,''), '{_CUR.EMAIL_RE}', '<EMAIL>', 'g'),
                      '{_CUR.LONGNUM_RE}', '<NUM>', 'g') AS clean_text
             FROM documents
+        """,
+        "q_sample_per_lang": """
+            WITH r AS (
+              SELECT lang, doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rnk
+              FROM documents
+            )
+            SELECT lang, doc_id, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 2
         """,
         # 2^20 fixed-point scale: float32→float64 products are exact, so
         # floor() agrees bit-for-bit between numpy and DuckDB

@@ -303,6 +303,64 @@ def label_centroids(sf_dir: str):
     )
 
 
+# -------------------------------------------------- per-group sampling
+def sample_per_group(sf_dir: str, k: int = 2):
+    """(lang, doc_id, rnk): a deterministic ``k``-doc sample per language,
+    ordered by md5 of the doc id — the distributed analog of
+    ``ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(id), id)``:
+    content-free, stable across runs and partitionings, the property an
+    eval-set / inspection sample needs.
+
+    Scale shape (cf. ``docops.top_docs_per_group``): every block pre-prunes
+    to its local top-``k`` per lang, so the hash shuffle on ``lang`` moves
+    ≤ blocks × langs × k rows, never the corpus.
+    """
+    import ray.data as rd
+
+    def _key(ids: np.ndarray) -> pd.Series:
+        return pd.Series([hashlib.md5(str(i).encode()).hexdigest() for i in ids])
+
+    def _empty():
+        return pd.DataFrame(
+            {
+                "lang": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "sk": pd.Series([], dtype=object),
+            }
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return _empty()
+        df = df.assign(sk=_key(df["doc_id"].to_numpy(dtype=np.int64)))
+        df = df.sort_values(["lang", "sk", "doc_id"], kind="stable")
+        return df.groupby("lang", sort=False).head(k)[["lang", "doc_id", "sk"]]
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype=object),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "rnk": pd.Series([], dtype=np.int64),
+                }
+            )
+        df = df.sort_values(["lang", "sk", "doc_id"], kind="stable")
+        df = df.groupby("lang", sort=False).head(k).reset_index(drop=True)
+        df["rnk"] = df.groupby("lang", sort=False).cumcount().to_numpy() + 1
+        return df[["lang", "doc_id", "rnk"]].astype({"doc_id": np.int64, "rnk": np.int64})
+
+    from raydedup.ray_utils import ensure_hash_shuffle
+
+    ensure_hash_shuffle()  # before read_parquet: the context binds at creation
+    partials = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(partial, batch_format="pandas")
+    return keyed_blocks(partials, ["lang"], 4).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
 # ------------------------------------------------------- partitioned sink
 def export_partitioned(sf_dir: str, out_dir: str, by: str = "lang"):
     """Write the documents table as hive-partitioned Parquet

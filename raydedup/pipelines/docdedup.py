@@ -123,6 +123,31 @@ def cluster_report(sf_dir: str, cfg: DedupConfig | None = None, sample: int = 3)
     )
 
 
+def suffix_doc_pairs(sf_dir: str, cfg: DedupConfig | None = None):
+    """Exact long-repeat pairs over documents: (a, b) linked by a shared
+    verbatim span longer than the winnowing window — the suffix-array
+    substring pass (flagship stage ``stages/suffix.py``) exposed
+    standalone over the flat corpus.  Edges may repeat across shared
+    fingerprints inside the stage, so one (a, b) shuffle dedups here.
+    Deterministic, not SQL-expressible → rows-only driver check."""
+    from raydedup.ray_utils import keyed_blocks
+    from raydedup.stages.suffix import suffix_pairs
+
+    cfg = cfg or _doc_config()
+    raw = suffix_pairs(documents_as_docs(sf_dir), cfg)
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)}
+            )
+        return df.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    return keyed_blocks(raw, ["a", "b"], cfg.num_partitions).map_batches(
+        dedup, batch_size=None, batch_format="pandas"
+    )
+
+
 def minhash_doc_signatures(sf_dir: str, cfg: DedupConfig | None = None):
     """Per-document MinHash + SimHash signature table (conv_id, simhash,
     n_shingles) — the sketch table other pipelines join against."""

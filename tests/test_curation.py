@@ -98,6 +98,42 @@ def test_label_centroids_match_numpy(ray_session):
         assert (df.loc[int(ulab)]["n"] == m.sum()).all()
 
 
+def test_sample_per_group_deterministic_and_bounded(ray_session):
+    from raydedup.pipelines.curation import sample_per_group
+
+    a = sample_per_group(SF).to_pandas().sort_values(["lang", "rnk"]).reset_index(drop=True)
+    b = sample_per_group(SF).to_pandas().sort_values(["lang", "rnk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    src = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    sizes = src.groupby("lang").size()
+    for lang, grp in a.groupby("lang"):
+        assert len(grp) == min(2, sizes[lang])
+        assert sorted(grp["rnk"]) == list(range(1, len(grp) + 1))
+
+
+def test_suffix_doc_pairs_share_long_span(ray_session):
+    from raydedup.config import DedupConfig
+    from raydedup.functions.textnorm import normalize_array
+    from raydedup.pipelines.docdedup import suffix_doc_pairs
+
+    import pyarrow as pa
+
+    df = suffix_doc_pairs(SF).to_pandas()
+    assert not df.duplicated(["a", "b"]).any()
+    if len(df) == 0:
+        pytest.skip("no long repeats in fixture")
+    src = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    norm = pd.Series(
+        normalize_array(pa.array(src["text"].fillna(""), pa.string())).to_pylist(),
+        index="doc-" + src["doc_id"].map("{:010d}".format),
+    )
+    w = DedupConfig().suffix_window
+    for _, row in df.iterrows():
+        ta, tb = norm[row["a"]], norm[row["b"]]
+        grams_a = {ta[i : i + w] for i in range(len(ta) - w + 1)}
+        assert any(tb[i : i + w] in grams_a for i in range(len(tb) - w + 1))
+
+
 def test_export_partitioned_roundtrip(ray_session, tmp_path):
     import ray.data as rd
 
