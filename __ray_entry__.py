@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pii_scrub": curation.pii_scrub,
         "q_label_centroids": curation.label_centroids,
         "q_sample_per_lang": curation.sample_per_group,
+        "q_events_profile": curation.events_profile,
         # suffix-array long-repeat pass standalone (deterministic,
         # winnowing-based → no SQL twin)
         "q_suffix_doc_pairs": docdedup.suffix_doc_pairs,
@@ -557,6 +558,18 @@ def oracle_sql() -> dict[str, str]:
                      regexp_replace(COALESCE(text,''), '{_CUR.EMAIL_RE}', '<EMAIL>', 'g'),
                      '{_CUR.LONGNUM_RE}', '<NUM>', 'g') AS clean_text
             FROM documents
+        """,
+        # floor on the identical float64 product agrees bit-for-bit
+        # between numpy and DuckDB (round would differ on half cases)
+        "q_events_profile": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_user,
+                   CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_type,
+                   CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+                   ROUND(MIN(value), 6) AS min_value,
+                   ROUND(MAX(value), 6) AS max_value,
+                   CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM events
         """,
         "q_sample_per_lang": """
             WITH r AS (

@@ -303,6 +303,58 @@ def label_centroids(sf_dir: str):
     )
 
 
+# ------------------------------------------------------- data profiling
+def events_profile(sf_dir: str) -> pd.DataFrame:
+    """One row of data-quality stats over the events table: row count,
+    per-column null counts, and integer-exact value aggregates
+    (``sum_value_cents`` = sum of floor(value·100) as int64 — float sums
+    are order-dependent, and floor on the identical float64 product
+    agrees bit-for-bit between numpy and DuckDB, where round would not).
+
+    Pure partial-aggregate shape: every block emits one tiny stats row,
+    the driver folds them — no shuffle at all, the cheapest possible
+    full-scan profile (the pattern a schema-validation gate runs before
+    committing a 100-TB ingest).
+    """
+    import ray.data as rd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        val = df["value"]
+        ok = val.notna()
+        return pd.DataFrame(
+            {
+                "n_rows": [np.int64(len(df))],
+                "n_null_user": [np.int64(df["user_id"].isna().sum())],
+                "n_null_type": [np.int64(df["event_type"].isna().sum())],
+                "n_null_value": [np.int64((~ok).sum())],
+                "min_value": [val[ok].min() if ok.any() else np.nan],
+                "max_value": [val[ok].max() if ok.any() else np.nan],
+                "sum_value_cents": [
+                    np.int64(np.floor(val[ok].to_numpy(np.float64) * 100.0).sum())
+                ],
+            }
+        )
+
+    parts = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+        )
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()  # one row per block
+    )
+    return pd.DataFrame(
+        {
+            "n_rows": [np.int64(parts["n_rows"].sum())],
+            "n_null_user": [np.int64(parts["n_null_user"].sum())],
+            "n_null_type": [np.int64(parts["n_null_type"].sum())],
+            "n_null_value": [np.int64(parts["n_null_value"].sum())],
+            "min_value": [np.round(parts["min_value"].min(), 6)],
+            "max_value": [np.round(parts["max_value"].max(), 6)],
+            "sum_value_cents": [np.int64(parts["sum_value_cents"].sum())],
+        }
+    )
+
+
 # -------------------------------------------------- per-group sampling
 def sample_per_group(sf_dir: str, k: int = 2):
     """(lang, doc_id, rnk): a deterministic ``k``-doc sample per language,

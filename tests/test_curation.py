@@ -98,6 +98,20 @@ def test_label_centroids_match_numpy(ray_session):
         assert (df.loc[int(ulab)]["n"] == m.sum()).all()
 
 
+def test_events_profile_matches_pandas(ray_session):
+    from raydedup.pipelines.curation import events_profile
+
+    row = events_profile(SF).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    assert row["n_rows"] == len(ev)
+    assert row["n_null_value"] == ev["value"].isna().sum()
+    assert row["min_value"] == round(ev["value"].min(), 6)
+    assert row["max_value"] == round(ev["value"].max(), 6)
+    assert row["sum_value_cents"] == int(
+        np.floor(ev["value"].dropna().to_numpy(np.float64) * 100.0).sum()
+    )
+
+
 def test_sample_per_group_deterministic_and_bounded(ray_session):
     from raydedup.pipelines.curation import sample_per_group
 
