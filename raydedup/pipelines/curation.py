@@ -1,7 +1,8 @@
 """Corpus-curation operators a large-scale training-data pipeline needs
 beyond dedup: benchmark decontamination, deterministic train/val/test
 splits, global distinct counts, PII scrubbing, per-label embedding
-centroids, and a partition-aware export sink.
+centroids, data-quality profiling, per-group deterministic sampling, and
+a partition-aware export sink.
 
 Each operator follows the engine's standard patterns (see ``docops``):
 vectorized ``map_batches`` for per-row work, partial-aggregate → one small
