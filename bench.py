@@ -189,8 +189,16 @@ def main_scaling():
     # boundaries in the object store, no shared-disk checkpoint writes
     # (the dominant non-scaling resource on this single-node proxy)
     mode = os.environ.get("RAYDEDUP_SCALE_MODE", "disk")
+    # RAYDEDUP_SCALE_CPUS="small,large" picks the N / 4N proxy pair.  The
+    # default 8,32 saturates every VM core on the large leg; on an
+    # oversubscribed shared host that exposes only the large leg to
+    # noisy-neighbor steal (the small leg's idle cores concentrate the
+    # VM's physical shares), deflating measured efficiency.  4,16 leaves
+    # headroom on both legs and is the cleaner proxy on a noisy host.
+    pair = os.environ.get("RAYDEDUP_SCALE_CPUS", "8,32")
+    cpu_small, cpu_large = (int(x) for x in pair.split(","))
     results = {}
-    for cpus in (8, 32):
+    for cpus in (cpu_small, cpu_large):
         best = None
         for _attempt in range(attempts):
             code = (
@@ -218,25 +226,27 @@ def main_scaling():
             if best is None or r["sec"] < best["sec"]:
                 best = r
         results[cpus] = best
-    t8, t32 = results[8]["turns_per_sec"], results[32]["turns_per_sec"]
-    eff = (t32 / t8) / (32 / 8)
+    t8, t32 = results[cpu_small]["turns_per_sec"], results[cpu_large]["turns_per_sec"]
+    eff = (t32 / t8) / (cpu_large / cpu_small)
     # per-stage efficiency decomposition: stage wall at 8 cpus / (4 × wall
     # at 32 cpus) — isolates which stages are CPU-bound (≈1.0) vs bounded
     # by the shared disk / fixed per-execution costs this single-node
     # sandbox cannot scale (see BASELINE.md caveats)
     stage_eff = {}
-    s8, s32 = results[8].get("stages", {}), results[32].get("stages", {})
+    s8 = results[cpu_small].get("stages", {})
+    s32 = results[cpu_large].get("stages", {})
+    ratio = cpu_large / cpu_small
     for k in s32:
         if k in s8 and s32[k] > 0:
-            stage_eff[k] = round(s8[k] / (4 * s32[k]), 3)
+            stage_eff[k] = round(s8[k] / (ratio * s32[k]), 3)
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (num_cpus 8 -> 32, same input)",
+                "metric": f"scaling efficiency (num_cpus {cpu_small} -> {cpu_large}, same input)",
                 "value": round(eff, 3),
                 "unit": "efficiency",
-                "throughput_8": t8,
-                "throughput_32": t32,
+                f"throughput_{cpu_small}": t8,
+                f"throughput_{cpu_large}": t32,
                 "stage_efficiency": stage_eff,
                 "checkpoint_mode": mode,
                 "detail": results,
