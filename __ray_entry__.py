@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_label_centroids": curation.label_centroids,
         "q_sample_per_lang": curation.sample_per_group,
         "q_events_profile": curation.events_profile,
+        # HyperLogLog sketch (estimate is sketch-defined → no SQL twin;
+        # pytest bounds the error vs the exact count)
+        "q_approx_distinct_users": curation.approx_distinct_users,
         # suffix-array long-repeat pass standalone (deterministic,
         # winnowing-based → no SQL twin)
         "q_suffix_doc_pairs": docdedup.suffix_doc_pairs,

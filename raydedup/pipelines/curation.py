@@ -304,6 +304,60 @@ def label_centroids(sf_dir: str):
     )
 
 
+# ---------------------------------------------------- approximate distinct
+_HLL_P = 14  # 2^14 registers → ~0.8% standard error
+
+
+def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """One row (estimate:int64): HyperLogLog cardinality of ``user_id`` —
+    the sketch path for when :func:`distinct_counts`' value shuffle is too
+    expensive (billions of distinct keys).  Each block reduces to a
+    16 KiB register array (mergeable partial: elementwise max), the driver
+    folds blocks; no shuffle, bounded driver state, one scan.
+
+    Standard HLL (Flajolet et al. 2007 public algorithm) with the small-
+    range linear-counting correction; splitmix64 over the int64 ids is the
+    engine's standard stateless hash.  Rows-only driver check (no SQL
+    twin: the estimate is sketch-defined); pytest bounds the relative
+    error against the exact count.
+    """
+    import ray.data as rd
+
+    from raydedup.functions.hashing import splitmix64
+
+    m = 1 << _HLL_P
+
+    def registers(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["user_id"].dropna().to_numpy(np.int64).astype(np.uint64)
+        reg = np.zeros(m, dtype=np.int8)
+        if len(ids):
+            h = splitmix64(ids)
+            idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+            rest = (h << np.uint64(_HLL_P)) | np.uint64((1 << _HLL_P) - 1)
+            # rho = leading zeros of the remaining bits + 1, via bit_length
+            lz = np.zeros(len(rest), dtype=np.int8)
+            v = rest.copy()
+            for shift in (32, 16, 8, 4, 2, 1):  # branchless clz over uint64
+                mask = v < (np.uint64(1) << np.uint64(64 - shift))
+                lz[mask] += shift
+                v[mask] = v[mask] << np.uint64(shift)
+            np.maximum.at(reg, idx, lz + 1)
+        return pd.DataFrame({"reg_id": np.arange(m, dtype=np.int64), "rho": reg})
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .map_batches(registers, batch_format="pandas")
+        .to_pandas()  # m rows per block, int8 — small driver fold
+    )
+    reg = parts.groupby("reg_id")["rho"].max().to_numpy(np.float64)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-reg))
+    zeros = int((reg == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear-counting small-range correction
+    return pd.DataFrame({"estimate": [np.int64(round(est))]})
+
+
 # ------------------------------------------------------- data profiling
 def events_profile(sf_dir: str) -> pd.DataFrame:
     """One row of data-quality stats over the events table: row count,

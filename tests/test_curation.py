@@ -112,6 +112,34 @@ def test_events_profile_matches_pandas(ray_session):
     )
 
 
+def test_approx_distinct_users_error_bounded(ray_session):
+    from raydedup.pipelines.curation import approx_distinct_users
+
+    est = int(approx_distinct_users(SF).iloc[0]["estimate"])
+    exact = pq.read_table(f"{SF}/events.parquet").to_pandas()["user_id"].nunique()
+    assert abs(est - exact) <= max(2, 0.05 * exact), (est, exact)
+
+
+def test_hll_register_kernel_exact_small():
+    # the clz ladder: rho(first-1-bit position) checked against int.bit_length
+    import numpy as np
+
+    from raydedup.functions.hashing import splitmix64
+
+    ids = np.arange(1000, dtype=np.uint64)
+    h = splitmix64(ids)
+    P = 14
+    rest = (h << np.uint64(P)) | np.uint64((1 << P) - 1)
+    lz = np.zeros(len(rest), dtype=np.int8)
+    v = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = v < (np.uint64(1) << np.uint64(64 - shift))
+        lz[mask] += shift
+        v[mask] = v[mask] << np.uint64(shift)
+    exp = np.array([64 - int(x).bit_length() for x in rest], dtype=np.int8)
+    assert (lz == exp).all()
+
+
 def test_sample_per_group_deterministic_and_bounded(ray_session):
     from raydedup.pipelines.curation import sample_per_group
 
