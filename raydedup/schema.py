@@ -46,12 +46,13 @@ SIGNATURES = pa.schema(
 )
 
 # LSH band rows: the distributed replacement for the driver-resident
-# known_face_encodings index (duplicate_face.py:147-148).
+# known_face_encodings index (duplicate_face.py:147-148).  ``bucket`` is
+# one mixed uint64 carrying (band_idx, band_hash, salt) — the minimal
+# shuffle key; ``sk`` orders over-cap buckets through signature space.
 BANDS = pa.schema(
     [
-        ("band_idx", pa.int32()),
-        ("band_hash", pa.uint64()),
-        ("salt", pa.int32()),
+        ("bucket", pa.uint64()),
+        ("sk", pa.uint64()),
         ("conv_id", pa.string()),
     ]
 )

@@ -3,7 +3,7 @@
 This replaces the reference's driver-resident linear-scan index
 (``known_face_encodings``, ``duplicate_face.py:57-82``, O(N·U) compares in
 one process's RAM) with data-parallel hash shuffles: signatures → band rows
-→ hash-repartition by ``(band_idx, band_hash, salt)`` → one vectorized
+→ hash-repartition by one mixed ``bucket`` uint64 key → one vectorized
 ``map_batches`` pass emits bounded candidate pairs per bucket (kernels in
 ``raydedup.functions.pairs``; no per-group tasks).
 
@@ -64,9 +64,7 @@ def make_band_rows(cfg: DedupConfig):
         if n == 0:
             return pa.table(
                 {
-                    "band_idx": pa.array([], pa.int32()),
-                    "band_hash": pa.array([], pa.uint64()),
-                    "salt": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.uint64()),
                     "sk": pa.array([], pa.uint64()),
                     "conv_id": pa.array([], pa.string()),
                 }
@@ -74,8 +72,15 @@ def make_band_rows(cfg: DedupConfig):
         sig = signature_matrix(batch, cfg.num_perm)  # (n, num_perm)
         grouped = sig.reshape(n, cfg.bands, cfg.rows)
         bh = (grouped * powers[None, None, :]).sum(axis=2, dtype=np.uint64)
-        bh = splitmix64(bh ^ band_mix[None, :])  # (n, bands)
-        salt = (splitmix64(sig[:, 0]) % np.uint64(cfg.salt_buckets)).astype(np.int32)
+        bh = splitmix64(bh ^ band_mix[None, :])  # (n, bands); band_idx mixed in
+        salt = splitmix64(sig[:, 0]) % np.uint64(cfg.salt_buckets)
+        # ONE uint64 shuffle key carrying (band, hash, salt): band_idx is
+        # already mixed into bh, the salt folds in here — 8 fewer bytes per
+        # band row through the widest shuffle, and equal signatures still
+        # share every bucket key.  A 64-bit collision between distinct
+        # buckets merely merges them (extra candidate pairs, verified
+        # away), never loses a pair.
+        bucket = splitmix64(bh ^ (salt + np.uint64(0x5A17))[:, None])
         # chain-ordering key for over-cap buckets: a secondary signature
         # element, so near-identical docs sort adjacently inside a capped
         # bucket and their chain edges survive exact verification
@@ -83,9 +88,7 @@ def make_band_rows(cfg: DedupConfig):
         conv = np.asarray(batch["conv_id"], dtype=object)
         return pa.table(
             {
-                "band_idx": pa.array(np.tile(np.arange(cfg.bands, dtype=np.int32), n)),
-                "band_hash": pa.array(bh.reshape(-1)),
-                "salt": pa.array(np.repeat(salt, cfg.bands)),
+                "bucket": pa.array(bucket.reshape(-1)),
                 "sk": pa.array(np.repeat(sk, cfg.bands)),
                 "conv_id": pa.array(np.repeat(conv, cfg.bands), pa.string()),
             }
@@ -108,18 +111,16 @@ def make_bucket_emitter(cfg: DedupConfig, pair_mask_fn=None):
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return _EMPTY_PAIRS
-        bi = df["band_idx"].to_numpy()
-        bh = df["band_hash"].to_numpy()
-        sa = df["salt"].to_numpy()
+        bk = df["bucket"].to_numpy()
         sk = df["sk"].to_numpy()
         cv = df["conv_id"].to_numpy(dtype=object)
         # members order by (sk, conv_id) inside each bucket: the capped
         # chain then runs through signature space, keeping near-identical
         # docs adjacent (duplicate members share sk, so the member dedup's
         # adjacency requirement still holds)
-        order = np.lexsort((cv, sk, sa, bh, bi))
-        bi, bh, sa, cv = bi[order], bh[order], sa[order], cv[order]
-        gid = group_ids_from_sorted(bi, bh, sa)
+        order = np.lexsort((cv, sk, bk))
+        bk, cv = bk[order], cv[order]
+        gid = group_ids_from_sorted(bk)
         keep = dedup_sorted_members(gid, cv)
         gid, cv = gid[keep], cv[keep]
         i, j, capped = emit_bucket_pairs(gid, cap)
@@ -169,7 +170,7 @@ def candidate_pairs(sigs_ds, cfg: DedupConfig, pair_mask_fn=None):
     ``make_bucket_emitter``) so unwanted pairs never enter the (a, b)
     shuffle."""
     bands = sigs_ds.map_batches(make_band_rows(cfg), batch_format="pyarrow", zero_copy_batch=True)
-    raw = keyed_blocks(bands, ["band_idx", "band_hash", "salt"], cfg.num_partitions).map_batches(
+    raw = keyed_blocks(bands, ["bucket"], cfg.num_partitions).map_batches(
         make_bucket_emitter(cfg, pair_mask_fn), batch_size=None, batch_format="pandas"
     )
     return keyed_blocks(raw, ["a", "b"], cfg.num_partitions).map_batches(
