@@ -57,10 +57,14 @@ def run_pipeline(
     )
     metrics = MetricsSink()
 
+    # prune at the read: reassembly needs 3 of the 6 transcript columns,
+    # and Ray does not push the downstream select_columns into the scan
     docs = store.stage(
         "docs",
         lambda: reassemble(
-            rd.read_parquet(input_path), cfg.num_partitions, cfg.min_doc_chars
+            rd.read_parquet(input_path, columns=["conv_id", "turn_idx", "text"]),
+            cfg.num_partitions,
+            cfg.min_doc_chars,
         ),
     )
     # the signature stage (the expensive narrow stage) checkpoints with
