@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ---
         "q_token_stats": docops.doc_token_stats,
         "q_quality_flags": docops.doc_quality_flags,
+        "q_repetition_stats": docops.doc_repetition_stats,
         "q_doc_fingerprint": docops.doc_fingerprint,
         "q_langid": docops.doc_langid,
         "q_bpe_tokens": docops.doc_bpe_tokens,
@@ -261,6 +262,39 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_fingerprint": (
             "SELECT doc_id, md5(COALESCE(text,'')) AS fp_md5 FROM documents"
         ),
+        # Gopher-style repetition metrics; token definition matches
+        # q_token_stats (regexp_split of trimmed text, empty -> 0 tokens)
+        "q_repetition_stats": r"""
+            WITH base AS (
+              SELECT doc_id, COALESCE(text,'') AS text FROM documents
+            ),
+            l AS (
+              SELECT doc_id,
+                     len(string_split(text, chr(10))) AS n_lines,
+                     len(string_split(text, chr(10)))
+                       - len(list_distinct(string_split(text, chr(10)))) AS n_dup_lines
+              FROM base
+            ),
+            toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+              FROM base WHERE len(trim(text)) > 0
+            ),
+            tc AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     CAST(MAX(c) AS BIGINT) AS top_token_n
+              FROM (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok)
+              GROUP BY doc_id
+            )
+            SELECT l.doc_id,
+                   CAST(l.n_lines AS BIGINT) AS n_lines,
+                   CAST(l.n_dup_lines AS BIGINT) AS n_dup_lines,
+                   COALESCE(tc.top_token_n, 0) AS top_token_n,
+                   CAST(CASE WHEN 10 * l.n_dup_lines <= 3 * l.n_lines
+                             AND (COALESCE(tc.n_tokens, 0) < 10
+                                  OR 5 * COALESCE(tc.top_token_n, 0) <= COALESCE(tc.n_tokens, 0))
+                        THEN 1 ELSE 0 END AS BIGINT) AS rep_keep
+            FROM l LEFT JOIN tc USING (doc_id)
+        """,
         # composed curation: quality gate -> exact dedup among survivors
         # (min doc_id per identical text) -> langid annotation
         "q_curated_docs": rf"""

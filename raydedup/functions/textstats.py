@@ -82,6 +82,59 @@ def langid(texts: pd.Series) -> np.ndarray:
     return out
 
 
+def repetition_stats(texts: pd.Series) -> dict:
+    """Gopher-style intra-document repetition counters (all integer-valued
+    so the DuckDB twin hash-matches exactly):
+
+    * ``n_lines``       — line count after splitting on ``\\n`` ('' → 1 line,
+                          matching ``len(string_split(text, chr(10)))``)
+    * ``n_dup_lines``   — lines minus distinct lines (boilerplate repeats)
+    * ``top_token_n``   — occurrences of the most frequent whitespace token
+                          (0 for empty docs)
+    * ``rep_keep``      — 1 iff duplicate-line fraction <= 0.3 AND (doc has
+                          <10 tokens OR the top token covers <= 20% of them)
+
+    Vectorized: one explode + groupby per metric, no per-row Python."""
+    t = texts.fillna("").reset_index(drop=True)
+    n = len(t)
+    n_tokens = token_counts(t)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return {"n_lines": z, "n_dup_lines": z, "top_token_n": z, "rep_keep": z}
+    lines = t.str.split("\n")
+    n_lines = lines.str.len().to_numpy(dtype=np.int64)
+    ex = lines.explode()
+    nd = ex.groupby(level=0).nunique()
+    n_distinct = np.zeros(n, dtype=np.int64)
+    n_distinct[nd.index.to_numpy(dtype=np.int64)] = nd.to_numpy(dtype=np.int64)
+    n_dup_lines = n_lines - n_distinct
+
+    stripped = t.str.strip()
+    toks = stripped[stripped.str.len() > 0].str.split(_WS).explode()
+    top_token_n = np.zeros(n, dtype=np.int64)
+    if len(toks):
+        cnt = (
+            pd.DataFrame(
+                {"row": toks.index.to_numpy(dtype=np.int64),
+                 "tok": toks.to_numpy(dtype=object)}
+            )
+            .groupby(["row", "tok"], sort=False)
+            .size()
+        )
+        top = cnt.groupby(level=0).max()
+        top_token_n[top.index.to_numpy(dtype=np.int64)] = top.to_numpy(dtype=np.int64)
+    rep_keep = (
+        (10 * n_dup_lines <= 3 * n_lines)
+        & ((n_tokens < 10) | (5 * top_token_n <= n_tokens))
+    ).astype(np.int64)
+    return {
+        "n_lines": n_lines,
+        "n_dup_lines": n_dup_lines,
+        "top_token_n": top_token_n,
+        "rep_keep": rep_keep,
+    }
+
+
 def md5_fingerprints(texts: pd.Series) -> list:
     """Whole-document md5 hex fingerprint; matches DuckDB ``md5(text)``."""
     return [hashlib.md5(("" if t is None else t).encode("utf-8")).hexdigest() for t in texts]

@@ -137,6 +137,28 @@ def doc_quality_flags(sf_dir: str, min_tokens: int = 5):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
 
 
+def doc_repetition_stats(sf_dir: str):
+    """(doc_id, n_lines, n_dup_lines, top_token_n, rep_keep) — Gopher-style
+    intra-document repetition quality metrics (duplicate-line fraction and
+    top-token concentration), the standard pretraining-corpus gate for
+    boilerplate/spam documents.  Pure vectorized map, no shuffle."""
+    from raydedup.functions.textstats import repetition_stats
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = repetition_stats(df["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_lines": out["n_lines"],
+                "n_dup_lines": out["n_dup_lines"],
+                "top_token_n": out["top_token_n"],
+                "rep_keep": out["rep_keep"],
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
 def doc_fingerprint(sf_dir: str):
     """(doc_id, fp_md5) — whole-document md5 fingerprint."""
 

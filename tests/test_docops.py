@@ -618,3 +618,53 @@ def test_tfidf_df_cap_drops_hot_tokens(ray_session):
     hot = {t for t, c in df_counts.items() if c > cap}
     assert hot  # the cap bites on this fixture
     assert not (set(got.tok) & hot)
+
+
+def test_repetition_stats_handcrafted(ray_session, tmp_path):
+    """Gopher-style repetition metrics on handcrafted docs, engine vs the
+    DuckDB twin and vs hand-computed expectations."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+    from raydedup.pipelines.docops import doc_repetition_stats
+
+    texts = [
+        "a b c\na b c\na b c\nunique line",     # 4 lines, 2 dups, top tok 'a'x3
+        "one two three four five six seven eight nine ten",  # clean long doc
+        "spam spam spam spam spam spam spam spam spam spam spam x",  # top-heavy
+        "",                                       # empty: 1 line, 0 tokens
+        "short doc",                              # <10 tokens: top-gate waived
+        None,                                     # null text == ''
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        d / "documents.parquet",
+    )
+    got = doc_repetition_stats(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # doc 0: 4 lines, 3 distinct -> 1 dup (10*1 <= 3*4 ok); 13 tokens? a,b,c x3 + unique line
+    assert got.loc[0, ["n_lines", "n_dup_lines", "top_token_n"]].tolist() == [4, 2, 3]
+    assert got.loc[0, "rep_keep"] == 0  # 10*2 > 3*4: duplicate-line gate fires
+    assert got.loc[1, ["n_lines", "n_dup_lines", "top_token_n", "rep_keep"]].tolist() == [1, 0, 1, 1]
+    assert got.loc[2, "top_token_n"] == 11
+    assert got.loc[2, "rep_keep"] == 0  # 5*11 > 12 tokens
+    assert got.loc[3, ["n_lines", "n_dup_lines", "top_token_n", "rep_keep"]].tolist() == [1, 0, 0, 1]
+    assert got.loc[4, "rep_keep"] == 1  # 2 tokens < 10: concentration gate waived
+    assert got.loc[5, ["n_lines", "top_token_n", "rep_keep"]].tolist() == [1, 0, 1]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    exp = (
+        con.execute(entry.oracle_sql()["q_repetition_stats"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    cols = ["doc_id", "n_lines", "n_dup_lines", "top_token_n", "rep_keep"]
+    assert (got[cols].values == exp[cols].values).all()
