@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # temporal operators (engine surface beyond reference parity):
         # tumbling-window counts + gap-based sessionization
         "q_events_by_window": docops.events_by_window,
+        "q_events_by_hopping_window": docops.events_by_hopping_window,
         "q_user_sessions": docops.user_sessions,
         "q_asof_attribution": docops.asof_attribution,
         "q_dup_size_histogram": docops.dup_size_histogram,
@@ -363,6 +364,19 @@ def oracle_sql() -> dict[str, str]:
             "AS window_start, event_type, COUNT(*) AS n_events "
             "FROM events GROUP BY 1, 2"
         ),
+        # hopping window (size 2h, hop 1h): each event lands in 2 windows
+        "q_events_by_hopping_window": """
+            WITH e AS (
+              SELECT date_trunc('hour', ts) AS base, event_type FROM events
+            ),
+            w AS (
+              SELECT base - k * INTERVAL '1 hour' AS ws, event_type
+              FROM e, unnest(generate_series(0, 1)) AS t(k)
+            )
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, COUNT(*) AS n_events
+            FROM w GROUP BY ws, event_type
+        """,
         # gap rule: a session break is a >30-minute inter-event gap; the
         # multiset of sorted-ts gaps is tie-order invariant, so LAG over
         # (user_id ORDER BY ts) is deterministic here

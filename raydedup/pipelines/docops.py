@@ -695,6 +695,66 @@ def events_by_window(sf_dir: str, hours: int = 1):
     )
 
 
+def events_by_hopping_window(sf_dir: str, size_hours: int = 2, hop_hours: int = 1):
+    """Hopping (sliding) window event counts: (window_start, event_type,
+    n_events), each event counted in ``size/hop`` overlapping windows.
+
+    Same distribution shape as the tumbling ``events_by_window``: the
+    window explosion happens inside the partial-aggregation map (each
+    block pre-reduces to one row per (window, type) — the explosion
+    multiplies *reduced* keys, never raw events leave the block
+    unaggregated), then one small hash shuffle over the reduced keys.
+    """
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+    assert size_hours % hop_hours == 0, "window size must be a multiple of the hop"
+    ratio = size_hours // hop_hours
+    hop = pd.Timedelta(hours=hop_hours)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = df["ts"].dt.floor(f"{hop_hours}h")
+        frames = [
+            pd.DataFrame(
+                {"window_start": base - k * hop, "event_type": df["event_type"]}
+            )
+            for k in range(ratio)
+        ]
+        allw = pd.concat(frames, ignore_index=True)
+        out = (
+            allw.assign(
+                window_start=allw["window_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
+            )
+            .groupby(["window_start", "event_type"], sort=False)
+            .size()
+            .rename("n_events")
+            .reset_index()
+        )
+        return out.astype({"n_events": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "window_start": pd.Series([], dtype=object),
+                    "event_type": pd.Series([], dtype=object),
+                    "n_events": pd.Series([], dtype=np.int64),
+                }
+            )
+        out = (
+            df.groupby(["window_start", "event_type"], sort=False)
+            .agg(n_events=("n_events", "sum"))
+            .reset_index()
+        )
+        return out.astype({"n_events": np.int64})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return keyed_blocks(partials, ["window_start", "event_type"], 4).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Gap-based sessionization: (user_id, n_events, n_sessions).
 

@@ -668,3 +668,17 @@ def test_repetition_stats_handcrafted(ray_session, tmp_path):
     )
     cols = ["doc_id", "n_lines", "n_dup_lines", "top_token_n", "rep_keep"]
     assert (got[cols].values == exp[cols].values).all()
+
+
+def test_hopping_window_coverage(ray_session):
+    """Each event lands in exactly size/hop windows: hopping totals are
+    2x tumbling totals at (size=2h, hop=1h), and every tumbling window's
+    count is contained in its two covering hopping windows."""
+    from raydedup.pipelines.docops import events_by_hopping_window, events_by_window
+
+    hop = events_by_hopping_window(SF).to_pandas()
+    tum = events_by_window(SF).to_pandas()
+    assert hop.n_events.sum() == 2 * tum.n_events.sum()
+    m = hop.merge(tum, on=["window_start", "event_type"], how="right",
+                  suffixes=("_hop", "_tum"))
+    assert (m.n_events_hop >= m.n_events_tum).all()
