@@ -146,6 +146,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IVF coarse-quantizer variant (sampled spherical-k-means codebook,
         # broadcast once; deterministic; recall<1 by design → no SQL twin)
         "q_ann_ivf": similarity.ann_ivf,
+        # iterative Lloyd's k-means: no SQL twin (rows-only check); the
+        # bit-exact oracle is the sequential numpy twin in
+        # tests/test_docops.py::test_kmeans_matches_sequential
+        "q_kmeans": similarity.kmeans,
         "q_embedding_dup_pairs": lambda sf: similarity.embedding_dup_pairs(sf, 0.5),
         # the 100-TB pair-mining path: hyperplane buckets + in-bucket exact
         # cosine (deterministic; recall<1 by design → no SQL twin)

@@ -411,3 +411,107 @@ def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 5, n_cells: int = 16,
         out.astype({"query_id": np.int64, "neighbor_id": np.int64, "rnk": np.int64}),
         preserve_index=False,
     )
+
+
+# ---------------------------------------------------------------- k-means
+_KQ = float(1 << 20)  # quantization scale for order-free centroid sums
+
+
+def kmeans(sf_dir: str, k: int = 8, n_iters: int = 5):
+    """(vec_id, centroid_id): Lloyd's k-means over the embeddings table —
+    the iterative broadcast + partial-reduce pattern (data-mixing /
+    corpus-clustering building block).
+
+    Distribution: centroids are broadcast once per iteration (``ray.put``,
+    read inside ``map_batches`` — never re-shipped per batch); each block
+    assigns its rows to the nearest centroid (squared Euclidean, ties →
+    lowest centroid id) and emits ONE quantized partial-sum frame of
+    k × dim rows.  The driver folds the tiny partials (k × dim × blocks
+    rows, independent of N) and updates centroids.  Integer-quantized
+    sums (``floor(x · 2^20)``) make the update independent of block
+    order, so assignments are bit-deterministic across partitioning.
+    The table is re-scanned per iteration (streaming, column-pruned) —
+    nothing materializes the full dataset.
+
+    Init: the k lowest-``vec_id`` embeddings.  An empty cluster keeps its
+    previous centroid.  Analog of the reference's embedding-space
+    grouping (``face_recognition_custom.py:104-117``) recast as a global
+    objective instead of greedy first-match.
+    """
+    import ray
+
+    ds = _read_embeddings(sf_dir)
+    init = ds.filter(expr=f"vec_id < {k}").to_pandas().sort_values("vec_id")
+    centroids = _matrix(init)  # (k, d)
+
+    def make_partial(c_ref):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            cols = {
+                "cid": pd.Series([], dtype=np.int64),
+                "dim": pd.Series([], dtype=np.int64),
+                "sum_q": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+            }
+            if len(df) == 0:
+                return pd.DataFrame(cols)
+            c = ray.get(c_ref)
+            x = _matrix(df)
+            d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+            a = d2.argmin(axis=1)  # first (lowest cid) wins ties
+            q = np.floor(x * _KQ).astype(np.int64)
+            kk, d = c.shape
+            acc = np.zeros((kk, d), dtype=np.int64)
+            np.add.at(acc, a, q)
+            cnt = np.bincount(a, minlength=kk).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "cid": np.repeat(np.arange(kk, dtype=np.int64), d),
+                    "dim": np.tile(np.arange(d, dtype=np.int64), kk),
+                    "sum_q": acc.reshape(-1),
+                    "n": np.repeat(cnt, d),
+                }
+            )
+
+        return partial
+
+    for _ in range(n_iters):
+        c_ref = ray.put(centroids)
+        folded = (
+            ds.map_batches(make_partial(c_ref), batch_format="pandas")
+            .to_pandas()  # k × dim × blocks rows — tiny at any N
+            .groupby(["cid", "dim"], sort=True)
+            .agg(sum_q=("sum_q", "sum"), n=("n", "sum"))
+            .reset_index()
+        )
+        kk, d = centroids.shape
+        new = centroids.copy()
+        sums = np.zeros((kk, d), dtype=np.int64)
+        cnts = np.zeros(kk, dtype=np.int64)
+        sums[folded["cid"].to_numpy(), folded["dim"].to_numpy()] = folded["sum_q"].to_numpy()
+        cnt_rows = folded[folded["dim"] == 0]
+        cnts[cnt_rows["cid"].to_numpy()] = cnt_rows["n"].to_numpy()
+        nonempty = cnts > 0
+        new[nonempty] = sums[nonempty] / (cnts[nonempty, None] * _KQ)
+        centroids = new
+
+    c_ref = ray.put(centroids)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "centroid_id": pd.Series([], dtype=np.int64),
+                }
+            )
+        c = ray.get(c_ref)
+        x = _matrix(df)
+        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(dtype=np.int64),
+                "centroid_id": d2.argmin(axis=1).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")

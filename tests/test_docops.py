@@ -682,3 +682,39 @@ def test_hopping_window_coverage(ray_session):
     m = hop.merge(tum, on=["window_start", "event_type"], how="right",
                   suffixes=("_hop", "_tum"))
     assert (m.n_events_hop >= m.n_events_tum).all()
+
+
+def test_kmeans_matches_sequential(ray_session):
+    """Distributed k-means equals a sequential numpy twin bit-for-bit
+    (same init, quantized order-free sums, same tie rule), and every
+    vector gets assigned."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.similarity import _KQ, kmeans
+
+    k, n_iters = 8, 5
+    got = kmeans(SF, k=k, n_iters=n_iters).to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    src = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in src["embedding"]])
+    vids = src["vec_id"].to_numpy(dtype=np.int64)
+    c = x[np.argsort(vids)[:k]][np.argsort(np.sort(vids)[:k])]  # k lowest vec_ids, ordered
+    for _ in range(n_iters):
+        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+        a = d2.argmin(axis=1)
+        q = np.floor(x * _KQ).astype(np.int64)
+        new = c.copy()
+        for j in range(k):
+            m = a == j
+            if m.any():
+                new[j] = q[m].sum(axis=0) / (m.sum() * _KQ)
+        c = new
+    d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+    exp = d2.argmin(axis=1)
+
+    assert len(got) == len(src)
+    assert got.vec_id.is_unique
+    ref = pd.Series(exp, index=vids)
+    assert (got.set_index("vec_id")["centroid_id"] == ref.sort_index()).all()
+    # non-degenerate clustering on this fixture
+    assert got.centroid_id.nunique() > 1
