@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_exact_dedup": docops.exact_dedup,
         "q_dup_groups": _dup_groups_table,
         "q_ngram_jaccard_pairs": docops.ngram_jaccard_pairs,
+        "q_ngram_containment_pairs": docops.ngram_containment_pairs,
         # --- sketch dedup family (deterministic, non-SQL) ---
         "q_minhash_doc_clusters": docdedup.minhash_doc_clusters,
         "q_simhash_doc_pairs": docdedup.simhash_doc_pairs,
@@ -246,6 +247,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON it.a = sa.doc_id
             JOIN sz sb ON it.b = sb.doc_id
             WHERE 2 * it.n_inter >= sa.n + sb.n - it.n_inter
+        """.replace("__DF_CAP__", _ngram_df_cap()),
+        # containment: the smaller doc's distinct-token set >= 4/5 inside
+        # the other's; same capped inverted index as the jaccard twin
+        "q_ngram_containment_pairs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_split_to_array(lower(trim(COALESCE(text,''))), '\s+'))) AS tok
+              FROM documents WHERE len(trim(COALESCE(text,''))) > 0
+            ),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+            tc AS (SELECT tok FROM t GROUP BY tok HAVING COUNT(*) <= __DF_CAP__),
+            tf AS (SELECT t.doc_id, t.tok FROM t JOIN tc USING (tok)),
+            it AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_inter
+              FROM tf x JOIN tf y ON x.tok = y.tok AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT it.a, it.b, it.n_inter,
+                   LEAST(sa.n, sb.n) AS n_min
+            FROM it
+            JOIN sz sa ON it.a = sa.doc_id
+            JOIN sz sb ON it.b = sb.doc_id
+            WHERE 5 * it.n_inter >= 4 * LEAST(sa.n, sb.n)
         """.replace("__DF_CAP__", _ngram_df_cap()),
         "q_token_stats": r"""
             SELECT doc_id,

@@ -344,6 +344,85 @@ def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 1, tau_den: int = 2,
     so results match by construction.  Output (a, b, n_inter, n_union)
     integer-only for the hash compare.
     """
+    raw = _ngram_pair_rows(sf_dir, df_cap)
+
+    def count_block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "a": pd.Series([], dtype=np.int64),
+            "b": pd.Series([], dtype=np.int64),
+            "n_inter": pd.Series([], dtype=np.int64),
+            "n_union": pd.Series([], dtype=np.int64),
+        }
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        g = (
+            df.groupby(["a", "b"], sort=False)
+            .agg(n_inter=("na", "size"), na=("na", "first"), nb=("nb", "first"))
+            .reset_index()
+        )
+        inter = g["n_inter"].to_numpy(dtype=np.int64)
+        union = g["na"].to_numpy(dtype=np.int64) + g["nb"].to_numpy(dtype=np.int64) - inter
+        keep = tau_den * inter >= tau_num * union
+        return pd.DataFrame(
+            {
+                "a": g["a"].to_numpy(dtype=np.int64)[keep],
+                "b": g["b"].to_numpy(dtype=np.int64)[keep],
+                "n_inter": inter[keep],
+                "n_union": union[keep],
+            }
+        )
+
+    return keyed_blocks(raw, ["a", "b"], _P).map_batches(
+        count_block, batch_size=None, batch_format="pandas"
+    )
+
+
+def ngram_containment_pairs(sf_dir: str, tau_num: int = 4, tau_den: int = 5,
+                            df_cap: int = NGRAM_DF_CAP):
+    """Set-containment pairs: (a, b, n_inter, n_min) where the smaller
+    document's distinct-token set is >= tau (4/5) inside the other's —
+    catches quotes / supersets / partial copies that Jaccard misses when
+    the documents' sizes differ a lot.  Same inverted-index shape and
+    df-cap as ``ngram_jaccard_pairs`` (one token shuffle + one pair
+    shuffle, no driver state)."""
+    raw = _ngram_pair_rows(sf_dir, df_cap)
+
+    def count_block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "a": pd.Series([], dtype=np.int64),
+            "b": pd.Series([], dtype=np.int64),
+            "n_inter": pd.Series([], dtype=np.int64),
+            "n_min": pd.Series([], dtype=np.int64),
+        }
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        g = (
+            df.groupby(["a", "b"], sort=False)
+            .agg(n_inter=("na", "size"), na=("na", "first"), nb=("nb", "first"))
+            .reset_index()
+        )
+        inter = g["n_inter"].to_numpy(dtype=np.int64)
+        nmin = np.minimum(g["na"].to_numpy(dtype=np.int64), g["nb"].to_numpy(dtype=np.int64))
+        keep = tau_den * inter >= tau_num * nmin
+        return pd.DataFrame(
+            {
+                "a": g["a"].to_numpy(dtype=np.int64)[keep],
+                "b": g["b"].to_numpy(dtype=np.int64)[keep],
+                "n_inter": inter[keep],
+                "n_min": nmin[keep],
+            }
+        )
+
+    return keyed_blocks(raw, ["a", "b"], _P).map_batches(
+        count_block, batch_size=None, batch_format="pandas"
+    )
+
+
+def _ngram_pair_rows(sf_dir: str, df_cap: int):
+    """Shared inverted-index core for the exact n-gram pair operators:
+    token explode (each row carrying its doc's distinct-token count) →
+    token-keyed shuffle → in-block df-cap + pair emission.  Returns raw
+    (a, b, na, nb) rows, one per co-occurring capped token."""
     from raydedup.functions.pairs import (
         dedup_sorted_members,
         emit_bucket_pairs,
@@ -393,38 +472,8 @@ def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 1, tau_den: int = 2,
             return pd.DataFrame(cols)
         return pd.DataFrame({"a": did[i], "b": did[j], "na": nn[i], "nb": nn[j]})
 
-    raw = keyed_blocks(toks, ["tok"], _P).map_batches(
+    return keyed_blocks(toks, ["tok"], _P).map_batches(
         emit, batch_size=None, batch_format="pandas"
-    )
-
-    def count_block(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {
-            "a": pd.Series([], dtype=np.int64),
-            "b": pd.Series([], dtype=np.int64),
-            "n_inter": pd.Series([], dtype=np.int64),
-            "n_union": pd.Series([], dtype=np.int64),
-        }
-        if len(df) == 0:
-            return pd.DataFrame(cols)
-        g = (
-            df.groupby(["a", "b"], sort=False)
-            .agg(n_inter=("na", "size"), na=("na", "first"), nb=("nb", "first"))
-            .reset_index()
-        )
-        inter = g["n_inter"].to_numpy(dtype=np.int64)
-        union = g["na"].to_numpy(dtype=np.int64) + g["nb"].to_numpy(dtype=np.int64) - inter
-        keep = tau_den * inter >= tau_num * union
-        return pd.DataFrame(
-            {
-                "a": g["a"].to_numpy(dtype=np.int64)[keep],
-                "b": g["b"].to_numpy(dtype=np.int64)[keep],
-                "n_inter": inter[keep],
-                "n_union": union[keep],
-            }
-        )
-
-    return keyed_blocks(raw, ["a", "b"], _P).map_batches(
-        count_block, batch_size=None, batch_format="pandas"
     )
 
 

@@ -718,3 +718,28 @@ def test_kmeans_matches_sequential(ray_session):
     assert (got.set_index("vec_id")["centroid_id"] == ref.sort_index()).all()
     # non-degenerate clustering on this fixture
     assert got.centroid_id.nunique() > 1
+
+
+def test_ngram_containment_catches_subset_docs(ray_session, tmp_path):
+    """A short doc embedded verbatim in a much longer one is found by the
+    containment operator but invisible to Jaccard at the same corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import ngram_containment_pairs, ngram_jaccard_pairs
+
+    quote = "alpha beta gamma delta"
+    longdoc = quote + " " + " ".join(f"w{i}" for i in range(40))
+    texts = [quote, longdoc, "unrelated text entirely different words"]
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)}),
+        d / "documents.parquet",
+    )
+    cont = ngram_containment_pairs(str(d)).to_pandas()
+    jac = ngram_jaccard_pairs(str(d)).to_pandas()
+    assert [tuple(r) for r in cont[["a", "b"]].values] == [(0, 1)]
+    assert (cont.n_inter == 4).all() and (cont.n_min == 4).all()
+    assert len(jac) == 0  # jaccard 4/44 << 1/2
