@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tumbling-window counts + gap-based sessionization
         "q_events_by_window": docops.events_by_window,
         "q_events_by_hopping_window": docops.events_by_hopping_window,
+        "q_events_rollup": docops.events_rollup,
         "q_user_sessions": docops.user_sessions,
         "q_asof_attribution": docops.asof_attribution,
         "q_dup_size_histogram": docops.dup_size_histogram,
@@ -404,6 +405,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
                    event_type, COUNT(*) AS n_events
             FROM w GROUP BY ws, event_type
+        """,
+        # ROLLUP levels: (type, day), (type, ALL), (ALL, ALL) — GROUPING
+        # maps the NULL placeholder rows to the engine's 'ALL' sentinel
+        "q_events_rollup": """
+            SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END
+                     AS event_type,
+                   CASE WHEN GROUPING(d) = 1 THEN 'ALL' ELSE strftime(d, '%Y-%m-%d') END
+                     AS day,
+                   COUNT(*) AS n_events
+            FROM (SELECT event_type, date_trunc('day', ts) AS d FROM events)
+            GROUP BY ROLLUP (event_type, d)
         """,
         # gap rule: a session break is a >30-minute inter-event gap; the
         # multiset of sorted-ts gaps is tie-order invariant, so LAG over

@@ -804,6 +804,80 @@ def events_by_hopping_window(sf_dir: str, size_hours: int = 2, hop_hours: int = 
     )
 
 
+def events_rollup(sf_dir: str):
+    """ROLLUP(event_type, day) counts: (event_type, day, n_events) rows at
+    three levels — (type, day), (type, 'ALL') and ('ALL', 'ALL') — the
+    multi-level report aggregate.
+
+    One partial aggregation per block (reduced to (type, day) keys), one
+    hash shuffle on ``event_type``: because the shuffle co-locates every
+    row of a type, the per-type subtotal is computed in-block with no
+    extra exchange; the grand total folds from the per-type subtotals on
+    the driver (#types rows — metadata-sized at any scale).
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.assign(day=df["ts"].dt.strftime("%Y-%m-%d"))
+            .groupby(["event_type", "day"], sort=False)
+            .size()
+            .rename("n_events")
+            .reset_index()
+        )
+        return out.astype({"n_events": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype=object),
+                    "day": pd.Series([], dtype=object),
+                    "n_events": pd.Series([], dtype=np.int64),
+                }
+            )
+        fine = (
+            df.groupby(["event_type", "day"], sort=False)
+            .agg(n_events=("n_events", "sum"))
+            .reset_index()
+        )
+        sub = (
+            fine.groupby("event_type", sort=False)
+            .agg(n_events=("n_events", "sum"))
+            .reset_index()
+            .assign(day="ALL")
+        )
+        return pd.concat([fine, sub[["event_type", "day", "n_events"]]],
+                         ignore_index=True).astype({"n_events": np.int64})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    partials = ds.map_batches(partial, batch_format="pandas")
+    levels = keyed_blocks(partials, ["event_type"], 4).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+    # the rolled-up result is #types × #days + #types rows — driver-sized
+    tbl = pa.concat_tables(
+        [t.cast(pa.schema([("event_type", pa.string()), ("day", pa.string()),
+                           ("n_events", pa.int64())]))
+         for t in ray.get(levels.to_arrow_refs())]
+    )
+    subtot = tbl.filter(pa.compute.equal(tbl["day"], "ALL"))
+    grand = pa.table(
+        {
+            "event_type": pa.array(["ALL"]),
+            "day": pa.array(["ALL"]),
+            "n_events": pa.array(
+                [pa.compute.sum(subtot["n_events"]).as_py() or 0], pa.int64()
+            ),
+        }
+    )
+    return pa.concat_tables([tbl.cast(grand.schema), grand])
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Gap-based sessionization: (user_id, n_events, n_sessions).
 

@@ -743,3 +743,21 @@ def test_ngram_containment_catches_subset_docs(ray_session, tmp_path):
     assert [tuple(r) for r in cont[["a", "b"]].values] == [(0, 1)]
     assert (cont.n_inter == 4).all() and (cont.n_min == 4).all()
     assert len(jac) == 0  # jaccard 4/44 << 1/2
+
+
+def test_events_rollup_levels_consistent(ray_session):
+    """ROLLUP invariants: per-type subtotals equal the sum of their day
+    rows, and the grand total equals the whole-table count."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import events_rollup
+
+    df = events_rollup(SF).to_pandas()
+    n_total = pq.ParquetFile(f"{SF}/events.parquet").metadata.num_rows
+    fine = df[(df.event_type != "ALL") & (df.day != "ALL")]
+    sub = df[(df.event_type != "ALL") & (df.day == "ALL")].set_index("event_type")
+    grand = df[(df.event_type == "ALL") & (df.day == "ALL")]
+    assert len(grand) == 1 and grand.n_events.iloc[0] == n_total
+    per_type = fine.groupby("event_type").n_events.sum()
+    assert (sub.n_events.sort_index() == per_type.sort_index()).all()
+    assert fine.n_events.sum() == n_total
