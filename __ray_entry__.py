@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_segment_revenue": relops.segment_revenue,
         "q_priority_counts": relops.priority_counts,
         "q_cluster_report": docdedup.cluster_report,
+        "q_cluster_canonicals": docdedup.cluster_canonicals,
         # --- multimodal plumbing (stubbed decoder; real Ray path) ---
         "q_media_features": _media_features,
         "q_frame_samples": _frame_samples,

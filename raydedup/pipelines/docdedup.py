@@ -276,3 +276,70 @@ def incremental_dedup(sf_dir: str, cfg: DedupConfig | None = None):
     return keyed_blocks(defaults.union(assigned), ["node"], cfg.num_partitions).map_batches(
         resolve, batch_size=None, batch_format="pandas"
     )
+
+
+def cluster_canonicals(sf_dir: str, cfg: DedupConfig | None = None):
+    """Quality-based canonical selection per near-dup cluster:
+    (conv_id, cluster_id, canonical_id, is_canonical).
+
+    The "which copy do we keep" step after near-dup clustering: the
+    canonical is the member with the longest original text (``n_chars``),
+    ties broken by lowest conv_id — unlike the reference's first-seen
+    star center (order-dependent, ``duplicate_face.py:69-70``), this is a
+    deterministic order-free rule.  One inner join to attach lengths and
+    one cluster-keyed shuffle; selection is vectorized in-block.
+    """
+    import ray.data as rd
+
+    from raydedup.ray_utils import keyed_blocks
+
+    cfg = cfg or _doc_config()
+    clusters = minhash_doc_clusters(sf_dir, cfg)
+
+    def lens_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": df["doc_id"].map(lambda i: f"doc-{i:010d}").to_numpy(),
+                "n_chars": df["n_chars"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    lens = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(lens_fn, batch_format="pandas")
+    joined = clusters.join(
+        lens,
+        join_type="inner",
+        num_partitions=cfg.num_partitions,
+        on=("conv_id",),
+        right_on=("conv_id",),
+    )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype=object),
+                    "cluster_id": pd.Series([], dtype=object),
+                    "canonical_id": pd.Series([], dtype=object),
+                    "is_canonical": pd.Series([], dtype=np.int64),
+                }
+            )
+        df = df.sort_values(
+            ["cluster_id", "n_chars", "conv_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        canon = df.groupby("cluster_id", sort=False)["conv_id"].transform("first")
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"].to_numpy(),
+                "cluster_id": df["cluster_id"].to_numpy(),
+                "canonical_id": canon.to_numpy(),
+                "is_canonical": (df["conv_id"] == canon).to_numpy().astype(np.int64),
+            }
+        )
+
+    return keyed_blocks(joined, ["cluster_id"], cfg.num_partitions).map_batches(
+        pick, batch_size=None, batch_format="pandas"
+    )

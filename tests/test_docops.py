@@ -761,3 +761,30 @@ def test_events_rollup_levels_consistent(ray_session):
     per_type = fine.groupby("event_type").n_events.sum()
     assert (sub.n_events.sort_index() == per_type.sort_index()).all()
     assert fine.n_events.sum() == n_total
+
+
+def test_cluster_canonicals_longest_wins(ray_session):
+    """Canonical selection invariants: every doc appears once, the
+    canonical is a member of its own cluster, has maximal n_chars there
+    (ties -> lowest conv_id), and every cluster has exactly one."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docdedup import cluster_canonicals
+
+    df = cluster_canonicals(SF).to_pandas()
+    src = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]).to_pandas()
+    src["conv_id"] = src.doc_id.map(lambda i: f"doc-{i:010d}")
+    assert df.conv_id.is_unique and len(df) == len(src)
+    m = df.merge(src[["conv_id", "n_chars"]], on="conv_id")
+    per = m.groupby("cluster_id")
+    assert (per.is_canonical.sum() == 1).all()
+    canon = m[m.is_canonical == 1].set_index("cluster_id")
+    maxlen = per.n_chars.max()
+    assert (canon.n_chars == maxlen.loc[canon.index]).all()
+    # canonical_id is consistent across members
+    assert (m.groupby("cluster_id").canonical_id.nunique() == 1).all()
+    assert (canon.conv_id == canon.canonical_id).all()
+    # tie rule: among max-length members, lowest conv_id wins
+    top = m[m.n_chars == m.groupby("cluster_id").n_chars.transform("max")]
+    expect = top.groupby("cluster_id").conv_id.min()
+    assert (canon.canonical_id.sort_index() == expect.sort_index()).all()
