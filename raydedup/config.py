@@ -102,6 +102,13 @@ class DedupConfig:
     # footprint spills and costs ~25% wall (measured, BASELINE.md).
     fuse_edges_max_docs: int = 100_000
 
+    # In disk mode, the same three independent edge stages execute
+    # CONCURRENTLY (driver threads, one write_parquet each) when the
+    # corpus has at most this many docs — overlapping their per-execution
+    # fixed costs.  Above it they run one at a time for the same
+    # object-store-pressure reason as fuse_edges_max_docs.
+    parallel_edges_max_docs: int = 100_000
+
     # optional artifact sink (S11 analog: the reference saves every
     # detected face crop, face_recognition_custom.py:95-100): per-doc
     # extracted-feature debug table written under <out>/artifacts

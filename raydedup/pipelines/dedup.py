@@ -100,21 +100,34 @@ def run_pipeline(
     # checkpoints each for finer-grained resume, as before.  The docs
     # count is metadata on a materialized/checkpointed dataset, not an
     # execution.
-    fuse = cfg.checkpoint_mode == "memory" and docs.count() <= cfg.fuse_edges_max_docs
-    edge_stage = store.lazy_stage if fuse else store.stage
-    mh_edges = edge_stage(
-        "pairs_minhash",
-        lambda: verified_pairs(
-            cands, store.read("signatures", ["conv_id", payload]), cfg
+    n_docs = docs.count()
+    edge_specs = [
+        (
+            "pairs_minhash",
+            lambda: verified_pairs(
+                cands, store.read("signatures", ["conv_id", payload]), cfg
+            ),
         ),
-    )
-    sf_edges = edge_stage("pairs_suffix", lambda: suffix_pairs(docs, cfg))
-    sh_edges = edge_stage(
-        "pairs_simhash",
-        lambda: simhash_pairs(
-            store.read("signatures", ["conv_id", "simhash", "n_shingles"]), cfg
+        ("pairs_suffix", lambda: suffix_pairs(docs, cfg)),
+        (
+            "pairs_simhash",
+            lambda: simhash_pairs(
+                store.read("signatures", ["conv_id", "simhash", "n_shingles"]), cfg
+            ),
         ),
-    )
+    ]
+    if cfg.checkpoint_mode == "memory" and n_docs <= cfg.fuse_edges_max_docs:
+        edges = {name: store.lazy_stage(name, fn) for name, fn in edge_specs}
+    elif cfg.checkpoint_mode == "disk" and n_docs <= cfg.parallel_edges_max_docs:
+        # independent edge sources execute concurrently (driver threads),
+        # overlapping their per-execution fixed costs; size-gated for the
+        # same object-store-pressure reason as the memory-mode fusion
+        edges = store.parallel_stages(edge_specs)
+    else:
+        edges = {name: store.stage(name, fn) for name, fn in edge_specs}
+    mh_edges = edges["pairs_minhash"]
+    sf_edges = edges["pairs_suffix"]
+    sh_edges = edges["pairs_simhash"]
     def dedup_pairs():
         """Single (a, b) dedup for all edge sources (suffix/simhash emit
         duplicates across their buckets by design) — one shuffle total."""

@@ -54,7 +54,7 @@ class CheckpointStore:
             return ds.select_columns(columns) if columns else ds
         return rd.read_parquet(self.path(name), columns=columns)
 
-    def _valid(self, name) -> dict | None:
+    def _valid(self, name, lineage: str | None = None) -> dict | None:
         p = self._manifest_path(name)
         if not os.path.exists(p):
             return None
@@ -62,9 +62,33 @@ class CheckpointStore:
             m = json.load(open(p))
         except (json.JSONDecodeError, OSError):
             return None
-        if m.get("config_hash") == self.config_hash and m.get("lineage") == self.lineage:
+        want = self.lineage if lineage is None else lineage
+        if m.get("config_hash") == self.config_hash and m.get("lineage") == want:
             return m
         return None
+
+    def _persist(self, name: str, ds, lineage: str) -> int:
+        """Write ``ds`` to the stage checkpoint atomically (tmp → rename)
+        with its manifest; returns the row count.  Thread-safe across
+        distinct stage names (independent dirs, no shared state)."""
+        target = self.path(name)
+        tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
+        ds.write_parquet(tmp)
+        _ensure_nonempty_parquet(tmp, ds)
+        rows = _parquet_rows(tmp)
+        manifest = {
+            "stage": name,
+            "config_hash": self.config_hash,
+            "lineage": lineage,
+            "rows": rows,
+            "created_at": time.time(),
+        }
+        with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.rename(tmp, target)
+        return rows
 
     def stage(self, name: str, compute_fn, ray_module=None):
         """Return a Dataset for ``name``: resumed from a valid checkpoint, or
@@ -99,22 +123,7 @@ class CheckpointStore:
             ds = rd.read_parquet(target)
         else:
             ds = compute_fn()
-            tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
-            ds.write_parquet(tmp)
-            _ensure_nonempty_parquet(tmp, ds)
-            rows = _parquet_rows(tmp)
-            manifest = {
-                "stage": name,
-                "config_hash": self.config_hash,
-                "lineage": self.lineage,
-                "rows": rows,
-                "created_at": time.time(),
-            }
-            with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
-                json.dump(manifest, f)
-            if os.path.exists(target):
-                shutil.rmtree(target)
-            os.rename(tmp, target)
+            rows = self._persist(name, ds, self.lineage)
             self.events.append(
                 {
                     "stage": name,
@@ -153,6 +162,61 @@ class CheckpointStore:
             f"{self.lineage}|{name}|{self.config_hash}".encode()
         ).hexdigest()[:16]
         return ds
+
+    def parallel_stages(self, specs: list) -> dict:
+        """Execute independent sibling stages concurrently (disk mode):
+        ``specs`` is a list of (name, compute_fn) with no data dependency
+        between them.  Returns {name: Dataset}.
+
+        Resume identity is unchanged: each stage's manifest lineage is its
+        position in the SEQUENTIAL chain (captured before anything runs),
+        so checkpoints written here validate against a later sequential
+        run and vice versa.  Dataset graphs are constructed on the
+        caller's thread (lazy and cheap — and Dataset construction from
+        concurrent driver threads races a lazy fsspec import inside Ray's
+        path resolution); only the executions (``write_parquet``) run in
+        threads.  Memory mode falls back to sequential ``stage`` calls.
+        """
+        import hashlib
+        from concurrent.futures import ThreadPoolExecutor
+
+        import ray.data as rd
+
+        if self.mode == "memory" or len(specs) <= 1:
+            return {name: self.stage(name, fn) for name, fn in specs}
+        _harden_ray_http_fs_check()
+        entry_lineage = {}
+        for name, _fn in specs:
+            entry_lineage[name] = self.lineage
+            self.lineage = hashlib.sha256(
+                f"{self.lineage}|{name}|{self.config_hash}".encode()
+            ).hexdigest()[:16]
+        out, jobs = {}, []
+        for name, fn in specs:
+            m = self._valid(name, entry_lineage[name])
+            if m is not None:
+                self.events.append(
+                    {"stage": name, "action": "resumed", "rows": m["rows"], "sec": 0.0}
+                )
+                out[name] = rd.read_parquet(self.path(name))
+            else:
+                jobs.append((name, fn()))  # lazy graph built on this thread
+
+        def run(job):
+            name, ds = job
+            t0 = time.time()
+            rows = self._persist(name, ds, entry_lineage[name])
+            return name, rows, time.time() - t0
+
+        if jobs:
+            with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+                for name, rows, sec in ex.map(run, jobs):
+                    self.events.append(
+                        {"stage": name, "action": "computed", "rows": rows,
+                         "sec": round(sec, 2)}
+                    )
+                    out[name] = rd.read_parquet(self.path(name))
+        return {name: out[name] for name, _fn in specs}
 
     def partitioned_map_stage(self, name: str, input_name: str, make_ds_fn, n_parts: int):
         """Per-partition resumable *narrow* stage (map-only, no shuffle)
@@ -270,6 +334,36 @@ class CheckpointStore:
             f"{self.lineage}|{name}|{self.config_hash}".encode()
         ).hexdigest()[:16]
         return ds
+
+
+def _harden_ray_http_fs_check() -> None:
+    """Make Ray's per-write ``_is_http_filesystem`` probe thread-safe.
+
+    Ray resolves every read/write path through ``_is_http_filesystem``,
+    which attempts ``from fsspec.implementations.http import
+    HTTPFileSystem`` and catches only ``ModuleNotFoundError``.  Without
+    aiohttp that import fails every time (never cached), and when two
+    driver threads attempt it concurrently one can observe the other's
+    partially-initialized module — raising a plain ``ImportError``
+    ("cannot import name 'HTTPFileSystem'") that Ray does not catch,
+    crashing an otherwise-healthy ``write_parquet``.  Any ImportError
+    there means no HTTPFileSystem can exist, so the correct answer is
+    False; wrap the probe accordingly (idempotent)."""
+    from ray.data.datasource import path_util
+
+    orig = getattr(path_util._is_http_filesystem, "__wrapped__", None)
+    if orig is not None:
+        return  # already hardened
+    orig = path_util._is_http_filesystem
+
+    def _safe_is_http_filesystem(fs):
+        try:
+            return orig(fs)
+        except ImportError:
+            return False
+
+    _safe_is_http_filesystem.__wrapped__ = orig
+    path_util._is_http_filesystem = _safe_is_http_filesystem
 
 
 def _ensure_nonempty_parquet(path: str, ds) -> None:
