@@ -137,6 +137,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pricing_summary": relops.pricing_summary,
         "q_segment_revenue": relops.segment_revenue,
         "q_priority_counts": relops.priority_counts,
+        "q_customer_order_distribution": relops.customer_order_distribution,
+        # global ranked top-k (two-level cut, no global sort) + exact
+        # bigram collocation counts (double co-shuffle attach join)
+        "q_longest_docs": docops.longest_docs,
+        "q_bigram_collocations": docops.bigram_collocations,
         "q_cluster_report": docdedup.cluster_report,
         "q_cluster_canonicals": docdedup.cluster_canonicals,
         # --- multimodal plumbing (stubbed decoder; real Ray path) ---
@@ -580,6 +585,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY o_orderpriority
+        """,
+        # LEFT JOIN direction: zero-order customers appear with n_orders=0
+        "q_customer_order_distribution": """
+            SELECT n_orders, COUNT(*) AS n_custs FROM (
+              SELECT c.c_custkey, COUNT(o.o_custkey) AS n_orders
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey
+            ) GROUP BY n_orders
+        """,
+        # ranked global top-k; ties break by doc_id so the cut is exact
+        "q_longest_docs": """
+            SELECT doc_id, n_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+            FROM documents QUALIFY rnk <= 100
+        """,
+        # adjacent-pair counts on single-space splits (the synth corpus
+        # tokenization), integer-only so values hash bit-for-bit
+        "q_bigram_collocations": """
+            WITH toks AS (
+              SELECT string_split(text, ' ') AS ws FROM documents
+              WHERE text IS NOT NULL AND text <> ''
+            ),
+            bg AS (
+              SELECT ws[i] AS w1, ws[i+1] AS w2
+              FROM toks, UNNEST(generate_series(1, len(ws)-1)) AS t(i)
+            ),
+            uni AS (
+              SELECT w AS tok, COUNT(*) AS n_uni
+              FROM toks, UNNEST(ws) AS u(w) GROUP BY w
+            ),
+            p AS (
+              SELECT w1, w2, COUNT(*) AS n_pair FROM bg GROUP BY w1, w2
+              HAVING COUNT(*) >= 5
+            )
+            SELECT p.w1, p.w2, p.n_pair,
+                   u1.n_uni AS n_w1, u2.n_uni AS n_w2
+            FROM p JOIN uni u1 ON p.w1 = u1.tok
+                   JOIN uni u2 ON p.w2 = u2.tok
         """,
         # running window aggregate: frame order (ts, event_id) makes the
         # sequential double accumulation identical in both engines

@@ -1253,3 +1253,181 @@ def curate_corpus(sf_dir: str, min_tokens: int = 5):
     return keyed_blocks(survivors, ["text_md5"], _P).map_batches(
         dedup_block, batch_size=None, batch_format="pandas"
     )
+
+
+# ------------------------------------------------------------- global top-k
+def longest_docs(sf_dir: str, k: int = 100):
+    """Global ranked top-``k`` documents by length → (doc_id, n_chars,
+    rnk), ordered by n_chars descending with doc_id as the tie-break.
+
+    Scale shape: a global ``ds.sort`` for a top-``k`` would be an
+    all-to-all exchange of every row; instead each block keeps its local
+    top-``k`` (vectorized argsort over ≤ batch rows), the ≤ blocks × k
+    survivors collapse into one tiny block, and the exact global rank is
+    assigned there — the same two-level cut as ``top_tokens``, shuffle
+    volume ∝ blocks × k, never ∝ corpus size.
+    """
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", "n_chars"]]
+        if len(out) > k:
+            out = out.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                                  kind="stable").head(k)
+        return out.astype({"doc_id": np.int64, "n_chars": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "n_chars": pd.Series([], dtype=np.int64),
+                                 "rnk": pd.Series([], dtype=np.int64)})
+        out = df.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                             kind="stable").head(k).reset_index(drop=True)
+        out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out.astype({"doc_id": np.int64, "n_chars": np.int64, "rnk": np.int64})
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    cands = docs.map_batches(local_topk, batch_format="pandas")
+    return cands.repartition(1).map_batches(final, batch_size=None,
+                                            batch_format="pandas")
+
+
+# --------------------------------------------------------- bigram collocations
+def bigram_collocations(sf_dir: str, min_pair: int = 5):
+    """Corpus bigram collocation counts → (w1, w2, n_pair, n_w1, n_w2)
+    for every adjacent token pair occurring ≥ ``min_pair`` times, with
+    the corpus-wide occurrence counts of both member tokens attached
+    (the exact integer inputs of PMI / log-likelihood collocation
+    scores, left unreduced so the result hash-matches SQL bit-for-bit —
+    no float log in the contract surface).
+
+    Scale shape: blocks pre-reduce to distinct (w1, w2, partial-count)
+    and (tok, partial-count) rows (shuffle volume ∝ vocabulary², not
+    corpus size); exact pair counts are cut to ≥ ``min_pair`` BEFORE the
+    two attach joins; each attach is a co-shuffle join (tagged union,
+    one hash shuffle, vectorized in-block merge) on w1 then w2 — the
+    same pattern as ``segment_revenue``, no broadcast of an unbounded
+    vocabulary.
+    """
+    import itertools
+
+    def _tok_arrays(df: pd.DataFrame):
+        """Flat token array + per-doc lengths for non-empty texts,
+        split on single spaces to mirror the SQL twin exactly."""
+        texts = df["text"].fillna("")
+        texts = texts[texts != ""]
+        toks = texts.str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        n = int(lens.sum())
+        flat = np.fromiter(itertools.chain.from_iterable(toks), dtype=object, count=n)
+        return flat, lens
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = _tok_arrays(df)
+        empty = pd.DataFrame({"w1": pd.Series([], dtype=object),
+                              "w2": pd.Series([], dtype=object),
+                              "n_pair": pd.Series([], dtype=np.int64)})
+        if len(flat) < 2:
+            return empty
+        # position i starts a bigram unless it is the last token of a doc
+        starts = np.ones(len(flat) - 1, dtype=bool)
+        starts[np.cumsum(lens)[:-1] - 1] = False
+        if not starts.any():
+            return empty
+        out = pd.DataFrame({"w1": flat[:-1][starts], "w2": flat[1:][starts]})
+        g = out.groupby(["w1", "w2"], sort=False).size().rename("n_pair").reset_index()
+        return g.astype({"n_pair": np.int64})
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _lens = _tok_arrays(df)
+        g = pd.Series(flat).value_counts()
+        return pd.DataFrame({"tok": g.index.to_numpy(dtype=object),
+                             "n_uni": g.to_numpy(np.int64)})
+
+    def pair_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                 "w2": pd.Series([], dtype=object),
+                                 "n_pair": pd.Series([], dtype=np.int64)})
+        g = df.groupby(["w1", "w2"], sort=False).agg(n_pair=("n_pair", "sum")).reset_index()
+        g = g[g["n_pair"] >= min_pair]
+        return g.astype({"n_pair": np.int64}).reset_index(drop=True)
+
+    def uni_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                                 "n_uni": pd.Series([], dtype=np.int64)})
+        g = df.groupby("tok", sort=False).agg(n_uni=("n_uni", "sum")).reset_index()
+        return g.astype({"n_uni": np.int64})
+
+    def attach(key_col: str, out_col: str):
+        """In-block merge of pair rows (side=1) with unigram counts
+        (side=0) co-shuffled on ``key``."""
+
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            cols = [c for c in df.columns if c not in ("side", "key", "n_uni")]
+            if len(df) == 0:
+                dt = lambda c: np.int64 if c.startswith("n_") else object
+                return pd.DataFrame({**{c: pd.Series([], dtype=dt(c)) for c in cols},
+                                     out_col: pd.Series([], dtype=np.int64)})
+            dim = df[df["side"] == 0][["key", "n_uni"]]
+            fact = df[df["side"] == 1][cols + ["key"]]
+            j = fact.merge(dim, on="key", how="left")
+            j[out_col] = j["n_uni"].fillna(0).astype(np.int64)
+            return j[cols + [out_col]]
+
+        return fn
+
+    docs = _docs(sf_dir, ["text"])
+    pairs = keyed_blocks(
+        docs.map_batches(pair_partial, batch_format="pandas"), ["w1", "w2"], _P
+    ).map_batches(pair_reduce, batch_size=None, batch_format="pandas")
+    # exact unigram counts, materialized once (vocabulary-sized) and
+    # co-shuffled into both attach joins
+    uni = keyed_blocks(
+        docs.map_batches(uni_partial, batch_format="pandas"), ["tok"], _P
+    ).map_batches(uni_reduce, batch_size=None, batch_format="pandas").materialize()
+
+    def tag_pairs_w1(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["key"] = out["w1"]
+        out["side"] = np.int8(1)
+        out["n_uni"] = np.int64(0)
+        return out
+
+    def tag_uni(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"w1": np.full(len(df), "", dtype=object),
+                             "w2": np.full(len(df), "", dtype=object),
+                             "n_pair": np.zeros(len(df), dtype=np.int64),
+                             "key": df["tok"].to_numpy(dtype=object),
+                             "side": np.full(len(df), 0, dtype=np.int8),
+                             "n_uni": df["n_uni"].to_numpy(np.int64)})
+
+    j1 = keyed_blocks(
+        pairs.map_batches(tag_pairs_w1, batch_format="pandas")
+        .union(uni.map_batches(tag_uni, batch_format="pandas")),
+        ["key"], _P,
+    ).map_batches(attach("key", "n_w1"), batch_size=None, batch_format="pandas")
+
+    def tag_pairs_w2(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["key"] = out["w2"]
+        out["side"] = np.int8(1)
+        out["n_uni"] = np.int64(0)
+        return out
+
+    def tag_uni2(df: pd.DataFrame) -> pd.DataFrame:
+        out = tag_uni(df)
+        out["n_w1"] = np.zeros(len(df), dtype=np.int64)
+        return out
+
+    j2 = keyed_blocks(
+        j1.map_batches(tag_pairs_w2, batch_format="pandas")
+        .union(uni.map_batches(tag_uni2, batch_format="pandas")),
+        ["key"], _P,
+    ).map_batches(attach("key", "n_w2"), batch_size=None, batch_format="pandas")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["w1", "w2", "n_pair", "n_w1", "n_w2"]]
+        return out.astype({"n_pair": np.int64, "n_w1": np.int64, "n_w2": np.int64})
+
+    return j2.map_batches(project, batch_format="pandas")

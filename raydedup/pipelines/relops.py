@@ -231,3 +231,70 @@ def priority_counts(sf_dir: str, year: int = 1996):
     return keyed_blocks(ds, ["o_orderpriority"], 4).map_batches(
         final, batch_size=None, batch_format="pandas"
     )
+
+
+def customer_order_distribution(sf_dir: str):
+    """TPC-H-Q13-style left-outer join + distribution: how many
+    customers placed exactly N orders, INCLUDING zero-order customers →
+    (n_orders, n_custs).
+
+    The left-outer semantics come from the co-shuffle union itself:
+    every customer key is present on the dim side, so customers with no
+    matching order rows surface with count 0 in the in-block reduce —
+    no driver-side key set, no broadcast.  Orders pre-reduce per block
+    to (custkey, partial-count) first, so the join shuffle carries one
+    row per (block, customer), not one per order.
+    """
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+
+    def order_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pd.DataFrame({"custkey": df["o_custkey"].to_numpy(np.int64)})
+            .groupby("custkey", sort=False).size().rename("n").reset_index()
+        )
+        g["is_cust"] = np.int8(0)
+        return g.astype({"n": np.int64})
+
+    def cust_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"custkey": df["c_custkey"].to_numpy(np.int64),
+                             "n": np.zeros(len(df), dtype=np.int64),
+                             "is_cust": np.ones(len(df), dtype=np.int8)})
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"n_orders": pd.Series([], dtype=np.int64),
+                                 "n_custs": pd.Series([], dtype=np.int64)})
+        # keep only customers that exist in the dim side (orders of
+        # unknown customers — impossible in TPC-H — are dropped, matching
+        # the LEFT JOIN direction)
+        have = df[df["is_cust"] == 1][["custkey"]]
+        counts = (
+            df.groupby("custkey", sort=False).agg(n_orders=("n", "sum")).reset_index()
+        )
+        counts = have.merge(counts, on="custkey", how="left")
+        g = (
+            counts.groupby("n_orders", sort=False).size().rename("n_custs").reset_index()
+        )
+        return g.astype({"n_orders": np.int64, "n_custs": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"n_orders": pd.Series([], dtype=np.int64),
+                                 "n_custs": pd.Series([], dtype=np.int64)})
+        g = df.groupby("n_orders", sort=False).agg(n_custs=("n_custs", "sum")).reset_index()
+        return g.astype({"n_orders": np.int64, "n_custs": np.int64})
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).map_batches(order_partial, batch_format="pandas")
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(cust_rows, batch_format="pandas")
+    per = keyed_blocks(cust.union(orders), ["custkey"], _P).map_batches(
+        per_cust, batch_size=None, batch_format="pandas"
+    )
+    return keyed_blocks(per, ["n_orders"], 4).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )

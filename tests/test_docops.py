@@ -788,3 +788,62 @@ def test_cluster_canonicals_longest_wins(ray_session):
     top = m[m.n_chars == m.groupby("cluster_id").n_chars.transform("max")]
     expect = top.groupby("cluster_id").conv_id.min()
     assert (canon.canonical_id.sort_index() == expect.sort_index()).all()
+
+
+def test_longest_docs_ranked_topk(ray_session):
+    """Global two-level top-k equals a full pandas sort of the source."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import longest_docs
+
+    df = longest_docs(SF, k=25).to_pandas().sort_values("rnk").reset_index(drop=True)
+    src = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]).to_pandas()
+    exp = src.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(25)
+    assert list(df.rnk) == list(range(1, 26))
+    assert list(df.doc_id) == list(exp.doc_id)
+    assert list(df.n_chars) == list(exp.n_chars)
+
+
+def test_bigram_collocations_exact_counts(ray_session):
+    """Distributed pair/unigram counts + double co-shuffle attach match a
+    single-process recount over the same tokenization."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import bigram_collocations
+
+    df = bigram_collocations(SF, min_pair=5).to_pandas()
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()["text"]
+    uni, pairs = Counter(), Counter()
+    for t in texts.fillna(""):
+        if not t:
+            continue
+        ws = t.split(" ")
+        uni.update(ws)
+        pairs.update(zip(ws, ws[1:]))
+    exp = {k: v for k, v in pairs.items() if v >= 5}
+    got = {(r.w1, r.w2): r.n_pair for r in df.itertuples()}
+    assert got == exp
+    for r in df.itertuples():
+        assert r.n_w1 == uni[r.w1] and r.n_w2 == uni[r.w2]
+
+
+def test_customer_order_distribution_left_join(ray_session):
+    """Zero-order customers appear in the n_orders=0 bucket and bucket
+    totals account for every customer exactly once."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.relops import customer_order_distribution
+
+    df = customer_order_distribution(SF).to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey"]).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_custkey"]).to_pandas()
+    per = orders.groupby("o_custkey").size()
+    n_zero = int((~cust.c_custkey.isin(per.index)).sum())
+    assert df.n_custs.sum() == len(cust)
+    got_zero = df.loc[df.n_orders == 0, "n_custs"]
+    assert (int(got_zero.iloc[0]) if len(got_zero) else 0) == n_zero
+    exp = per.value_counts().sort_index()
+    got = df[df.n_orders > 0].set_index("n_orders")["n_custs"].sort_index()
+    assert dict(got) == {int(k): int(v) for k, v in exp.items()}
