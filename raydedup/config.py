@@ -102,12 +102,16 @@ class DedupConfig:
     # footprint spills and costs ~25% wall (measured, BASELINE.md).
     fuse_edges_max_docs: int = 100_000
 
-    # In disk mode, the same three independent edge stages execute
-    # CONCURRENTLY (driver threads, one write_parquet each) when the
-    # corpus has at most this many docs — overlapping their per-execution
-    # fixed costs.  Above it they run one at a time for the same
-    # object-store-pressure reason as fuse_edges_max_docs.
-    parallel_edges_max_docs: int = 100_000
+    # In disk mode, the same three independent edge stages CAN execute
+    # concurrently (driver threads, one write_parquet each) when the
+    # corpus has at most this many docs.  Default 0 = disabled: the
+    # measured A/B at sf0.1 (20k docs, 32 cpus, idle host) is 58.8 s
+    # parallel vs 42.6 s serial — three concurrent streaming executions
+    # on one Ray cluster contend (each edge stage 21-24 s concurrent vs
+    # 3-6 s serial), costing far more than the overlapped fixed costs
+    # save.  The mechanism stays for multi-node clusters where sibling
+    # executions land on disjoint resources.
+    parallel_edges_max_docs: int = 0
 
     # optional artifact sink (S11 analog: the reference saves every
     # detected face crop, face_recognition_custom.py:95-100): per-doc

@@ -134,3 +134,49 @@ def test_partitioned_stage_resumes_only_missing_parts(tmp_path, ray_session):
     store4 = CheckpointStore(out, "cfg", "fp2")
     store4.partitioned_map_stage("sigs", "upstream", make_ds, 4)
     assert calls["n"] == 10
+
+
+def test_parallel_stages_interchangeable_with_sequential(tmp_path, ray_session):
+    """parallel_stages writes the same lineage chain as sequential stage()
+    calls: checkpoints from one resume under the other, in both
+    directions, and the post-call store lineage is identical."""
+    import ray.data as rd
+
+    def specs(calls):
+        def mk(name, n):
+            def fn():
+                calls["n"] += 1
+                return rd.range(n)
+            return (name, fn)
+        return [mk("ea", 3), mk("eb", 4), mk("ec", 5)]
+
+    # run 1: concurrent execution from a fresh store
+    out = str(tmp_path / "out")
+    store = CheckpointStore(out, "cfg", "fp")
+    calls = {"n": 0}
+    res = store.parallel_stages(specs(calls))
+    assert calls["n"] == 3
+    assert {k: v.count() for k, v in res.items()} == {"ea": 3, "eb": 4, "ec": 5}
+    lineage_after_parallel = store.lineage
+
+    # run 2: SEQUENTIAL stage() calls over the same store dir resume all
+    # three from the parallel run's checkpoints (no recompute)
+    store2 = CheckpointStore(out, "cfg", "fp")
+    calls2 = {"n": 0}
+    for name, fn in specs(calls2):
+        ds = store2.stage(name, fn)
+        assert ds.count() == {"ea": 3, "eb": 4, "ec": 5}[name]
+    assert calls2["n"] == 0
+    assert store2.lineage == lineage_after_parallel
+
+    # run 3: parallel over sequential checkpoints also resumes, and a
+    # partially-complete set recomputes only the missing sibling
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "eb"))
+    store3 = CheckpointStore(out, "cfg", "fp")
+    calls3 = {"n": 0}
+    res3 = store3.parallel_stages(specs(calls3))
+    assert calls3["n"] == 1
+    assert res3["eb"].count() == 4
+    assert store3.lineage == lineage_after_parallel
