@@ -94,6 +94,12 @@ class DedupConfig:
     # right choice for runs whose outputs are consumed immediately.
     checkpoint_mode: str = "disk"
 
+    # parquet codec for checkpoint files: zstd halves the text-heavy
+    # stages' bytes vs the snappy default for negligible encode cost,
+    # directly cutting the shared-disk I/O that dominates the
+    # worst-scaling stages (BASELINE.md stage decomposition)
+    checkpoint_compression: str = "zstd"
+
     # In memory mode, the three edge stages (minhash/suffix/simhash) fuse
     # into the pair-dedup execution when the corpus has at most this many
     # docs: small runs save three executor/aggregator spin-ups.  Above it

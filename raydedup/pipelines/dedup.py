@@ -53,7 +53,7 @@ def run_pipeline(
     cfg = cfg or DedupConfig()
     store = CheckpointStore(
         out_dir, cfg.config_hash(), input_fingerprint(input_path),
-        mode=cfg.checkpoint_mode,
+        mode=cfg.checkpoint_mode, compression=cfg.checkpoint_compression,
     )
     metrics = MetricsSink()
 
