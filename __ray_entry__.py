@@ -63,23 +63,42 @@ def _media_resize(sf_dir: str):
     return media_resize_pipeline(sf_dir)
 
 
-def _dup_groups_table(sf_dir: str):
-    """q_dup_groups materialized to a pyarrow Table: the result is tiny
-    (exact-duplicate groups) and legitimately empty on fixtures without
-    exact dups — a 0-row Dataset loses its schema through ``to_pandas``,
-    a pyarrow Table does not, so the driver's schema check stays stable."""
+def _as_arrow_table(ds, schema):
+    """Materialize a tiny, legitimately-empty-able Dataset to a pyarrow
+    Table with an explicit schema: a 0-row Dataset loses its columns
+    through ``to_pandas`` (Ray artifact), a typed pyarrow Table does not,
+    so the driver's schema check stays stable at scales where the result
+    is empty."""
     import pyarrow as pa
     import ray
+
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    if not tbls:
+        return schema.empty_table()
+    return pa.concat_tables([t.cast(schema) for t in tbls])
+
+
+def _dup_groups_table(sf_dir: str):
+    import pyarrow as pa
 
     from raydedup.pipelines.docops import dup_groups
 
     schema = pa.schema(
         [("text_md5", pa.string()), ("n_docs", pa.int64()), ("canonical_id", pa.int64())]
     )
-    tbls = ray.get(dup_groups(sf_dir).to_arrow_refs())
-    if not tbls:
-        return schema.empty_table()
-    return pa.concat_tables([t.cast(schema) for t in tbls])
+    return _as_arrow_table(dup_groups(sf_dir), schema)
+
+
+def _embedding_dup_pairs_table(sf_dir: str, lsh: bool = False):
+    """Both pair miners return (a, b) int64 and are legitimately empty on
+    fixtures without near-identical embeddings."""
+    import pyarrow as pa
+
+    from raydedup.pipelines import similarity
+
+    fn = similarity.embedding_dup_pairs_lsh if lsh else similarity.embedding_dup_pairs
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    return _as_arrow_table(fn(sf_dir, 0.5), schema)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -158,10 +177,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bit-exact oracle is the sequential numpy twin in
         # tests/test_docops.py::test_kmeans_matches_sequential
         "q_kmeans": similarity.kmeans,
-        "q_embedding_dup_pairs": lambda sf: similarity.embedding_dup_pairs(sf, 0.5),
+        "q_embedding_dup_pairs": _embedding_dup_pairs_table,
         # the 100-TB pair-mining path: hyperplane buckets + in-bucket exact
         # cosine (deterministic; recall<1 by design → no SQL twin)
-        "q_embedding_dup_pairs_lsh": lambda sf: similarity.embedding_dup_pairs_lsh(sf, 0.5),
+        "q_embedding_dup_pairs_lsh": lambda sf: _embedding_dup_pairs_table(sf, lsh=True),
         # --- corpus curation (benchmark decontamination, splits, PII) ---
         "q_decontaminate": curation.decontaminate,
         "q_train_split": curation.train_split,

@@ -1,0 +1,75 @@
+"""Full driver-contract smoke: every ``queries()`` entry runs at
+sf0.001, and every entry with an ``oracle_sql()`` twin value-matches
+DuckDB on the same parquet tables — the in-repo miniature of the
+driver's per-round correctness gate, so a registration or semantics
+break surfaces in CI before the round runs."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def contract():
+    import __ray_entry__ as entry
+
+    return entry.queries(), entry.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    import os
+
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _frame(res) -> pd.DataFrame:
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    return pd.DataFrame(res)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    out = df[cols].astype(str)
+    return out.sort_values(cols, kind="stable").reset_index(drop=True)
+
+
+def test_every_query_runs_and_matches_oracle(ray_session, contract, oracle_con):
+    qs, osql = contract
+    assert set(osql) <= set(qs), "oracle entries without a query"
+    failures = []
+    for name, fn in qs.items():
+        try:
+            df = _frame(fn(SF))
+        except Exception as exc:  # noqa: BLE001 — collect, report all at once
+            failures.append(f"{name}: raised {exc!r}")
+            continue
+        if name not in osql:
+            # rows-only check, mirroring the driver's weaker gate
+            if df.shape[1] == 0:
+                failures.append(f"{name}: empty schema")
+            continue
+        odf = oracle_con.execute(osql[name]).fetch_df()
+        if sorted(df.columns) != sorted(odf.columns):
+            failures.append(
+                f"{name}: columns {sorted(df.columns)} != oracle {sorted(odf.columns)}"
+            )
+            continue
+        if len(df) != len(odf):
+            failures.append(f"{name}: {len(df)} rows != oracle {len(odf)}")
+            continue
+        if not _canon(df).equals(_canon(odf)):
+            failures.append(f"{name}: value mismatch")
+    assert not failures, "\n".join(failures)
