@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_by_hopping_window": docops.events_by_hopping_window,
         "q_events_rollup": docops.events_rollup,
         "q_user_sessions": docops.user_sessions,
+        # range self-join: same-user event count in the trailing hour
+        "q_events_recent_activity": docops.events_recent_activity,
         "q_asof_attribution": docops.asof_attribution,
         "q_dup_size_histogram": docops.dup_size_histogram,
         # heavy hitters / distribution stats / sampling / broadcast join
@@ -456,6 +458,15 @@ def oracle_sql() -> dict[str, str]:
                                    OR ts - prev > INTERVAL 30 MINUTE
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM o GROUP BY user_id
+        """,
+        # range self-join, inclusive both ends; ties count symmetrically
+        # so the result is order-free
+        "q_events_recent_activity": """
+            SELECT e1.event_id, COUNT(*) AS n_recent
+            FROM events e1 JOIN events e2
+              ON e1.user_id = e2.user_id
+             AND e2.ts BETWEEN e1.ts - INTERVAL 60 MINUTE AND e1.ts
+            GROUP BY e1.event_id
         """,
         # as-of attribution; tie rule = engine's: at an identical ts a
         # click attributes iff its event_id sorts before the purchase

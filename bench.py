@@ -102,7 +102,7 @@ def run_flagship(sf_dir: str, num_cpus: int, fresh: bool = True,
 
 def run_doc_queries(sf_dir: str) -> dict:
     """Headline document/embedding operators over the sf dir."""
-    from raydedup.pipelines import curation, docdedup, docops, similarity
+    from raydedup.pipelines import curation, docdedup, docops, relops, similarity
 
     out = {}
     # ngram-Jaccard runs with a tight document-frequency cap: this
@@ -122,6 +122,8 @@ def run_doc_queries(sf_dir: str) -> dict:
         ("q_tfidf_top_terms", docops.tfidf_top_terms),
         ("q_decontaminate", curation.decontaminate),
         ("q_label_centroids", curation.label_centroids),
+        ("q_bigram_collocations", docops.bigram_collocations),
+        ("q_customer_order_distribution", relops.customer_order_distribution),
     ]:
         t0 = time.time()
         res = fn(sf_dir)

@@ -1431,3 +1431,65 @@ def bigram_collocations(sf_dir: str, min_pair: int = 5):
         return out.astype({"n_pair": np.int64, "n_w1": np.int64, "n_w2": np.int64})
 
     return j2.map_batches(project, batch_format="pandas")
+
+
+# ------------------------------------------------------------ range self-join
+def events_recent_activity(sf_dir: str, window_minutes: int = 60):
+    """Range self-join: for every event, the number of SAME-USER events
+    in the trailing window [ts − window, ts], inclusive of itself →
+    (event_id, n_recent).
+
+    The distributed range join the Dataset API lacks, composed per the
+    engine's partitioning rule: ONE hash shuffle on ``user_id``
+    co-locates each user's events, and the in-block kernel is fully
+    vectorized — rows sort by (user, ts), each user's timestamps embed
+    into a disjoint band of a single int64 axis (user_ordinal × span),
+    and two ``searchsorted`` calls over that composite axis answer every
+    row's interval count at once.  No per-user Python loop, no
+    O(n·window) expansion; shuffle volume ∝ events, work ∝ n log n per
+    block.  Tie-safe: counts depend only on the timestamp multiset, so
+    the result is deterministic under equal-ts orderings.
+    """
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+    win_us = np.int64(window_minutes) * 60 * 1_000_000
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                                 "n_recent": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["user_id", "ts"], kind="stable")
+        uid = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        # dense user ordinal per sorted row
+        new_user = np.ones(len(df), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        uord = np.cumsum(new_user).astype(np.int64) - 1
+        t0 = ts.min()
+        span = np.int64(ts.max() - t0) + win_us + np.int64(2)
+        n_users = int(uord[-1]) + 1
+        if span > 0 and n_users > (np.iinfo(np.int64).max // span) - 1:
+            # composite-axis overflow (astronomically wide ts range ×
+            # users per block): fall back to per-user slices
+            out = np.empty(len(df), dtype=np.int64)
+            starts = np.flatnonzero(new_user)
+            bounds = np.append(starts, len(df))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                seg = ts[s:e]
+                out[s:e] = (np.arange(s, e) - s + 1) - np.searchsorted(
+                    seg, seg - win_us, side="left"
+                )
+        else:
+            comp = uord * span + (ts - t0)
+            lo = np.searchsorted(comp, comp - win_us, side="left")
+            hi = np.searchsorted(comp, comp, side="right")
+            out = hi - lo
+        return pd.DataFrame({"event_id": eid, "n_recent": out.astype(np.int64)})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    return keyed_blocks(ds, ["user_id"], 4).map_batches(
+        block, batch_size=None, batch_format="pandas"
+    )

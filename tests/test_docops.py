@@ -847,3 +847,24 @@ def test_customer_order_distribution_left_join(ray_session):
     exp = per.value_counts().sort_index()
     got = df[df.n_orders > 0].set_index("n_orders")["n_custs"].sort_index()
     assert dict(got) == {int(k): int(v) for k, v in exp.items()}
+
+
+def test_events_recent_activity_range_join(ray_session):
+    """Composite-axis searchsorted equals a brute-force per-event interval
+    count (inclusive both ends, same-user only, self counted)."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import events_recent_activity
+
+    df = events_recent_activity(SF, window_minutes=60).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts"]).to_pandas()
+    win = pd.Timedelta(minutes=60)
+    exp = {}
+    for uid, g in ev.groupby("user_id"):
+        ts = g["ts"].to_numpy()
+        for eid, t in zip(g["event_id"], ts):
+            exp[int(eid)] = int(((ts >= t - win) & (ts <= t)).sum())
+    got = dict(zip(df.event_id.astype(int), df.n_recent.astype(int)))
+    assert got == exp
+    assert (df.n_recent >= 1).all()
