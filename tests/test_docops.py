@@ -868,3 +868,20 @@ def test_events_recent_activity_range_join(ray_session):
     got = dict(zip(df.event_id.astype(int), df.n_recent.astype(int)))
     assert got == exp
     assert (df.n_recent >= 1).all()
+
+
+def test_ann_lsh_recall_vs_bruteforce(ray_session):
+    """Hyperplane-LSH top-k is deterministic and recalls most exact
+    neighbors at a generous table count (the pytest oracle for the
+    no-SQL q_ann_lsh row)."""
+    from raydedup.pipelines.similarity import ann_lsh, knn_bruteforce
+
+    exact = knn_bruteforce(SF, n_queries=4, k=3).to_pandas()
+    t = ann_lsh(SF, n_queries=4, k=3, n_planes=6, n_tables=8).to_pandas()
+    t2 = ann_lsh(SF, n_queries=4, k=3, n_planes=6, n_tables=8).to_pandas()
+    pd.testing.assert_frame_equal(t, t2)  # deterministic
+    assert (t.rnk <= 3).all()
+    assert (t.query_id != t.neighbor_id).all()
+    got = set(map(tuple, t[["query_id", "neighbor_id"]].itertuples(index=False)))
+    want = set(map(tuple, exact[["query_id", "neighbor_id"]].itertuples(index=False)))
+    assert len(got & want) >= 0.5 * len(want)
