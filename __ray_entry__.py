@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_segment_revenue": relops.segment_revenue,
         "q_priority_counts": relops.priority_counts,
         "q_customer_order_distribution": relops.customer_order_distribution,
+        # star-schema join: tiny dims broadcast, big sides co-shuffled
+        "q_region_revenue": relops.region_revenue,
         # global ranked top-k (two-level cut, no global sort) + exact
         # bigram collocation counts (double co-shuffle attach join)
         "q_longest_docs": docops.longest_docs,
@@ -609,6 +611,17 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue_cents
             FROM customer JOIN orders ON c_custkey = o_custkey
             GROUP BY c_mktsegment
+        """,
+        # star-schema join; cents convention matches q_segment_revenue
+        "q_region_revenue": """
+            SELECT r_name AS region, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "q_priority_counts": """
             SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders

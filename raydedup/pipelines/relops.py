@@ -298,3 +298,105 @@ def customer_order_distribution(sf_dir: str):
     return keyed_blocks(per, ["n_orders"], 4).map_batches(
         final, batch_size=None, batch_format="pandas"
     )
+
+
+def region_revenue(sf_dir: str):
+    """Star-schema join (TPC-H-Q5-lite): order count and cent-exact
+    revenue per REGION → (region, n_orders, revenue_cents).
+
+    The canonical star pattern this engine prescribes for 100-TB fact
+    tables: the tiny dimensions (nation 25 rows, region 5) are read once
+    on the driver, composed into a nationkey → region-name lookup, and
+    broadcast via ``ray.put`` into the customer map — never shuffled.
+    Only the two large sides (customer, orders) move, co-shuffled on
+    ``custkey`` exactly like :func:`segment_revenue`, with per-block
+    pre-reduction so the final region shuffle carries a handful of rows.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    rmap = dict(zip(region["r_regionkey"], region["r_name"]))
+    nat_to_region = {
+        int(nk): rmap[int(rk)]
+        for nk, rk in zip(nation["n_nationkey"], nation["n_regionkey"])
+    }
+    lookup_ref = ray.put(nat_to_region)
+
+    def cust_rows(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        nk = df["c_nationkey"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "custkey": df["c_custkey"].to_numpy(np.int64),
+                "region": np.array([lookup[int(k)] for k in nk], dtype=object),
+                "price_cents": np.zeros(len(df), dtype=np.int64),
+                "is_order": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "custkey": df["o_custkey"].to_numpy(np.int64),
+                "region": np.full(len(df), "", dtype=object),
+                "price_cents": _cents(df["o_totalprice"]),
+                "is_order": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    def join_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "region": pd.Series([], dtype=object),
+                    "n_orders": pd.Series([], dtype=np.int64),
+                    "revenue_cents": pd.Series([], dtype=np.int64),
+                }
+            )
+        dim = df[df["is_order"] == 0][["custkey", "region"]]
+        fact = df[df["is_order"] == 1][["custkey", "price_cents"]]
+        j = fact.merge(dim, on="custkey", how="inner")
+        g = (
+            j.groupby("region", sort=False)
+            .agg(n_orders=("price_cents", "size"), revenue_cents=("price_cents", "sum"))
+            .reset_index()
+        )
+        return g.astype({"n_orders": np.int64, "revenue_cents": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "region": pd.Series([], dtype=object),
+                    "n_orders": pd.Series([], dtype=np.int64),
+                    "revenue_cents": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = (
+            df.groupby("region", sort=False)
+            .agg(n_orders=("n_orders", "sum"), revenue_cents=("revenue_cents", "sum"))
+            .reset_index()
+        )
+        return g.astype({"n_orders": np.int64, "revenue_cents": np.int64})
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_rows, batch_format="pandas")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(order_rows, batch_format="pandas")
+    joined = keyed_blocks(cust.union(orders), ["custkey"], _P).map_batches(
+        join_reduce, batch_size=None, batch_format="pandas"
+    )
+    return keyed_blocks(joined, ["region"], 2).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )

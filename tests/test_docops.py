@@ -885,3 +885,30 @@ def test_ann_lsh_recall_vs_bruteforce(ray_session):
     got = set(map(tuple, t[["query_id", "neighbor_id"]].itertuples(index=False)))
     want = set(map(tuple, exact[["query_id", "neighbor_id"]].itertuples(index=False)))
     assert len(got & want) >= 0.5 * len(want)
+
+
+def test_region_revenue_star_join(ray_session):
+    """Broadcast-dim star join equals a single-process pandas recount."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.relops import region_revenue
+
+    df = region_revenue(SF).to_pandas().set_index("region").sort_index()
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"]).to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{SF}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = pq.read_table(f"{SF}/region.parquet",
+                           columns=["r_regionkey", "r_name"]).to_pandas()
+    j = (orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+         .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+         .merge(region, left_on="n_regionkey", right_on="r_regionkey"))
+    j["cents"] = np.round(j["o_totalprice"].to_numpy(np.float64) * 100).astype(np.int64)
+    exp = (j.groupby("r_name").agg(n_orders=("cents", "size"),
+                                   revenue_cents=("cents", "sum")))
+    exp.index.name = "region"
+    exp = exp.sort_index()
+    assert (df["n_orders"] == exp["n_orders"]).all()
+    assert (df["revenue_cents"] == exp["revenue_cents"]).all()
