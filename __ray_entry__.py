@@ -161,6 +161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_customer_order_distribution": relops.customer_order_distribution,
         # star-schema join: tiny dims broadcast, big sides co-shuffled
         "q_region_revenue": relops.region_revenue,
+        # multi-key join chain (custkey semi-join → orderkey join) +
+        # two-level global top-k
+        "q_shipping_priority": relops.shipping_priority,
         # global ranked top-k (two-level cut, no global sort) + exact
         # bigram collocation counts (double co-shuffle attach join)
         "q_longest_docs": docops.longest_docs,
@@ -622,6 +625,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        # per-row floor-divide revenue in cents mirrors the engine's
+        # int64 math exactly; orderkey breaks revenue ties deterministically
+        "q_shipping_priority": """
+            WITH li AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                                // 100) AS BIGINT) AS revenue_cents
+                FROM lineitem
+                WHERE l_shipdate > TIMESTAMP '1998-06-01'
+                GROUP BY l_orderkey
+            )
+            SELECT o_orderkey, revenue_cents,
+                   CAST(ROW_NUMBER() OVER (ORDER BY revenue_cents DESC, o_orderkey)
+                        AS BIGINT) AS rnk
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN li ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+            ORDER BY revenue_cents DESC, o_orderkey
+            LIMIT 10
         """,
         "q_priority_counts": """
             SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders

@@ -300,6 +300,140 @@ def customer_order_distribution(sf_dir: str):
     )
 
 
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-06-01", k: int = 10):
+    """TPC-H-Q3-style shipping priority: the ``k`` highest-revenue
+    orders from one market segment that were placed before ``cutoff``
+    but have lineitems still shipping after it →
+    (o_orderkey, revenue_cents, rnk).
+
+    The multi-key join chain pattern: two joins on DIFFERENT keys mean
+    two co-shuffles, each reusing the same ``keyed_blocks`` primitive —
+    no stage ever sees more than its hash partition.
+
+    * shuffle 1 (``custkey``): segment customers ⋉ date-filtered orders
+      — a co-shuffled SEMI-join (the customer side carries no payload,
+      it only gates order rows), both reads column- and predicate-pruned.
+    * lineitem pre-reduces per block to (orderkey, partial
+      revenue_cents) before ever shuffling — shuffle 2 carries one row
+      per (block, order), not one per lineitem.
+    * shuffle 2 (``orderkey``): surviving orders ⋈ lineitem partials,
+      exact per-order revenue inside the block.
+    * global top-``k``: per-block cut → one tiny block assigns the
+      exact rank (same two-level cut as ``docops.longest_docs``) — never
+      a global sort.
+
+    Revenue is cent-exact int64 (per-row floor divide, see module
+    docstring) with ``o_orderkey`` as the deterministic tie-break, so
+    the result hash-matches the DuckDB twin bit-for-bit.
+    """
+    import datetime
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+    cut = datetime.datetime.fromisoformat(cutoff)
+
+    def cust_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "custkey": df["c_custkey"].to_numpy(np.int64),
+                "orderkey": np.zeros(len(df), dtype=np.int64),
+                "is_order": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "custkey": df["o_custkey"].to_numpy(np.int64),
+                "orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "is_order": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    def semi_join(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"orderkey": pd.Series([], dtype=np.int64),
+                                 "revenue_cents": pd.Series([], dtype=np.int64),
+                                 "is_line": pd.Series([], dtype=np.int64)})
+        keep = set(df.loc[df["is_order"] == 0, "custkey"].to_numpy(np.int64))
+        ords = df[(df["is_order"] == 1)
+                  & df["custkey"].isin(keep)]
+        return pd.DataFrame(
+            {
+                "orderkey": ords["orderkey"].to_numpy(np.int64),
+                "revenue_cents": np.zeros(len(ords), dtype=np.int64),
+                "is_line": np.zeros(len(ords), dtype=np.int64),
+            }
+        )
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pc = _cents(df["l_extendedprice"])
+        disc_pct = np.round(df["l_discount"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        g = (
+            pd.DataFrame({"orderkey": df["l_orderkey"].to_numpy(np.int64),
+                          "revenue_cents": pc * (100 - disc_pct) // 100})
+            .groupby("orderkey", sort=False)
+            .agg(revenue_cents=("revenue_cents", "sum"))
+            .reset_index()
+        )
+        g["is_line"] = np.int64(1)
+        return g.astype({"orderkey": np.int64, "revenue_cents": np.int64})
+
+    def join_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"o_orderkey": pd.Series([], dtype=np.int64),
+                                 "revenue_cents": pd.Series([], dtype=np.int64)})
+        keep = set(df.loc[df["is_line"] == 0, "orderkey"].to_numpy(np.int64))
+        lines = df[(df["is_line"] == 1) & df["orderkey"].isin(keep)]
+        g = (
+            lines.groupby("orderkey", sort=False)
+            .agg(revenue_cents=("revenue_cents", "sum"))
+            .reset_index()
+            .rename(columns={"orderkey": "o_orderkey"})
+        )
+        g = g.sort_values(["revenue_cents", "o_orderkey"], ascending=[False, True],
+                          kind="stable").head(k)
+        return g.astype({"o_orderkey": np.int64, "revenue_cents": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"o_orderkey": pd.Series([], dtype=np.int64),
+                                 "revenue_cents": pd.Series([], dtype=np.int64),
+                                 "rnk": pd.Series([], dtype=np.int64)})
+        out = df.sort_values(["revenue_cents", "o_orderkey"], ascending=[False, True],
+                             kind="stable").head(k).reset_index(drop=True)
+        out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out.astype({"o_orderkey": np.int64, "revenue_cents": np.int64,
+                           "rnk": np.int64})
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filter=(pads.field("c_mktsegment") == segment),
+    ).map_batches(cust_rows, batch_format="pandas")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") < cut),
+    ).map_batches(order_rows, batch_format="pandas")
+    seg_orders = keyed_blocks(cust.union(orders), ["custkey"], _P).map_batches(
+        semi_join, batch_size=None, batch_format="pandas"
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") > cut),
+    ).map_batches(line_partial, batch_format="pandas")
+    per_order = keyed_blocks(seg_orders.union(lines), ["orderkey"], _P).map_batches(
+        join_topk, batch_size=None, batch_format="pandas"
+    )
+    return per_order.repartition(1).map_batches(final, batch_size=None,
+                                                batch_format="pandas")
+
+
 def region_revenue(sf_dir: str):
     """Star-schema join (TPC-H-Q5-lite): order count and cent-exact
     revenue per REGION → (region, n_orders, revenue_cents).

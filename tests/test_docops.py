@@ -912,3 +912,40 @@ def test_region_revenue_star_join(ray_session):
     exp = exp.sort_index()
     assert (df["n_orders"] == exp["n_orders"]).all()
     assert (df["revenue_cents"] == exp["revenue_cents"]).all()
+
+
+def test_shipping_priority_topk(ray_session):
+    """Two-co-shuffle join chain + global top-k equals a pandas recount."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.relops import shipping_priority
+
+    seg, cutoff, k = "BUILDING", "1998-06-01", 10
+    df = shipping_priority(SF, segment=seg, cutoff=cutoff, k=k).to_pandas()
+
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    lines = pq.read_table(f"{SF}/lineitem.parquet",
+                          columns=["l_orderkey", "l_extendedprice",
+                                   "l_discount", "l_shipdate"]).to_pandas()
+    cut = pd.Timestamp(cutoff)
+    cust = cust[cust["c_mktsegment"] == seg]
+    orders = orders[orders["o_orderdate"] < cut]
+    orders = orders[orders["o_custkey"].isin(set(cust["c_custkey"]))]
+    lines = lines[lines["l_shipdate"] > cut]
+    pc = np.round(lines["l_extendedprice"].to_numpy(np.float64) * 100).astype(np.int64)
+    dp = np.round(lines["l_discount"].to_numpy(np.float64) * 100).astype(np.int64)
+    lines = pd.DataFrame({"o_orderkey": lines["l_orderkey"].to_numpy(np.int64),
+                          "revenue_cents": pc * (100 - dp) // 100})
+    lines = lines[lines["o_orderkey"].isin(set(orders["o_orderkey"]))]
+    exp = (lines.groupby("o_orderkey").agg(revenue_cents=("revenue_cents", "sum"))
+           .reset_index()
+           .sort_values(["revenue_cents", "o_orderkey"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    exp["rnk"] = np.arange(1, len(exp) + 1, dtype=np.int64)
+    assert len(df) == len(exp)
+    assert (df["o_orderkey"].to_numpy() == exp["o_orderkey"].to_numpy()).all()
+    assert (df["revenue_cents"].to_numpy() == exp["revenue_cents"].to_numpy()).all()
+    assert (df["rnk"].to_numpy() == exp["rnk"].to_numpy()).all()
