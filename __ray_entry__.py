@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_sessions": docops.user_sessions,
         # range self-join: same-user event count in the trailing hour
         "q_events_recent_activity": docops.events_recent_activity,
+        # semi-structured JSON extraction (regex fast path + json.loads
+        # fallback) → per-type aggregate
+        "q_event_props_stats": docops.event_props_stats,
         "q_asof_attribution": docops.asof_attribution,
         "q_dup_size_histogram": docops.dup_size_histogram,
         # heavy hitters / distribution stats / sampling / broadcast join
@@ -472,6 +475,24 @@ def oracle_sql() -> dict[str, str]:
               ON e1.user_id = e2.user_id
              AND e2.ts BETWEEN e1.ts - INTERVAL 60 MINUTE AND e1.ts
             GROUP BY e1.event_id
+        """,
+        # engine extracts integer props.k (regex fast path + json.loads
+        # fallback); COALESCE 0 mirrors the engine's empty-group rule
+        "q_event_props_stats": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(k) AS BIGINT) AS n_with_k,
+                   CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k,
+                   CAST(COALESCE(MIN(k), 0) AS BIGINT) AS min_k,
+                   CAST(COALESCE(MAX(k), 0) AS BIGINT) AS max_k
+            FROM (
+                SELECT event_type,
+                       CASE WHEN json_valid(props)
+                            THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT)
+                       END AS k
+                FROM events
+            )
+            GROUP BY event_type
         """,
         # as-of attribution; tie rule = engine's: at an identical ts a
         # click attributes iff its event_id sorts before the purchase

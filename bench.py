@@ -126,6 +126,7 @@ def run_doc_queries(sf_dir: str) -> dict:
         ("q_customer_order_distribution", relops.customer_order_distribution),
         ("q_region_revenue", relops.region_revenue),
         ("q_shipping_priority", relops.shipping_priority),
+        ("q_event_props_stats", docops.event_props_stats),
         ("q_events_recent_activity", docops.events_recent_activity),
     ]:
         t0 = time.time()

@@ -1493,3 +1493,86 @@ def events_recent_activity(sf_dir: str, window_minutes: int = 60):
     return keyed_blocks(ds, ["user_id"], 4).map_batches(
         block, batch_size=None, batch_format="pandas"
     )
+
+
+# -------------------------------------------------- semi-structured extraction
+def event_props_stats(sf_dir: str, field: str = "k"):
+    """Semi-structured JSON extraction + aggregate: parse the ``props``
+    JSON column, pull the integer ``field``, and summarize it per event
+    type → (event_type, n_events, n_with_k, sum_k, min_k, max_k).
+
+    The extraction is vectorized: a compiled regex (pandas
+    ``str.extract``, C loop) handles the flat ``"field": int`` case that
+    dominates real telemetry; only rows the regex misses but that do
+    mention the field fall back to per-row ``json.loads`` — so the hot
+    path never enters Python row-at-a-time.  Groups where no row carries
+    the field report 0 for sum/min/max (COALESCE semantics, mirrored in
+    the DuckDB twin).  Scale shape: per-block partial aggregate → one
+    tiny key shuffle on ``event_type``; shuffle volume ∝ event types ×
+    blocks, never rows.
+    """
+    import json
+    import re
+
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+    pat = re.compile(r'"%s"\s*:\s*(-?\d+)(?=\s*[,}\]])' % re.escape(field))
+    needle = f'"{field}"'
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        props = df["props"].fillna("")
+        k = pd.to_numeric(props.str.extract(pat, expand=False), errors="coerce")
+        miss = k.isna() & props.str.contains(needle, regex=False)
+        if miss.any():
+            def slow(p: str):
+                try:
+                    v = json.loads(p).get(field)
+                except Exception:
+                    return np.nan
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    return np.nan
+                return float(v)
+
+            k = k.where(~miss, props[miss].map(slow))
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(dtype=object),
+                          "k": k.to_numpy(np.float64)})
+        out = (
+            g.groupby("event_type", sort=False)
+            .agg(n_events=("k", "size"), n_with_k=("k", "count"),
+                 sum_k=("k", lambda s: s.fillna(0).sum()),
+                 min_k=("k", "min"), max_k=("k", "max"))
+            .reset_index()
+        )
+        return out.astype({"n_events": np.int64, "n_with_k": np.int64,
+                           "sum_k": np.float64, "min_k": np.float64,
+                           "max_k": np.float64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "n_events": pd.Series([], dtype=np.int64),
+                                 "n_with_k": pd.Series([], dtype=np.int64),
+                                 "sum_k": pd.Series([], dtype=np.int64),
+                                 "min_k": pd.Series([], dtype=np.int64),
+                                 "max_k": pd.Series([], dtype=np.int64)})
+        g = (
+            df.groupby("event_type", sort=False)
+            .agg(n_events=("n_events", "sum"), n_with_k=("n_with_k", "sum"),
+                 sum_k=("sum_k", "sum"), min_k=("min_k", "min"),
+                 max_k=("max_k", "max"))
+            .reset_index()
+        )
+        none = g["n_with_k"] == 0
+        for c in ("sum_k", "min_k", "max_k"):
+            g.loc[none, c] = 0.0
+        return g.astype({"n_events": np.int64, "n_with_k": np.int64,
+                         "sum_k": np.int64, "min_k": np.int64,
+                         "max_k": np.int64})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return keyed_blocks(partials, ["event_type"], 4).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )

@@ -914,6 +914,44 @@ def test_region_revenue_star_join(ray_session):
     assert (df["revenue_cents"] == exp["revenue_cents"]).all()
 
 
+def test_event_props_stats_extraction(ray_session, tmp_path):
+    """JSON extraction: regex fast path, json.loads fallback (escaped
+    needle in another field), missing key, malformed JSON, empty group."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import event_props_stats
+
+    props = [
+        '{"k": 7}',                      # fast path
+        '{ "k" :\n 3 }',                 # fast path, whitespace
+        '{"other": 1, "k": -2}',         # fast path, negative
+        '{"note": "mentions \\"k\\" here"}',  # fallback → no real k field
+        '{"k": {"nested": 1}}',          # fallback → k not an int
+        '{"j": 5}',                      # no k at all
+        'not json "k":',                 # malformed → fallback fails
+        None,                            # null props
+    ]
+    types = ["a", "a", "a", "a", "b", "b", "b", "c"]
+    pq.write_table(
+        pa.table({"event_id": pa.array(range(8), pa.int64()),
+                  "ts": pa.array([0] * 8, pa.timestamp("us")),
+                  "user_id": pa.array([1] * 8, pa.int64()),
+                  "event_type": pa.array(types, pa.string()),
+                  "value": pa.array([0.0] * 8, pa.float64()),
+                  "props": pa.array(props, pa.string())}),
+        tmp_path / "events.parquet",
+    )
+    df = (event_props_stats(str(tmp_path)).to_pandas()
+          .set_index("event_type").sort_index())
+    assert df.loc["a", "n_events"] == 4 and df.loc["a", "n_with_k"] == 3
+    assert df.loc["a", "sum_k"] == 8 and df.loc["a", "min_k"] == -2
+    assert df.loc["a", "max_k"] == 7
+    assert df.loc["b", "n_with_k"] == 0 and df.loc["b", "sum_k"] == 0
+    assert df.loc["b", "min_k"] == 0 and df.loc["b", "max_k"] == 0
+    assert df.loc["c", "n_events"] == 1 and df.loc["c", "n_with_k"] == 0
+
+
 def test_shipping_priority_topk(ray_session):
     """Two-co-shuffle join chain + global top-k equals a pandas recount."""
     import pyarrow.parquet as pq
