@@ -167,6 +167,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-key join chain (custkey semi-join → orderkey join) +
         # two-level global top-k
         "q_shipping_priority": relops.shipping_priority,
+        # tiny-dim map-side broadcast join (fact never shuffles)
+        "q_supplier_nation_revenue": relops.supplier_nation_revenue,
+        # scaling-dim co-shuffle join (part grows with data → no broadcast)
+        "q_brand_revenue": relops.brand_revenue,
         # global ranked top-k (two-level cut, no global sort) + exact
         # bigram collocation counts (double co-shuffle attach join)
         "q_longest_docs": docops.longest_docs,
@@ -646,6 +650,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "q_supplier_nation_revenue": """
+            SELECT n_name AS nation,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                            // 100) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q_brand_revenue": """
+            SELECT p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                            // 100) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
         """,
         # per-row floor-divide revenue in cents mirrors the engine's
         # int64 math exactly; orderkey breaks revenue ties deterministically

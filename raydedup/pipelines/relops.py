@@ -300,6 +300,180 @@ def customer_order_distribution(sf_dir: str):
     )
 
 
+def supplier_nation_revenue(sf_dir: str):
+    """Map-side broadcast join (TPC-H-Q9-lite): cent-exact discounted
+    revenue per supplier NATION → (nation, n_items, revenue_cents).
+
+    The pure broadcast pattern for genuinely tiny dimensions: supplier
+    (fixed ~100 rows/SF here) composed with nation (25) into one
+    ``suppkey → nation-name`` dict, shipped once via ``ray.put`` and
+    read inside every map task — the fact table never shuffles at all;
+    each lineitem block reduces straight to (nation, partials) and only
+    those ≤ 25-row partials move.  Contrast :func:`brand_revenue`, where
+    the dimension scales with the data and must co-shuffle.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nmap = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    supp_to_nation = {
+        int(sk): nmap[int(nk)]
+        for sk, nk in zip(supp["s_suppkey"], supp["s_nationkey"])
+    }
+    lookup_ref = ray.put(supp_to_nation)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        pc = _cents(df["l_extendedprice"])
+        disc_pct = np.round(df["l_discount"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        sk = df["l_suppkey"].to_numpy(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "nation": np.array([lookup[int(k)] for k in sk], dtype=object),
+                    "revenue_cents": pc * (100 - disc_pct) // 100,
+                }
+            )
+            .groupby("nation", sort=False)
+            .agg(n_items=("revenue_cents", "size"),
+                 revenue_cents=("revenue_cents", "sum"))
+            .reset_index()
+        )
+        return g.astype({"n_items": np.int64, "revenue_cents": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "nation": pd.Series([], dtype=object),
+                    "n_items": pd.Series([], dtype=np.int64),
+                    "revenue_cents": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = (
+            df.groupby("nation", sort=False)
+            .agg(n_items=("n_items", "sum"), revenue_cents=("revenue_cents", "sum"))
+            .reset_index()
+        )
+        return g.astype({"n_items": np.int64, "revenue_cents": np.int64})
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pandas")
+    return keyed_blocks(ds, ["nation"], 2).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
+def brand_revenue(sf_dir: str):
+    """Fact ⋈ scaling-dimension join (TPC-H-Q14-ish by brand):
+    cent-exact discounted revenue per part BRAND →
+    (p_brand, n_items, revenue_cents).
+
+    Unlike supplier/nation/region, the ``part`` table grows with the
+    dataset (200 M rows at TPC-H SF100), so broadcasting it is NOT the
+    scale path — both sides hash-partition on ``partkey`` over a tagged
+    union (the same ``keyed_blocks`` co-shuffle as
+    :func:`segment_revenue`), lineitem pre-reduced per block to one
+    (partkey, partials) row per distinct part before the shuffle.
+    """
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+
+    def part_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "partkey": df["p_partkey"].to_numpy(np.int64),
+                "brand": df["p_brand"].to_numpy(dtype=object),
+                "n_items": np.zeros(len(df), dtype=np.int64),
+                "revenue_cents": np.zeros(len(df), dtype=np.int64),
+                "is_line": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pc = _cents(df["l_extendedprice"])
+        disc_pct = np.round(df["l_discount"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "partkey": df["l_partkey"].to_numpy(np.int64),
+                    "revenue_cents": pc * (100 - disc_pct) // 100,
+                }
+            )
+            .groupby("partkey", sort=False)
+            .agg(n_items=("revenue_cents", "size"),
+                 revenue_cents=("revenue_cents", "sum"))
+            .reset_index()
+        )
+        g["brand"] = ""
+        g["is_line"] = np.int64(1)
+        # column order must match part_rows exactly for the tagged union
+        g = g[["partkey", "brand", "n_items", "revenue_cents", "is_line"]]
+        return g.astype({"n_items": np.int64, "revenue_cents": np.int64})
+
+    def join_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "brand": pd.Series([], dtype=object),
+                    "n_items": pd.Series([], dtype=np.int64),
+                    "revenue_cents": pd.Series([], dtype=np.int64),
+                }
+            )
+        dim = df[df["is_line"] == 0][["partkey", "brand"]]
+        fact = df[df["is_line"] == 1][["partkey", "n_items", "revenue_cents"]]
+        j = fact.merge(dim, on="partkey", how="inner")
+        g = (
+            j.groupby("brand", sort=False)
+            .agg(n_items=("n_items", "sum"), revenue_cents=("revenue_cents", "sum"))
+            .reset_index()
+        )
+        return g.astype({"n_items": np.int64, "revenue_cents": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "p_brand": pd.Series([], dtype=object),
+                    "n_items": pd.Series([], dtype=np.int64),
+                    "revenue_cents": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = (
+            df.groupby("brand", sort=False)
+            .agg(n_items=("n_items", "sum"), revenue_cents=("revenue_cents", "sum"))
+            .reset_index()
+            .rename(columns={"brand": "p_brand"})
+        )
+        return g.astype({"n_items": np.int64, "revenue_cents": np.int64})
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).map_batches(part_rows, batch_format="pandas")
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_partial, batch_format="pandas")
+    joined = keyed_blocks(part.union(lines), ["partkey"], _P).map_batches(
+        join_reduce, batch_size=None, batch_format="pandas"
+    )
+    return keyed_blocks(joined, ["brand"], 2).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
 def shipping_priority(sf_dir: str, segment: str = "BUILDING",
                       cutoff: str = "1998-06-01", k: int = 10):
     """TPC-H-Q3-style shipping priority: the ``k`` highest-revenue

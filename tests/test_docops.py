@@ -914,6 +914,40 @@ def test_region_revenue_star_join(ray_session):
     assert (df["revenue_cents"] == exp["revenue_cents"]).all()
 
 
+def test_supplier_and_brand_revenue(ray_session):
+    """Broadcast-dim and co-shuffle-dim fact joins equal pandas recounts."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.relops import brand_revenue, supplier_nation_revenue
+
+    lines = pq.read_table(f"{SF}/lineitem.parquet",
+                          columns=["l_suppkey", "l_partkey",
+                                   "l_extendedprice", "l_discount"]).to_pandas()
+    pc = np.round(lines["l_extendedprice"].to_numpy(np.float64) * 100).astype(np.int64)
+    dp = np.round(lines["l_discount"].to_numpy(np.float64) * 100).astype(np.int64)
+    lines["cents"] = pc * (100 - dp) // 100
+
+    supp = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+    nation = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    j = (lines.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+         .merge(nation, left_on="s_nationkey", right_on="n_nationkey"))
+    exp = (j.groupby("n_name").agg(n_items=("cents", "size"),
+                                   revenue_cents=("cents", "sum")).sort_index())
+    got = (supplier_nation_revenue(SF).to_pandas()
+           .set_index("nation").sort_index())
+    assert (got["n_items"].to_numpy() == exp["n_items"].to_numpy()).all()
+    assert (got["revenue_cents"].to_numpy() == exp["revenue_cents"].to_numpy()).all()
+
+    part = pq.read_table(f"{SF}/part.parquet",
+                         columns=["p_partkey", "p_brand"]).to_pandas()
+    j2 = lines.merge(part, left_on="l_partkey", right_on="p_partkey")
+    exp2 = (j2.groupby("p_brand").agg(n_items=("cents", "size"),
+                                      revenue_cents=("cents", "sum")).sort_index())
+    got2 = brand_revenue(SF).to_pandas().set_index("p_brand").sort_index()
+    assert (got2["n_items"].to_numpy() == exp2["n_items"].to_numpy()).all()
+    assert (got2["revenue_cents"].to_numpy() == exp2["revenue_cents"].to_numpy()).all()
+
+
 def test_event_props_stats_extraction(ray_session, tmp_path):
     """JSON extraction: regex fast path, json.loads fallback (escaped
     needle in another field), missing key, malformed JSON, empty group."""
