@@ -190,3 +190,24 @@ def test_export_partitioned_roundtrip(ray_session, tmp_path):
     back = rd.read_parquet(out).to_pandas()
     assert len(back) == len(src)
     assert sorted(back["doc_id"]) == sorted(src["doc_id"])
+    # partition pruning: a PathPartitionFilter on the hive key must read
+    # ONLY that directory's files (file-level pruning before any I/O,
+    # not post-read filtering)
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    lang0 = str(src["lang"].iloc[0])
+    pruned = rd.read_parquet(
+        out,
+        partition_filter=PathPartitionFilter.of(
+            lambda p: p.get("lang") == lang0, style="hive"
+        ),
+    )
+    want = src[src["lang"] == lang0]
+    assert pruned.count() == len(want)
+    n_files_lang0 = sum(
+        1 for _, _, fs in os.walk(os.path.join(out, f"lang={lang0}")) for f in fs
+    )
+    assert pruned.input_files() and len(pruned.input_files()) == n_files_lang0
+    got = pruned.to_pandas()
+    assert (got["lang"] == lang0).all()
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
