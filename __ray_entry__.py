@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semi-structured JSON extraction (regex fast path + json.loads
         # fallback) → per-type aggregate
         "q_event_props_stats": docops.event_props_stats,
+        # ordered sequence-pattern funnel (greedy-earliest match)
+        "q_user_funnel": docops.user_funnel,
         "q_asof_attribution": docops.asof_attribution,
         "q_dup_size_histogram": docops.dup_size_histogram,
         # heavy hitters / distribution stats / sampling / broadcast join
@@ -479,6 +481,34 @@ def oracle_sql() -> dict[str, str]:
               ON e1.user_id = e2.user_id
              AND e2.ts BETWEEN e1.ts - INTERVAL 60 MINUTE AND e1.ts
             GROUP BY e1.event_id
+        """,
+        # greedy-earliest funnel: step k = MIN(ts) among qualifying events
+        # given step k-1's matched ts; >= allows same-instant progression
+        "q_user_funnel": """
+            WITH v AS (
+                SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click'
+                  AND e.ts >= v.t1 AND e.ts <= v.t1 + INTERVAL 7 DAY
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, MIN(e.ts) AS t3
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase'
+                  AND e.ts >= c.t2 AND e.ts <= c.t2 + INTERVAL 7 DAY
+                GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_type,
+                   CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'click',
+                   CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'purchase',
+                   CAST((SELECT COUNT(*) FROM p) AS BIGINT)
         """,
         # engine extracts integer props.k (regex fast path + json.loads
         # fallback); COALESCE 0 mirrors the engine's empty-group rule

@@ -948,6 +948,47 @@ def test_supplier_and_brand_revenue(ray_session):
     assert (got2["revenue_cents"].to_numpy() == exp2["revenue_cents"].to_numpy()).all()
 
 
+def test_user_funnel_sequence_match(ray_session, tmp_path):
+    """Greedy-earliest funnel: same-instant steps, window expiry,
+    pre-view clicks ignored, earliest qualifying candidate chosen."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import user_funnel
+
+    US_DAY = 86400 * 1_000_000
+    rows = [
+        # u1: full funnel, click same instant as view (>= qualifies)
+        (1, 0, "view"), (1, 0, "click"), (1, 2 * US_DAY, "purchase"),
+        # u2: click BEFORE the first view never counts; later click ok,
+        # but purchase lands 8 days after the click → window expired
+        (2, 1 * US_DAY, "click"), (2, 2 * US_DAY, "view"),
+        (2, 3 * US_DAY, "click"), (2, 11 * US_DAY, "purchase"),
+        # u3: view only
+        (3, 0, "view"),
+        # u4: greedy-earliest — the FIRST view (day 0) anchors; its
+        # window ends day 7, the only click is day 9 → funnel stops at
+        # step 1 even though the day-8 view would have matched
+        (4, 0, "view"), (4, 8 * US_DAY, "view"), (4, 9 * US_DAY, "click"),
+        # u5: no view at all
+        (5, 0, "click"), (5, 1, "purchase"),
+    ]
+    pq.write_table(
+        pa.table({"event_id": pa.array(range(len(rows)), pa.int64()),
+                  "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                  "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "event_type": pa.array([r[2] for r in rows], pa.string()),
+                  "value": pa.array([0.0] * len(rows), pa.float64()),
+                  "props": pa.array(["{}"] * len(rows), pa.string())}),
+        tmp_path / "events.parquet",
+    )
+    df = user_funnel(str(tmp_path)).to_pandas().set_index("step").sort_index()
+    assert df.loc[1, "n_users"] == 4   # u1 u2 u3 u4
+    assert df.loc[2, "n_users"] == 2   # u1 u2
+    assert df.loc[3, "n_users"] == 1   # u1 only (u2 window expired)
+    assert list(df["step_type"]) == ["view", "click", "purchase"]
+
+
 def test_event_props_stats_extraction(ray_session, tmp_path):
     """JSON extraction: regex fast path, json.loads fallback (escaped
     needle in another field), missing key, malformed JSON, empty group."""
