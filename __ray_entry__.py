@@ -208,6 +208,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HyperLogLog sketch (estimate is sketch-defined → no SQL twin;
         # pytest bounds the error vs the exact count)
         "q_approx_distinct_users": curation.approx_distinct_users,
+        # MRL-style mergeable quantile sketch (estimate is sketch-defined
+        # → no SQL twin; pytest bounds the rank error vs exact)
+        "q_approx_value_quantiles": curation.approx_value_quantiles,
         # suffix-array long-repeat pass standalone (deterministic,
         # winnowing-based → no SQL twin)
         "q_suffix_doc_pairs": docdedup.suffix_doc_pairs,

@@ -359,6 +359,96 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
 
 
 # ------------------------------------------------------- data profiling
+_QSK_S = 1024  # summary size per partial → additive rank error ≤ n/(2S) per level
+
+
+def _compress_weighted(values: np.ndarray, weights: np.ndarray, s: int):
+    """Rank-stratified re-sample of a weighted sorted summary down to
+    ≤ ``s`` points, each carrying total_weight/s — the MRL-style merge
+    step (Manku-Rajagopalan-Lindsay, SIGMOD'98 public algorithm).
+    Deterministic: pure function of the (value, weight) multiset."""
+    order = np.argsort(values, kind="stable")
+    values, weights = values[order], weights[order]
+    total = weights.sum()
+    if len(values) <= s:
+        return values, weights
+    cum = np.cumsum(weights)
+    targets = (np.arange(s, dtype=np.float64) + 0.5) * (total / s)
+    idx = np.searchsorted(cum, targets, side="left")
+    idx = np.minimum(idx, len(values) - 1)
+    return values[idx], np.full(s, total / s, dtype=np.float64)
+
+
+def approx_value_quantiles(sf_dir: str,
+                           qs: tuple = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)):
+    """Approximate quantiles of ``events.value`` from mergeable
+    rank-stratified summaries → (q, value_est), one row per requested
+    quantile.
+
+    The sketch path for continuous columns where
+    :func:`docops.length_quantiles`' exact count-distribution trick
+    (integer domains only) can't apply and a global sort would be an
+    all-to-all exchange of every row.  Each block compresses to ≤ S
+    (value, weight) points (rank error ≤ n_block/2S); a single hash
+    shuffle re-compresses groups of block summaries (bounding driver
+    state to ≤ groups × S rows at ANY input size — the property that
+    matters at 100 TB); the driver does the final merge and reads the
+    quantiles off the cumulative weights.  Two merge levels ⇒ total rank
+    error ≤ N/(2S) · 3 ≈ 0.15 % at S=1024.  Deterministic for a given
+    block layout (different parallelism ⇒ different block summaries ⇒
+    estimates may move within the same rank-error bound); rows-only
+    driver check (the estimate is sketch-defined), pytest bounds the
+    observed rank error against the exact distribution.
+    """
+    import ray.data as rd
+
+    from raydedup.ray_utils import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].dropna().to_numpy(np.float64)
+        if len(v) == 0:
+            return pd.DataFrame({"grp": pd.Series([], dtype=np.int64),
+                                 "value": pd.Series([], dtype=np.float64),
+                                 "weight": pd.Series([], dtype=np.float64)})
+        v = np.sort(v)
+        vals, wts = _compress_weighted(v, np.ones(len(v), dtype=np.float64), _QSK_S)
+        # group id from the summary content: deterministic, spreads
+        # block summaries across re-compression groups
+        grp = np.int64(abs(hash((len(v), float(v[0]), float(v[-1])))) % 32)
+        return pd.DataFrame({"grp": np.full(len(vals), grp, dtype=np.int64),
+                             "value": vals, "weight": wts})
+
+    def regroup(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"value": pd.Series([], dtype=np.float64),
+                                 "weight": pd.Series([], dtype=np.float64)})
+        vals, wts = _compress_weighted(df["value"].to_numpy(np.float64),
+                                       df["weight"].to_numpy(np.float64), _QSK_S)
+        return pd.DataFrame({"value": vals, "weight": wts})
+
+    summaries = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+        .map_batches(partial, batch_format="pandas")
+    )
+    merged = keyed_blocks(summaries, ["grp"], 8).map_batches(
+        regroup, batch_size=None, batch_format="pandas"
+    ).to_pandas()  # ≤ 32 groups × S rows regardless of input size
+
+    out_q = np.asarray(qs, dtype=np.float64)
+    if len(merged) == 0:
+        return pd.DataFrame({"q": out_q,
+                             "value_est": np.full(len(out_q), np.nan)})
+    order = np.argsort(merged["value"].to_numpy(np.float64), kind="stable")
+    vals = merged["value"].to_numpy(np.float64)[order]
+    wts = merged["weight"].to_numpy(np.float64)[order]
+    cum = np.cumsum(wts)
+    idx = np.minimum(np.searchsorted(cum, out_q * cum[-1], side="left"),
+                     len(vals) - 1)
+    return pd.DataFrame({"q": out_q, "value_est": vals[idx]})
+
+
 def events_profile(sf_dir: str) -> pd.DataFrame:
     """One row of data-quality stats over the events table: row count,
     per-column null counts, and integer-exact value aggregates

@@ -120,6 +120,27 @@ def test_approx_distinct_users_error_bounded(ray_session):
     assert abs(est - exact) <= max(2, 0.05 * exact), (est, exact)
 
 
+def test_approx_value_quantiles_rank_error(ray_session):
+    """Sketch estimates must sit within 2% rank error of the exact
+    quantiles; the compress kernel must be exact below its capacity."""
+    import numpy as np
+
+    from raydedup.pipelines.curation import _compress_weighted, approx_value_quantiles
+
+    df = approx_value_quantiles(SF)
+    vals = np.sort(pq.read_table(f"{SF}/events.parquet").to_pandas()["value"]
+                   .dropna().to_numpy(np.float64))
+    n = len(vals)
+    for q, est in zip(df["q"], df["value_est"]):
+        rank = np.searchsorted(vals, est, side="left") / n
+        assert abs(rank - q) <= 0.02, (q, est, rank)
+
+    # below capacity the summary is lossless
+    v = np.sort(np.random.RandomState(7).rand(100))
+    out_v, out_w = _compress_weighted(v, np.ones(100), 1024)
+    assert (out_v == v).all() and (out_w == 1.0).all()
+
+
 def test_hll_register_kernel_exact_small():
     # the clz ladder: rho(first-1-bit position) checked against int.bit_length
     import numpy as np
