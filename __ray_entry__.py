@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-key join chain (custkey semi-join → orderkey join) +
         # two-level global top-k
         "q_shipping_priority": relops.shipping_priority,
+        # Ray Data NATIVE Dataset.join (hash join) demonstration
+        "q_segment_priority_counts": relops.segment_priority_counts,
         # tiny-dim map-side broadcast join (fact never shuffles)
         "q_supplier_nation_revenue": relops.supplier_nation_revenue,
         # scaling-dim co-shuffle join (part grows with data → no broadcast)
@@ -683,6 +685,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "q_segment_priority_counts": """
+            SELECT c_mktsegment, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, o_orderpriority
         """,
         "q_supplier_nation_revenue": """
             SELECT n_name AS nation,

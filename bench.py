@@ -131,6 +131,7 @@ def run_doc_queries(sf_dir: str) -> dict:
         ("q_approx_value_quantiles", curation.approx_value_quantiles),
         ("q_supplier_nation_revenue", relops.supplier_nation_revenue),
         ("q_brand_revenue", relops.brand_revenue),
+        ("q_segment_priority_counts", relops.segment_priority_counts),
         ("q_events_recent_activity", docops.events_recent_activity),
     ]:
         t0 = time.time()

@@ -300,6 +300,63 @@ def customer_order_distribution(sf_dir: str):
     )
 
 
+def segment_priority_counts(sf_dir: str):
+    """Order counts per (market segment, order priority) →
+    (c_mktsegment, o_orderpriority, n_orders) — implemented on Ray
+    Data's NATIVE hash join (``Dataset.join``, available since the
+    hash-shuffle strategy landed) rather than this module's hand-rolled
+    tagged-union co-shuffle, demonstrating both paths side by side.
+    The native join hash-partitions both sides on the key across
+    aggregator actors — the same physical plan as ``keyed_blocks`` over
+    a union, with the join kernel supplied by Ray.  The joined rows
+    pre-reduce per block before one tiny final key shuffle.
+    """
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["c_mktsegment", "o_orderpriority"], sort=False)
+            .size().rename("n_orders").reset_index()
+        )
+        return g.astype({"n_orders": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "c_mktsegment": pd.Series([], dtype=object),
+                    "o_orderpriority": pd.Series([], dtype=object),
+                    "n_orders": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = (
+            df.groupby(["c_mktsegment", "o_orderpriority"], sort=False)
+            .agg(n_orders=("n_orders", "sum"))
+            .reset_index()
+        )
+        return g.astype({"n_orders": np.int64})
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=_P,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    partials = joined.map_batches(partial, batch_format="pandas")
+    return keyed_blocks(partials, ["c_mktsegment", "o_orderpriority"], 4).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
 def supplier_nation_revenue(sf_dir: str):
     """Map-side broadcast join (TPC-H-Q9-lite): cent-exact discounted
     revenue per supplier NATION → (nation, n_items, revenue_cents).

@@ -914,6 +914,22 @@ def test_region_revenue_star_join(ray_session):
     assert (df["revenue_cents"] == exp["revenue_cents"]).all()
 
 
+def test_segment_priority_counts_native_join(ray_session):
+    """Ray-native Dataset.join path equals a pandas recount."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.relops import segment_priority_counts
+
+    got = (segment_priority_counts(SF).to_pandas()
+           .set_index(["c_mktsegment", "o_orderpriority"]).sort_index())
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    exp = (j.groupby(["c_mktsegment", "o_orderpriority"]).size()
+           .rename("n_orders").sort_index())
+    assert (got["n_orders"] == exp).all() and len(got) == len(exp)
+
+
 def test_supplier_and_brand_revenue(ray_session):
     """Broadcast-dim and co-shuffle-dim fact joins equal pandas recounts."""
     import pyarrow.parquet as pq
