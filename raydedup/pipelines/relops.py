@@ -393,10 +393,14 @@ def supplier_nation_revenue(sf_dir: str):
         pc = _cents(df["l_extendedprice"])
         disc_pct = np.round(df["l_discount"].to_numpy(np.float64) * 100.0).astype(np.int64)
         sk = df["l_suppkey"].to_numpy(np.int64)
+        # dense-int dim keys → one numpy take per block, no per-row loop
+        table = np.full(max(lookup) + 1, "", dtype=object)
+        for key, val in lookup.items():
+            table[key] = val
         g = (
             pd.DataFrame(
                 {
-                    "nation": np.array([lookup[int(k)] for k in sk], dtype=object),
+                    "nation": table[sk],
                     "revenue_cents": pc * (100 - disc_pct) // 100,
                 }
             )
@@ -589,9 +593,9 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
             return pd.DataFrame({"orderkey": pd.Series([], dtype=np.int64),
                                  "revenue_cents": pd.Series([], dtype=np.int64),
                                  "is_line": pd.Series([], dtype=np.int64)})
-        keep = set(df.loc[df["is_order"] == 0, "custkey"].to_numpy(np.int64))
-        ords = df[(df["is_order"] == 1)
-                  & df["custkey"].isin(keep)]
+        keep = np.unique(df.loc[df["is_order"] == 0, "custkey"].to_numpy(np.int64))
+        is_ord = (df["is_order"] == 1).to_numpy()
+        ords = df[is_ord & np.isin(df["custkey"].to_numpy(np.int64), keep)]
         return pd.DataFrame(
             {
                 "orderkey": ords["orderkey"].to_numpy(np.int64),
@@ -617,8 +621,9 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         if len(df) == 0:
             return pd.DataFrame({"o_orderkey": pd.Series([], dtype=np.int64),
                                  "revenue_cents": pd.Series([], dtype=np.int64)})
-        keep = set(df.loc[df["is_line"] == 0, "orderkey"].to_numpy(np.int64))
-        lines = df[(df["is_line"] == 1) & df["orderkey"].isin(keep)]
+        keep = np.unique(df.loc[df["is_line"] == 0, "orderkey"].to_numpy(np.int64))
+        is_line = (df["is_line"] == 1).to_numpy()
+        lines = df[is_line & np.isin(df["orderkey"].to_numpy(np.int64), keep)]
         g = (
             lines.groupby("orderkey", sort=False)
             .agg(revenue_cents=("revenue_cents", "sum"))
@@ -699,10 +704,13 @@ def region_revenue(sf_dir: str):
     def cust_rows(df: pd.DataFrame) -> pd.DataFrame:
         lookup = ray.get(lookup_ref)
         nk = df["c_nationkey"].to_numpy(np.int64)
+        table = np.full(max(lookup) + 1, "", dtype=object)
+        for key, val in lookup.items():
+            table[key] = val
         return pd.DataFrame(
             {
                 "custkey": df["c_custkey"].to_numpy(np.int64),
-                "region": np.array([lookup[int(k)] for k in nk], dtype=object),
+                "region": table[nk],
                 "price_cents": np.zeros(len(df), dtype=np.int64),
                 "is_order": np.zeros(len(df), dtype=np.int64),
             }
