@@ -490,13 +490,17 @@ def top_tokens(sf_dir: str, k: int = 100):
     """
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ids, toks = [], []
-        for did, txt in zip(df["doc_id"].to_numpy(), df["text"].fillna("")):
-            ts = set(txt.lower().strip().split())
-            ids.extend([did] * len(ts))
-            toks.extend(ts)
-        out = pd.DataFrame({"tok": np.asarray(toks, dtype=object)})
-        out = out.groupby("tok", sort=False).size().rename("df").reset_index()
+        toks = df["text"].fillna("").str.lower().str.strip().str.split()
+        flat = (
+            pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64), "tok": toks})
+            .explode("tok")
+            .dropna(subset=["tok"])
+        )
+        # per-doc distinct (set semantics) via one C-level dedup, then df counts
+        out = (
+            flat.drop_duplicates()
+            .groupby("tok", sort=False).size().rename("df").reset_index()
+        )
         return out.astype({"df": np.int64})
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -990,24 +994,20 @@ def tfidf_top_terms(sf_dir: str, k: int = 5, df_cap: int | None = None):
     score ROUNDED to 6 decimals (ties then broken by token ascending) so
     the DuckDB twin orders identically.
     """
-    from collections import Counter
-
     n_docs = _docs(sf_dir, ["doc_id"]).count()  # parquet metadata, no scan
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        ids, toks, tfs = [], [], []
-        for did, txt in zip(df["doc_id"].to_numpy(), df["text"].fillna("")):
-            c = Counter(txt.lower().strip().split())
-            ids.extend([did] * len(c))
-            toks.extend(c.keys())
-            tfs.extend(c.values())
-        return pd.DataFrame(
-            {
-                "doc_id": np.asarray(ids, dtype=np.int64),
-                "tok": np.asarray(toks, dtype=object),
-                "tf": np.asarray(tfs, dtype=np.int64),
-            }
+        toks = df["text"].fillna("").str.lower().str.strip().str.split()
+        flat = (
+            pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64), "tok": toks})
+            .explode("tok")
+            .dropna(subset=["tok"])
         )
+        out = (
+            flat.groupby(["doc_id", "tok"], sort=False)
+            .size().rename("tf").reset_index()
+        )
+        return out.astype({"doc_id": np.int64, "tf": np.int64})
 
     def attach_df(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
