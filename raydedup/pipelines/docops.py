@@ -430,19 +430,23 @@ def _ngram_pair_rows(sf_dir: str, df_cap: int):
     )
 
     def tok_rows(df: pd.DataFrame) -> pd.DataFrame:
-        ids, toks, ns = [], [], []
-        for did, txt in zip(df["doc_id"].to_numpy(), df["text"].fillna("")):
-            ts = sorted(set(txt.lower().strip().split()))
-            ids.extend([did] * len(ts))
-            toks.extend(ts)
-            ns.extend([len(ts)] * len(ts))
-        return pd.DataFrame(
-            {
-                "doc_id": np.asarray(ids, dtype=np.int64),
-                "tok": np.asarray(toks, dtype=object),
-                "n": np.asarray(ns, dtype=np.int64),
-            }
+        # C-level explode + dedup; `pos` keeps docs in input order with
+        # tokens sorted ascending within each doc — bit-identical row
+        # order to the original per-doc sorted(set(...)) emission, which
+        # the downstream cap logic depends on
+        toks = df["text"].fillna("").str.lower().str.strip().str.split()
+        flat = (
+            pd.DataFrame({"pos": np.arange(len(df), dtype=np.int64),
+                          "doc_id": df["doc_id"].to_numpy(np.int64),
+                          "tok": toks})
+            .explode("tok")
+            .dropna(subset=["tok"])
+            .drop_duplicates(subset=["pos", "tok"])
+            .sort_values(["pos", "tok"], kind="stable")
         )
+        flat["n"] = flat.groupby("pos", sort=False)["tok"].transform("size").to_numpy(np.int64)
+        return (flat[["doc_id", "tok", "n"]].reset_index(drop=True)
+                .astype({"doc_id": np.int64, "n": np.int64}))
 
     toks = _docs(sf_dir, ["doc_id", "text"]).map_batches(tok_rows, batch_format="pandas")
 
