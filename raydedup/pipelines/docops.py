@@ -1500,6 +1500,54 @@ def events_recent_activity(sf_dir: str, window_minutes: int = 60):
 
 
 # ----------------------------------------------------- sequence-pattern funnel
+def funnel_step_counts(df: pd.DataFrame, steps: tuple,
+                       win_us: np.int64) -> pd.DataFrame:
+    """Pure in-block funnel matcher (see :func:`user_funnel` for the
+    semantics): all users in ``df`` are matched greedily against
+    ``steps``; returns one (step, step_type, n_users) partial row per
+    step.  Module-level so the property suite can probe it against a
+    brute-force twin without a Ray session."""
+    empty = pd.DataFrame({"step": pd.Series([], dtype=np.int64),
+                          "step_type": pd.Series([], dtype=object),
+                          "n_users": pd.Series([], dtype=np.int64)})
+    if len(df) == 0:
+        return empty
+    df = df.sort_values(["user_id", "ts"], kind="stable")
+    uid = df["user_id"].to_numpy(np.int64)
+    ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    et = df["event_type"].to_numpy(dtype=object)
+    new_user = np.ones(len(df), dtype=bool)
+    new_user[1:] = uid[1:] != uid[:-1]
+    uord = np.cumsum(new_user).astype(np.int64) - 1
+    n_users = int(uord[-1]) + 1
+
+    NOPE = np.int64(-1)
+    t_prev = np.full(n_users, NOPE, dtype=np.int64)  # matched ts per user
+    out_rows = []
+    for k, s in enumerate(steps):
+        cand = np.flatnonzero(et == s)
+        if k == 0:
+            ok = cand
+        else:
+            tu = t_prev[uord[cand]]
+            m = (tu != NOPE) & (ts[cand] >= tu) & (ts[cand] <= tu + win_us)
+            ok = cand[m]
+        t_next = np.full(n_users, NOPE, dtype=np.int64)
+        if len(ok):
+            # rows are ts-sorted within user, so the first occurrence
+            # per user ordinal IS the earliest qualifying event
+            u_ok = uord[ok]
+            first_u, first_i = np.unique(u_ok, return_index=True)
+            t_next[first_u] = ts[ok][first_i]
+        t_prev = t_next
+        out_rows.append((np.int64(k + 1), s,
+                         np.int64((t_prev != NOPE).sum())))
+    return pd.DataFrame({"step": [r[0] for r in out_rows],
+                         "step_type": [r[1] for r in out_rows],
+                         "n_users": [r[2] for r in out_rows]}).astype(
+        {"step": np.int64, "n_users": np.int64})
+
+
 def user_funnel(sf_dir: str, steps: tuple = ("view", "click", "purchase"),
                 window_days: int = 7):
     """Ordered sequence-pattern match (funnel): how many users completed
@@ -1516,52 +1564,14 @@ def user_funnel(sf_dir: str, steps: tuple = ("view", "click", "purchase"),
     ordinal), no per-user Python loop.  Blocks emit one partial count
     row per step; the final shuffle carries ≤ steps × blocks rows.
     """
+    import functools
+
     import ray.data as rd
 
     ensure_hash_shuffle()
     win_us = np.int64(window_days) * 86400 * 1_000_000
     steps = tuple(steps)
-
-    def block(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"step": pd.Series([], dtype=np.int64),
-                              "step_type": pd.Series([], dtype=object),
-                              "n_users": pd.Series([], dtype=np.int64)})
-        if len(df) == 0:
-            return empty
-        df = df.sort_values(["user_id", "ts"], kind="stable")
-        uid = df["user_id"].to_numpy(np.int64)
-        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
-        et = df["event_type"].to_numpy(dtype=object)
-        new_user = np.ones(len(df), dtype=bool)
-        new_user[1:] = uid[1:] != uid[:-1]
-        uord = np.cumsum(new_user).astype(np.int64) - 1
-        n_users = int(uord[-1]) + 1
-
-        NOPE = np.int64(-1)
-        t_prev = np.full(n_users, NOPE, dtype=np.int64)  # matched ts per user
-        out_rows = []
-        for k, s in enumerate(steps):
-            cand = np.flatnonzero(et == s)
-            if k == 0:
-                ok = cand
-            else:
-                tu = t_prev[uord[cand]]
-                m = (tu != NOPE) & (ts[cand] >= tu) & (ts[cand] <= tu + win_us)
-                ok = cand[m]
-            t_next = np.full(n_users, NOPE, dtype=np.int64)
-            if len(ok):
-                # rows are ts-sorted within user, so the first occurrence
-                # per user ordinal IS the earliest qualifying event
-                u_ok = uord[ok]
-                first_u, first_i = np.unique(u_ok, return_index=True)
-                t_next[first_u] = ts[ok][first_i]
-            t_prev = t_next
-            out_rows.append((np.int64(k + 1), s,
-                             np.int64((t_prev != NOPE).sum())))
-        return pd.DataFrame({"step": [r[0] for r in out_rows],
-                             "step_type": [r[1] for r in out_rows],
-                             "n_users": [r[2] for r in out_rows]}).astype(
-            {"step": np.int64, "n_users": np.int64})
+    block = functools.partial(funnel_step_counts, steps=steps, win_us=win_us)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:

@@ -129,3 +129,78 @@ def test_exact_jaccard_is_set_jaccard(a, b):
     sa, sb = set(a), set(b)
     exp = len(sa & sb) / len(sa | sb) if (sa | sb) else 0.0
     assert abs(got - exp) < 1e-12
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 5),        # user
+                  st.integers(0, 40),       # ts (small int domain → many ties)
+                  st.sampled_from(["a", "b", "c", "x"])),
+        min_size=0, max_size=60,
+    ),
+    win=st.integers(0, 15),
+)
+@settings(max_examples=200, deadline=None)
+def test_funnel_matcher_equals_bruteforce(events, win):
+    """Vectorized greedy-earliest funnel == per-user brute-force walk."""
+    import pandas as pd
+
+    from raydedup.pipelines.docops import funnel_step_counts
+
+    steps = ("a", "b", "c")
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([e[0] for e in events], dtype=np.int64),
+            "ts": pd.to_datetime(np.array([e[1] for e in events], dtype=np.int64),
+                                 unit="us"),
+            "event_type": np.array([e[2] for e in events], dtype=object),
+        }
+    )
+    got = funnel_step_counts(df, steps, np.int64(win))
+    # brute force: per user, earliest step-0 event, then earliest
+    # qualifying next step within [t_prev, t_prev + win]
+    exp = [0, 0, 0]
+    for u in set(e[0] for e in events):
+        evs = sorted((t, s) for uu, t, s in events if uu == u)
+        t_prev = None
+        for k, stp in enumerate(steps):
+            t_next = None
+            for t, s in evs:
+                if s != stp:
+                    continue
+                if k == 0 or (t_prev is not None and t_prev <= t <= t_prev + win):
+                    t_next = t
+                    break
+            if t_next is None:
+                break
+            t_prev = t_next
+            exp[k] += 1
+    got_counts = ([0, 0, 0] if len(got) == 0
+                  else got.set_index("step")["n_users"].reindex([1, 2, 3], fill_value=0).tolist())
+    assert got_counts == exp, (got_counts, exp)
+
+
+@given(
+    vals=st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=400),
+    s=st.integers(4, 64),
+)
+@settings(max_examples=200, deadline=None)
+def test_compress_weighted_rank_error_bound(vals, s):
+    """One compression step keeps every quantile within total/s rank error."""
+    from raydedup.pipelines.curation import _compress_weighted
+
+    v = np.sort(np.array(vals, dtype=np.float64))
+    w = np.ones(len(v), dtype=np.float64)
+    cv, cw = _compress_weighted(v, w, s)
+    assert abs(cw.sum() - len(v)) < 1e-6  # total weight preserved
+    assert (np.diff(cv) >= 0).all()       # stays sorted
+    total = float(len(v))
+    cum = np.cumsum(cw)
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+        idx = min(int(np.searchsorted(cum, q * total, side="left")), len(cv) - 1)
+        est = cv[idx]
+        # rank of the estimate in the exact data
+        lo = np.searchsorted(v, est, side="left") / total
+        hi = np.searchsorted(v, est, side="right") / total
+        # estimate's rank interval must overlap [q - 1/s, q + 1/s]
+        assert lo - 1.0 / s <= q <= hi + 1.0 / s, (q, est, lo, hi, s)
