@@ -195,6 +195,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bit-exact oracle is the sequential numpy twin in
         # tests/test_docops.py::test_kmeans_matches_sequential
         "q_kmeans": similarity.kmeans,
+        # distributed PCA (quantized integer Gram partials → driver eig →
+        # broadcast projection): no SQL twin (DuckDB has no eig); the
+        # bit-exact oracle is the sequential numpy twin in tests
+        "q_embedding_pca": similarity.embedding_pca,
         "q_embedding_dup_pairs": _embedding_dup_pairs_table,
         # the 100-TB pair-mining path: hyperplane buckets + in-bucket exact
         # cosine (deterministic; recall<1 by design → no SQL twin)

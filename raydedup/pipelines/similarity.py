@@ -515,3 +515,102 @@ def kmeans(sf_dir: str, k: int = 8, n_iters: int = 5):
         )
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+_PCAQ = np.int64(1 << 12)  # per-row quantization for order-free Gram sums
+
+
+def embedding_pca(sf_dir: str, n_components: int = 8):
+    """(vec_id, pc0..pc{k-1}): principal-component projection of the
+    embeddings table — the dimensionality-reduction building block of
+    corpus visualization / clustering / compaction pipelines.
+
+    Distribution (two passes, nothing materializes the table):
+
+    * pass 1 — each block quantizes its rows once (``floor(x · 2^12)``
+      int64) and reduces to THREE exactly-mergeable integer partials:
+      Σx (d), the Gram matrix ΣxᵀΣx-style ``Xq.T @ Xq`` (d × d, int64
+      matmul), and the row count.  Row-level quantization makes the
+      integer sums independent of block layout, so the fitted basis is
+      bit-deterministic across partitioning (same trick as
+      :func:`kmeans`).  Partial volume ∝ blocks × d², never ∝ N.
+    * driver — folds the d × d partials, forms the covariance of the
+      quantized data, ``eigh``, keeps the top ``n_components``
+      eigenvectors (signs fixed: largest-|loading| coordinate made
+      positive) — O(d³) on a 64-dim table, trivial.
+    * pass 2 — mean + basis broadcast via ``ray.put``; every block
+      projects ``(x − μ) @ V`` vectorized.
+
+    Rows-only driver check (no SQL twin — DuckDB has no eig); pytest
+    pins the result against a sequential numpy twin of the same
+    quantized algorithm (the fitted basis is bit-deterministic; the
+    projection matmul agrees to machine epsilon across block layouts)
+    and checks the projection is decorrelated with descending variance.
+    """
+    import ray
+
+    ds = _read_embeddings(sf_dir)
+
+    def gram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"kind": pd.Series([], dtype=np.int64),
+                                 "i": pd.Series([], dtype=np.int64),
+                                 "j": pd.Series([], dtype=np.int64),
+                                 "v": pd.Series([], dtype=np.int64)})
+        xq = np.floor(_matrix(df) * float(_PCAQ)).astype(np.int64)
+        d = xq.shape[1]
+        g = xq.T @ xq  # exact int64; safe to ~1e12 rows at |x|~1
+        s = xq.sum(axis=0)
+        ii, jj = np.meshgrid(np.arange(d, dtype=np.int64),
+                             np.arange(d, dtype=np.int64), indexing="ij")
+        return pd.DataFrame(
+            {
+                "kind": np.concatenate([np.zeros(d * d, np.int64),
+                                        np.ones(d, np.int64),
+                                        np.full(1, 2, np.int64)]),
+                "i": np.concatenate([ii.reshape(-1), np.arange(d, dtype=np.int64),
+                                     np.zeros(1, np.int64)]),
+                "j": np.concatenate([jj.reshape(-1), np.zeros(d, np.int64),
+                                     np.zeros(1, np.int64)]),
+                "v": np.concatenate([g.reshape(-1), s,
+                                     np.full(1, len(df), np.int64)]),
+            }
+        )
+
+    folded = (
+        ds.map_batches(gram_partial, batch_format="pandas")
+        .to_pandas()  # blocks × (d² + d + 1) int rows — tiny at any N
+        .groupby(["kind", "i", "j"], sort=True)["v"].sum().reset_index()
+    )
+    n = int(folded.loc[folded["kind"] == 2, "v"].iloc[0])
+    srows = folded[folded["kind"] == 1].sort_values("i")
+    d = len(srows)
+    s = srows["v"].to_numpy(np.float64)
+    grows = folded[folded["kind"] == 0].sort_values(["i", "j"])
+    g = grows["v"].to_numpy(np.float64).reshape(d, d)
+    q = float(_PCAQ)
+    mean = s / (n * q)
+    cov = (g / q**2 - np.outer(s, s) / (q**2 * n)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    basis = evecs[:, order]  # (d, k)
+    # deterministic signs: the largest-|loading| coordinate of each
+    # component is made positive (ties → lowest index wins via argmax)
+    flip = np.sign(basis[np.abs(basis).argmax(axis=0), np.arange(basis.shape[1])])
+    flip[flip == 0] = 1.0
+    basis = basis * flip[None, :]
+    ref = ray.put((mean, basis))
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"vec_id": pd.Series([], dtype=np.int64)}
+        cols.update({f"pc{c}": pd.Series([], dtype=np.float64)
+                     for c in range(n_components)})
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        mu, v = ray.get(ref)
+        proj = (_matrix(df) - mu[None, :]) @ v
+        out = {"vec_id": df["vec_id"].to_numpy(np.int64)}
+        out.update({f"pc{c}": proj[:, c] for c in range(n_components)})
+        return pd.DataFrame(out)
+
+    return ds.map_batches(project, batch_format="pandas")

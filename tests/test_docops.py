@@ -684,6 +684,52 @@ def test_hopping_window_coverage(ray_session):
     assert (m.n_events_hop >= m.n_events_tum).all()
 
 
+def test_embedding_pca_matches_sequential(ray_session):
+    """Distributed PCA equals a sequential numpy twin of the same
+    quantized algorithm bit-for-bit; projections are decorrelated with
+    descending variance."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.similarity import _PCAQ, embedding_pca
+
+    nc = 8
+    got = (embedding_pca(SF, n_components=nc).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+
+    src = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in src["embedding"]])
+    q = float(_PCAQ)
+    xq = np.floor(x * q).astype(np.int64)
+    n, d = xq.shape
+    s = xq.sum(axis=0).astype(np.float64)
+    g = (xq.T @ xq).astype(np.float64)
+    mean = s / (n * q)
+    cov = (g / q**2 - np.outer(s, s) / (q**2 * n)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:nc]
+    basis = evecs[:, order]
+    flip = np.sign(basis[np.abs(basis).argmax(axis=0), np.arange(nc)])
+    flip[flip == 0] = 1.0
+    basis = basis * flip[None, :]
+    exp = (x - mean[None, :]) @ basis
+
+    assert len(got) == n and got.vec_id.is_unique
+    got_m = got[[f"pc{c}" for c in range(nc)]].to_numpy(np.float64)
+    # the fitted basis is bit-deterministic (integer partials); the float
+    # projection matmul rounds differently across BLAS block shapes, so
+    # compare at machine epsilon
+    np.testing.assert_allclose(got_m, exp, rtol=0, atol=1e-12)
+
+    # PCA sanity: the basis diagonalizes the QUANTIZED covariance, so
+    # raw-data projections decorrelate to quantization error (~1/2^12)
+    centered = got_m - got_m.mean(axis=0, keepdims=True)
+    pcov = centered.T @ centered / (n - 1)
+    off = pcov - np.diag(np.diag(pcov))
+    assert np.abs(off).max() < 1e-3 * np.diag(pcov).max()
+    variances = np.diag(pcov)
+    assert (np.diff(variances) <= 1e-6 * variances.max()).all()  # descending
+
+
 def test_kmeans_matches_sequential(ray_session):
     """Distributed k-means equals a sequential numpy twin bit-for-bit
     (same init, quantized order-free sums, same tie rule), and every
