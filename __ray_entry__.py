@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tfidf_top_terms": docops.tfidf_top_terms,
         "q_docs_events_antijoin": docops.docs_events_antijoin,
         "q_docs_events_semijoin": lambda sf: docops.docs_events_antijoin(sf, semi=True),
+        # fixed-size Bloom broadcast prefilter + exact co-shuffle verify:
+        # identical result, bounded broadcast at any key-set size
+        "q_docs_events_semijoin_bloom": docops.docs_events_semijoin_bloom,
         "q_event_value_pivot": docops.event_value_pivot,
         "q_user_cumulative_value": docops.user_cumulative_value,
         # relational side-table patterns: filtered scan, grouped agg
@@ -635,6 +638,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id NOT IN (SELECT DISTINCT user_id FROM events)"
         ),
         "q_docs_events_semijoin": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE doc_id IN (SELECT DISTINCT user_id FROM events)"
+        ),
+        # Bloom path is exact after its verify shuffle → same twin
+        "q_docs_events_semijoin_bloom": (
             "SELECT doc_id, source FROM documents "
             "WHERE doc_id IN (SELECT DISTINCT user_id FROM events)"
         ),

@@ -130,6 +130,7 @@ def run_doc_queries(sf_dir: str) -> dict:
         ("q_user_funnel", docops.user_funnel),
         ("q_approx_value_quantiles", curation.approx_value_quantiles),
         ("q_embedding_pca", similarity.embedding_pca),
+        ("q_docs_events_semijoin_bloom", docops.docs_events_semijoin_bloom),
         ("q_supplier_nation_revenue", relops.supplier_nation_revenue),
         ("q_brand_revenue", relops.brand_revenue),
         ("q_segment_priority_counts", relops.segment_priority_counts),

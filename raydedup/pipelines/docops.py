@@ -1088,6 +1088,93 @@ def docs_events_antijoin(sf_dir: str, semi: bool = False):
     return _docs(sf_dir, ["doc_id", "source"]).map_batches(fn, batch_format="pandas")
 
 
+def docs_events_semijoin_bloom(sf_dir: str, bloom_bits: int = 1 << 17,
+                               n_hashes: int = 4):
+    """Bloom-prefiltered EXACT semi-join: same result as
+    ``docs_events_antijoin(semi=True)`` — documents whose ``doc_id`` has
+    event activity → (doc_id, source) — built for the regime where the
+    dim key set is too big to broadcast exactly.
+
+    The 100-TB broadcast-shrinking pattern: instead of shipping the raw
+    key set (8 B/key, unbounded), the driver folds the distinct keys
+    into a FIXED-SIZE Bloom filter (``bloom_bits`` bits — 16 KiB here —
+    regardless of key count) shipped once via ``ray.put``.  The fact
+    side probes the filter inside ``map_batches`` (vectorized splitmix64
+    hashes, no per-row Python) and drops every definite non-match BEFORE
+    the shuffle; Bloom false positives (~(1−e^{−kn/m})^k) are removed by
+    an exact co-shuffle verify against the true key rows, so the output
+    is exact and hash-matches the same SQL twin as the exact-broadcast
+    semi-join.  Shuffle volume = matches + false positives, never the
+    full fact table.
+    """
+    import ray
+    import ray.data as rd
+
+    from raydedup.functions.hashing import splitmix64
+
+    ensure_hash_shuffle()
+    m = np.uint64(bloom_bits)
+    seeds = (np.arange(n_hashes, dtype=np.uint64) + np.uint64(1)) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["user_id"].unique().astype(np.int64)})
+
+    users_ds = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .map_batches(distinct_partial, batch_format="pandas")
+    )
+    users = users_ds.to_pandas()["user_id"].unique().astype(np.int64)
+    bloom = np.zeros(int(m), dtype=bool)
+    uk = users.astype(np.uint64)
+    for s in seeds:
+        bloom[(splitmix64(uk ^ s) % m).astype(np.int64)] = True
+    bloom_ref = ray.put(bloom)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        blm = ray.get(bloom_ref)
+        ids = df["doc_id"].to_numpy(np.int64)
+        keys = ids.astype(np.uint64)
+        hit = np.ones(len(ids), dtype=bool)
+        for s in seeds:
+            hit &= blm[(splitmix64(keys ^ s) % m).astype(np.int64)]
+        return pd.DataFrame(
+            {
+                "key": ids[hit],
+                "source": df["source"].to_numpy(dtype=object)[hit],
+                "is_dim": np.zeros(int(hit.sum()), dtype=np.int64),
+            }
+        )
+
+    def dim_rows(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        return pd.DataFrame({"key": u, "source": np.full(len(u), "", dtype=object),
+                             "is_dim": np.ones(len(u), dtype=np.int64)})
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "source": pd.Series([], dtype=object)})
+        true_keys = np.unique(df.loc[df["is_dim"] == 1, "key"].to_numpy(np.int64))
+        fact = (df["is_dim"] == 0).to_numpy()
+        keep = fact & np.isin(df["key"].to_numpy(np.int64), true_keys)
+        return pd.DataFrame(
+            {
+                "doc_id": df["key"].to_numpy(np.int64)[keep],
+                "source": df["source"].to_numpy(dtype=object)[keep],
+            }
+        )
+
+    facts = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        probe, batch_format="pandas"
+    )
+    dims = users_ds.map_batches(dim_rows, batch_format="pandas")
+    return keyed_blocks(facts.union(dims), ["key"], 4).map_batches(
+        verify, batch_size=None, batch_format="pandas"
+    )
+
+
 def event_value_pivot(
     sf_dir: str, types: tuple = ("click", "error", "purchase", "signup", "view")
 ):

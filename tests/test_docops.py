@@ -960,6 +960,23 @@ def test_region_revenue_star_join(ray_session):
     assert (df["revenue_cents"] == exp["revenue_cents"]).all()
 
 
+def test_semijoin_bloom_exact(ray_session):
+    """Bloom-prefiltered semi-join equals the exact-broadcast semi-join,
+    including with a deliberately tiny filter (heavy false positives all
+    removed by the verify shuffle)."""
+    from raydedup.pipelines.docops import (
+        docs_events_antijoin,
+        docs_events_semijoin_bloom,
+    )
+
+    exact = (docs_events_antijoin(SF, semi=True).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    for bits in (1 << 17, 64):  # 64 bits → almost every probe is a false positive
+        got = (docs_events_semijoin_bloom(SF, bloom_bits=bits).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exact)
+
+
 def test_segment_priority_counts_native_join(ray_session):
     """Ray-native Dataset.join path equals a pandas recount."""
     import pyarrow.parquet as pq
