@@ -1096,16 +1096,20 @@ def docs_events_semijoin_bloom(sf_dir: str, bloom_bits: int = 1 << 17,
     dim key set is too big to broadcast exactly.
 
     The 100-TB broadcast-shrinking pattern: instead of shipping the raw
-    key set (8 B/key, unbounded), the driver folds the distinct keys
-    into a FIXED-SIZE Bloom filter (``bloom_bits`` bits — 16 KiB here —
-    regardless of key count) shipped once via ``ray.put``.  The fact
-    side probes the filter inside ``map_batches`` (vectorized splitmix64
-    hashes, no per-row Python) and drops every definite non-match BEFORE
-    the shuffle; Bloom false positives (~(1−e^{−kn/m})^k) are removed by
-    an exact co-shuffle verify against the true key rows, so the output
-    is exact and hash-matches the same SQL twin as the exact-broadcast
-    semi-join.  Shuffle volume = matches + false positives, never the
-    full fact table.
+    key set (8 B/key, unbounded), the distinct keys are folded into a
+    FIXED-SIZE Bloom filter (``bloom_bits`` bits — 16 KiB here —
+    regardless of key count).  The build itself is distributed: each
+    dim block packs its keys into a partial bitmap (``np.packbits``,
+    one bloom_bits/8-byte row per block) and the driver OR-merges those
+    fixed-size partials — driver state is bloom_bits/8 bytes at ANY key
+    count, never the key set.  The merged filter ships once via
+    ``ray.put``; the fact side probes it inside ``map_batches``
+    (vectorized splitmix64 hashes, no per-row Python) and drops every
+    definite non-match BEFORE the shuffle; Bloom false positives
+    (~(1−e^{−kn/m})^k) are removed by an exact co-shuffle verify
+    against the true key rows, so the output is exact and hash-matches
+    the same SQL twin as the exact-broadcast semi-join.  Shuffle volume
+    = matches + false positives, never the full fact table.
     """
     import ray
     import ray.data as rd
@@ -1125,12 +1129,18 @@ def docs_events_semijoin_bloom(sf_dir: str, bloom_bits: int = 1 << 17,
         rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
         .map_batches(distinct_partial, batch_format="pandas")
     )
-    users = users_ds.to_pandas()["user_id"].unique().astype(np.int64)
-    bloom = np.zeros(int(m), dtype=bool)
-    uk = users.astype(np.uint64)
-    for s in seeds:
-        bloom[(splitmix64(uk ^ s) % m).astype(np.int64)] = True
-    bloom_ref = ray.put(bloom)
+
+    def bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(int(m), dtype=bool)
+        uk = df["user_id"].to_numpy(np.int64).astype(np.uint64)
+        for s in seeds:
+            bits[(splitmix64(uk ^ s) % m).astype(np.int64)] = True
+        return pd.DataFrame({"bloom": [np.packbits(bits).tobytes()]})
+
+    bloom = np.zeros(int(m) // 8, dtype=np.uint8)
+    for row in users_ds.map_batches(bloom_partial, batch_format="pandas").take_all():
+        bloom |= np.frombuffer(row["bloom"], dtype=np.uint8)
+    bloom_ref = ray.put(np.unpackbits(bloom).view(bool))
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         blm = ray.get(bloom_ref)
