@@ -59,9 +59,14 @@ def poly_window_hash(codes: np.ndarray, k: int) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     kk = min(k, n)
-    win = np.lib.stride_tricks.sliding_window_view(codes, kk)
-    powers = _FNV_PRIME ** np.arange(kk - 1, -1, -1, dtype=np.uint64)
-    h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    # Horner over k shifted 1-D slices: identical mod-2^64 result to the
+    # (windows × descending powers) dot, but avoids the 2-D uint64 broadcast
+    # multiply, which numpy executes ~20x slower than contiguous 1-D ops
+    m = n - kk + 1
+    h = codes[:m].astype(np.uint64, copy=True)
+    for j in range(1, kk):
+        h *= _FNV_PRIME
+        h += codes[j : j + m]
     return splitmix64(h)
 
 

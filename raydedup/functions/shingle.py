@@ -16,43 +16,94 @@ import pandas as pd
 from raydedup.functions.hashing import hash_tokens, poly_window_hash, splitmix64
 
 
-def batch_shingles(texts: "list[str] | pd.Series", k: int, max_shingles: int = 0):
-    """Shingle-hash sets for a batch of normalized documents.
+def batch_shingles_flat(texts: "list[str] | pd.Series", k: int, max_shingles: int = 0):
+    """Shingle-hash sets for a batch of normalized documents, flat layout.
 
-    Returns ``(sets, capped_mask)`` where ``sets`` is a list of sorted unique
-    uint64 arrays (one per doc; empty array for empty/None docs) and
-    ``capped_mask`` is a per-doc bool array marking docs truncated by
-    ``max_shingles`` (smallest-by-rehash deterministic sampling, which
-    preserves MinHash/Jaccard in expectation).
+    Returns ``(flat, offsets, capped_mask)``: ``flat`` is the concatenation of
+    per-doc sorted unique uint64 shingle hashes, ``offsets`` the (n_docs+1,)
+    int64 segment boundaries (empty segment for empty/None docs), and
+    ``capped_mask`` marks docs truncated by ``max_shingles``
+    (smallest-by-rehash deterministic sampling, which preserves
+    MinHash/Jaccard in expectation).
+
+    Fully vectorized: one global window hash over the flat token-code stream
+    (windows crossing doc boundaries are dropped by construction), one
+    lexsort-based segmented unique, one rank-based segmented cap — no per-doc
+    Python loop except for the rare ``0 < n_tokens < k`` short docs.
     """
+    n_docs = len(texts)
     texts = ["" if t is None else t for t in texts]
+    capped = np.zeros(n_docs, dtype=bool)
     # one flat token stream for the whole batch, with per-doc offsets
     token_lists = [t.split() for t in texts]
-    lens = np.fromiter((len(tl) for tl in token_lists), dtype=np.int64, count=len(token_lists))
-    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offsets[1:])
-    capped = np.zeros(len(texts), dtype=bool)
-    if offsets[-1] == 0:
-        return [np.empty(0, dtype=np.uint64) for _ in texts], capped
+    lens = np.fromiter((len(tl) for tl in token_lists), dtype=np.int64, count=n_docs)
+    toff = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=toff[1:])
+    empty_off = np.zeros(n_docs + 1, dtype=np.int64)
+    if toff[-1] == 0:
+        return np.empty(0, dtype=np.uint64), empty_off, capped
 
-    flat = np.concatenate([np.asarray(tl, dtype=object) for tl in token_lists if tl])
-    codes_idx, uniques = pd.factorize(flat)
+    flat_tok = np.concatenate([np.asarray(tl, dtype=object) for tl in token_lists if tl])
+    codes_idx, uniques = pd.factorize(flat_tok)
     unique_hashes = hash_tokens(uniques)
     flat_codes = unique_hashes[codes_idx]
 
-    sets = []
-    for i in range(len(texts)):
-        lo, hi = offsets[i], offsets[i + 1]
-        if hi == lo:
-            sets.append(np.empty(0, dtype=np.uint64))
-            continue
-        sh = np.unique(poly_window_hash(flat_codes[lo:hi], k))
-        if max_shingles and len(sh) > max_shingles:
+    # full-length docs: slice their windows out of ONE global window-hash pass
+    all_win = poly_window_hash(flat_codes, k)  # window at p covers codes[p:p+k)
+    wc = np.where(lens >= k, lens - k + 1, 0)
+    doc_ids = np.repeat(np.arange(n_docs, dtype=np.int64), wc)
+    woff = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(wc, out=woff[1:])
+    win_pos = (
+        np.arange(woff[-1], dtype=np.int64)
+        - np.repeat(woff[:-1], wc)
+        + np.repeat(toff[:-1], wc)
+    )
+    hashes = all_win[win_pos]
+    # short docs (0 < n_tokens < k): whole sequence hashed as one window
+    short = np.flatnonzero((lens > 0) & (lens < k))
+    if len(short):
+        short_h = np.concatenate(
+            [poly_window_hash(flat_codes[toff[d] : toff[d + 1]], k) for d in short]
+        )
+        doc_ids = np.concatenate([doc_ids, short])
+        hashes = np.concatenate([hashes, short_h])
+
+    # segmented unique: one stable sort by (doc, hash), then boundary diff
+    order = np.lexsort((hashes, doc_ids))
+    d_s = doc_ids[order]
+    h_s = hashes[order]
+    keep = np.empty(len(d_s), dtype=bool)
+    if len(keep):
+        keep[0] = True
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    d_u = d_s[keep]
+    h_u = h_s[keep]
+
+    counts = np.bincount(d_u, minlength=n_docs).astype(np.int64)
+    if max_shingles:
+        over = counts > max_shingles
+        if over.any():
             # smallest-by-independent-rehash sampling: deterministic, unbiased
-            order = np.argsort(splitmix64(sh))
-            sh = np.sort(sh[order[:max_shingles]])
-            capped[i] = True
-        sets.append(sh)
+            order2 = np.lexsort((splitmix64(h_u), d_u))
+            starts = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            rank = np.arange(len(d_u), dtype=np.int64) - starts[d_u[order2]]
+            sel = np.sort(order2[rank < max_shingles])  # restore (doc, hash) order
+            d_u = d_u[sel]
+            h_u = h_u[sel]
+            capped = over
+            counts = np.minimum(counts, max_shingles)
+
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return h_u, offsets, capped
+
+
+def batch_shingles(texts: "list[str] | pd.Series", k: int, max_shingles: int = 0):
+    """Per-doc-list wrapper over :func:`batch_shingles_flat` (tests/oracle)."""
+    flat, offsets, capped = batch_shingles_flat(texts, k, max_shingles)
+    sets = [flat[offsets[i] : offsets[i + 1]] for i in range(len(offsets) - 1)]
     return sets, capped
 
 

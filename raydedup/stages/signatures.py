@@ -14,8 +14,8 @@ import pyarrow as pa
 
 from raydedup.config import DedupConfig
 from raydedup.functions.minhash import MinHasher
-from raydedup.functions.shingle import batch_shingles
-from raydedup.functions.simhash import simhash64
+from raydedup.functions.shingle import batch_shingles_flat
+from raydedup.functions.simhash import simhash64_segments
 
 
 _MINHASHER_CACHE: dict = {}
@@ -42,27 +42,23 @@ class SignatureActor:
         statuses = batch["status"].to_pylist()
         texts = batch["doc_text"].to_pylist()  # already normalized at reassembly
         # quarantined docs contribute no shingles
-        sets, capped = batch_shingles(
+        flat, offsets, capped = batch_shingles_flat(
             [t if s == "ok" else "" for t, s in zip(texts, statuses)],
             cfg.shingle_k,
             cfg.max_shingles_per_doc,
         )
-        sigs = np.empty((n, cfg.num_perm), dtype=np.uint64)
-        simhashes = np.empty(n, dtype=np.uint64)
-        n_shingles = np.empty(n, dtype=np.int64)
-        out_status = []
-        for i, sh in enumerate(sets):
-            sigs[i] = self.mh.signature(sh)
-            simhashes[i] = simhash64(sh)
-            n_shingles[i] = len(sh)
-            s = statuses[i]
-            out_status.append("no_content" if s == "ok" and len(sh) == 0 else s)
+        n_shingles = np.diff(offsets)
+        sigs = self.mh.signature_segments(flat, offsets)
+        simhashes = simhash64_segments(flat, offsets)
+        out_status = [
+            "no_content" if s == "ok" and n_sh == 0 else s
+            for s, n_sh in zip(statuses, n_shingles)
+        ]
 
         mh_col = pa.FixedSizeListArray.from_arrays(pa.array(sigs.reshape(-1)), cfg.num_perm)
         if cfg.store_shingles:
             shingle_col = pa.ListArray.from_arrays(
-                pa.array(np.concatenate([[0], np.cumsum(n_shingles)]), type=pa.int32()),
-                pa.array(np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)),
+                pa.array(offsets, type=pa.int32()), pa.array(flat)
             )
         else:  # estimate-mode verification never reads the sets
             shingle_col = pa.ListArray.from_arrays(
