@@ -42,7 +42,8 @@ def _transcripts_fixture(sf: float) -> tuple:
 
 
 def run_flagship(sf_dir: str, num_cpus: int, fresh: bool = True,
-                 n_convs: int | None = None, checkpoint_mode: str = "disk") -> dict:
+                 n_convs: int | None = None, checkpoint_mode: str = "disk",
+                 cfg_overrides: dict | None = None) -> dict:
     """Full transcript dedup at the sf-matched synthetic scale; returns
     timing + turns/sec.  Checkpoints go to a throwaway dir (cold run)."""
     import ray
@@ -83,6 +84,7 @@ def run_flagship(sf_dir: str, num_cpus: int, fresh: bool = True,
         sig_concurrency=(2, max(2, num_cpus // 2)),
         verify_mode="estimate",
         checkpoint_mode=checkpoint_mode,
+        **(cfg_overrides or {}),
     )
     t0 = time.time()
     res = run_pipeline(f"{fixture}/transcripts.parquet", out_dir, cfg)

@@ -119,6 +119,17 @@ class DedupConfig:
     # executions land on disjoint resources.
     parallel_edges_max_docs: int = 0
 
+    # Singleton-key Bloom prefilter for the two pair-emitting shuffles
+    # (LSH band buckets, suffix fingerprints): a narrow extra pass folds
+    # per-block (once, twice) bitmaps and only keys (probably) occurring
+    # in ≥2 rows enter the shuffle — singleton keys can never pair, so
+    # emitted pairs are bit-identical while shuffle volume drops with the
+    # corpus' uniqueness.  0 disables.  The filter only engages above
+    # prefilter_min_docs: on small runs its extra pass costs more than
+    # the shuffle it saves.
+    prefilter_bloom_bits: int = 1 << 28   # 32 MiB packed broadcast
+    prefilter_min_docs: int = 300_000
+
     # optional artifact sink (S11 analog: the reference saves every
     # detected face crop, face_recognition_custom.py:95-100): per-doc
     # extracted-feature debug table written under <out>/artifacts

@@ -85,10 +85,16 @@ def run_pipeline(
     # consumer reads only the columns it needs from the wide signature
     # checkpoint (no projection pushdown in read_parquet→select_columns).
     payload = "shingles" if cfg.verify_mode == "exact" else "minhash"
+    # docs count is metadata on a materialized/checkpointed dataset, not an
+    # execution; it gates the singleton-key Bloom prefilter (see below)
+    n_docs = docs.count()
+    prefilter = bool(cfg.prefilter_bloom_bits) and n_docs >= cfg.prefilter_min_docs
     cands = store.stage(
         "candidates",
         lambda: candidate_pairs(
-            store.read("signatures", ["conv_id", "minhash", "n_shingles"]), cfg
+            store.read("signatures", ["conv_id", "minhash", "n_shingles"]),
+            cfg,
+            prefilter=prefilter,
         ),
     )
     # Each edge source is consumed exactly once (by the pair dedup below),
@@ -97,10 +103,7 @@ def run_pipeline(
     # size-gated (cfg.fuse_edges_max_docs): fused edge shuffles run
     # concurrently, and at 12M-turn scale the ~3× peak object-store
     # footprint spills and costs more than the spin-ups save.  Disk mode
-    # checkpoints each for finer-grained resume, as before.  The docs
-    # count is metadata on a materialized/checkpointed dataset, not an
-    # execution.
-    n_docs = docs.count()
+    # checkpoints each for finer-grained resume, as before.
     edge_specs = [
         (
             "pairs_minhash",
@@ -108,7 +111,7 @@ def run_pipeline(
                 cands, store.read("signatures", ["conv_id", payload]), cfg
             ),
         ),
-        ("pairs_suffix", lambda: suffix_pairs(docs, cfg)),
+        ("pairs_suffix", lambda: suffix_pairs(docs, cfg, prefilter=prefilter)),
         (
             "pairs_simhash",
             lambda: simhash_pairs(

@@ -39,9 +39,19 @@ def ensure_hash_shuffle() -> None:
     cap = int(os.environ.get("RAYDEDUP_MAX_AGGREGATORS", "8"))
     ctx.max_hash_shuffle_aggregators = max(2, min(cap, n_cpus // 2))
     ctx.min_hash_shuffle_aggregator_wait_time_in_s = 10
-    # keep aggregators lightweight so map/actor stages are never starved
-    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
-    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
+    # Keep aggregators lightweight so map/actor stages are never starved.
+    # The reservation must stay well under n_cpus in AGGREGATE across every
+    # concurrently-alive shuffle op: a plan with two hash shuffles spawns
+    # both ops' aggregator actors up front, and if their combined CPU claim
+    # leaves less than one full CPU, the 1-CPU map tasks feeding them can
+    # never schedule — a hard deadlock (observed at num_cpus=4 with the
+    # old flat 0.05/partition: 2 ops × 32 partitions × 0.05 = 3.2 of 4
+    # CPUs held by idle aggregators, 0 tasks executing).  Budget ≤12.5% of
+    # the cluster per shuffle op instead; the CPU figure is admission
+    # control only — aggregator throughput is unaffected.
+    per_partition = min(0.05, max(0.01, (0.125 * n_cpus) / 32))
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_partition
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = per_partition
 
 
 def keyed_blocks(ds, keys: list, num_partitions: int):

@@ -163,13 +163,27 @@ def make_pair_dedup():
     return dedup
 
 
-def candidate_pairs(sigs_ds, cfg: DedupConfig, pair_mask_fn=None):
+def candidate_pairs(sigs_ds, cfg: DedupConfig, pair_mask_fn=None, prefilter: bool = False):
     """signatures → deduplicated candidate pairs (a, b, n_bands, capped).
 
     ``pair_mask_fn`` prunes pairs inside the bucket emitter (see
     ``make_bucket_emitter``) so unwanted pairs never enter the (a, b)
-    shuffle."""
-    bands = sigs_ds.map_batches(make_band_rows(cfg), batch_format="pyarrow", zero_copy_batch=True)
+    shuffle.  ``prefilter=True`` drops (probable-)singleton buckets before
+    the bucket shuffle via the twice-Bloom pass (bit-identical pairs; see
+    ``raydedup.functions.dupbloom``) — callers should enable it only when
+    ``sigs_ds`` is cheap to scan twice (checkpoint read / materialized)."""
+
+    def make_rows():
+        return sigs_ds.map_batches(
+            make_band_rows(cfg), batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    if prefilter and cfg.prefilter_bloom_bits:
+        from raydedup.functions.dupbloom import prefilter_dup_keys
+
+        bands = prefilter_dup_keys(make_rows, "bucket", cfg.prefilter_bloom_bits)
+    else:
+        bands = make_rows()
     raw = keyed_blocks(bands, ["bucket"], cfg.num_partitions).map_batches(
         make_bucket_emitter(cfg, pair_mask_fn), batch_size=None, batch_format="pandas"
     )

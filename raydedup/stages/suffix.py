@@ -78,14 +78,31 @@ def make_fp_emitter(cfg: DedupConfig):
     return emit
 
 
-def suffix_pairs(docs_ds, cfg: DedupConfig):
+def suffix_pairs(docs_ds, cfg: DedupConfig, prefilter: bool = False):
     """docs → exact long-repeat edges (a, b, est_sim=1.0, source='suffix').
 
     Edges may repeat across shared fingerprints (deduped once in the
     combined pairs stage — one shuffle for all edge sources instead of one
     per source); emission already dedups within each fingerprint bucket.
+
+    ``prefilter=True`` drops (probable-)singleton fingerprints before the
+    fp shuffle via the twice-Bloom pass (bit-identical edges; see
+    ``raydedup.functions.dupbloom``).  Fingerprints are recomputed for the
+    second pass rather than materialized — the fp compute is ~25% of the
+    stage and the row stream never has to fit in the object store.
     """
-    fps = docs_ds.map_batches(make_fp_rows(cfg), batch_format="pyarrow", zero_copy_batch=True)
+
+    def make_rows():
+        return docs_ds.map_batches(
+            make_fp_rows(cfg), batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    if prefilter and cfg.prefilter_bloom_bits:
+        from raydedup.functions.dupbloom import prefilter_dup_keys
+
+        fps = prefilter_dup_keys(make_rows, "fp", cfg.prefilter_bloom_bits)
+    else:
+        fps = make_rows()
     raw = keyed_blocks(fps, ["fp"], cfg.num_partitions).map_batches(
         make_fp_emitter(cfg), batch_size=None, batch_format="pandas"
     )
