@@ -124,10 +124,17 @@ class DedupConfig:
     # per-block (once, twice) bitmaps and only keys (probably) occurring
     # in ≥2 rows enter the shuffle — singleton keys can never pair, so
     # emitted pairs are bit-identical while shuffle volume drops with the
-    # corpus' uniqueness.  0 disables.  The filter only engages above
-    # prefilter_min_docs: on small runs its extra pass costs more than
-    # the shuffle it saves.
-    prefilter_bloom_bits: int = 1 << 28   # 32 MiB packed broadcast
+    # corpus' uniqueness.  DISABLED by default (0) after a same-session
+    # 12M-turn A/B measured it a clear loss on this single-node proxy:
+    # 423 s with vs 182 s without (pairs_suffix 277 s vs 47 s) — the
+    # second upstream pass re-runs the winnow fingerprint compute, which
+    # dominates the suffix stage, while the object-store shuffle the
+    # filter trims is cheap on one node.  The mechanism (and its
+    # bit-identical-pairs test) stays for genuinely network-bound
+    # multi-node shuffles where ~90% singleton-row savings pay for an
+    # extra map scan.  Set e.g. 1 << 28 (32 MiB broadcast) to enable;
+    # it then engages above prefilter_min_docs.
+    prefilter_bloom_bits: int = 0
     prefilter_min_docs: int = 300_000
 
     # optional artifact sink (S11 analog: the reference saves every
