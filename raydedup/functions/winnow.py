@@ -75,3 +75,90 @@ def span_fingerprints(
         return np.empty(0, dtype=np.uint64)
     fps = _window_hashes(buf, fp_len, starts=anchors + window)
     return np.unique(splitmix64(fps))
+
+
+def utf8_flat_bytes(arr):
+    """Zero-copy (uint8 data, int64 offsets) view of an Arrow string array.
+
+    Reads the utf-8 value buffer directly — no per-row Python string
+    round-trip.  Null entries become empty segments; handles string and
+    large_string, chunked input, and sliced arrays."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = pa.compute.fill_null(arr, "")
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=odt)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    dbuf = arr.buffers()[2]
+    if dbuf is None:
+        return np.empty(0, dtype=np.uint8), off - off[0]
+    data = np.frombuffer(dbuf, dtype=np.uint8)[off[0] : off[-1]]
+    return data, off - off[0]
+
+
+def span_fingerprints_flat(
+    flat: np.ndarray,
+    offsets: np.ndarray,
+    window: int = 64,
+    fp_len: int = 320,
+    anchor_mod: int = 64,
+):
+    """Segmented twin of :func:`span_fingerprints` over a whole batch.
+
+    ``flat`` is the concatenated utf-8 byte stream of all documents (uint8),
+    ``offsets`` the (n_docs+1,) int64 segment boundaries.  Returns
+    ``(doc_idx, fps)``: per-doc sorted unique fingerprints with their
+    document indices, bit-identical to calling ``span_fingerprints`` per
+    document — the window hash (S[p+w]−S[p])·B^(p+w−1) telescopes so the
+    document's position in the flat buffer cancels out of every hash, and
+    windows never cross a document boundary because each document's window
+    starts stop ``window`` bytes before its segment end.  One set of prefix
+    arrays per batch replaces three cumulative passes per document.
+    """
+    n_docs = len(offsets) - 1
+    n = int(offsets[-1])
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    if n == 0 or n_docs == 0:
+        return empty
+    w = int(window)
+    lens = offsets[1:] - offsets[:-1]
+    wc = np.where(lens >= w + fp_len, lens - w + 1, 0)
+    tot = int(wc.sum())
+    if tot == 0:
+        return empty
+    buf = flat.astype(np.uint64)
+    exps = np.empty(n + 1, dtype=np.uint64)
+    exps[0] = np.uint64(1)
+    np.cumprod(np.full(n, _BINV, dtype=np.uint64), out=exps[1:])
+    S = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(buf * exps[:n], out=S[1:])
+    bpow = np.empty(n + 1, dtype=np.uint64)
+    bpow[0] = np.uint64(1)
+    np.cumprod(np.full(n, _B, dtype=np.uint64), out=bpow[1:])
+
+    woff = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(wc, out=woff[1:])
+    pos = (
+        np.arange(tot, dtype=np.int64)
+        - np.repeat(woff[:-1], wc)
+        + np.repeat(offsets[:-1], wc)
+    )
+    wh = splitmix64((S[pos + w] - S[pos]) * bpow[pos + w - 1])
+    doc_end = np.repeat(offsets[1:], wc)
+    keep = ((wh % np.uint64(anchor_mod)) == 0) & (pos + w + fp_len <= doc_end)
+    if not keep.any():
+        return empty
+    apos = pos[keep] + w
+    fps = splitmix64((S[apos + fp_len] - S[apos]) * bpow[apos + fp_len - 1])
+    d = np.repeat(np.arange(n_docs, dtype=np.int64), wc)[keep]
+    # segmented unique: (doc, fp) sort, drop consecutive duplicates
+    order = np.lexsort((fps, d))
+    d_s, f_s = d[order], fps[order]
+    uniq = np.empty(len(d_s), dtype=bool)
+    uniq[0] = True
+    uniq[1:] = (d_s[1:] != d_s[:-1]) | (f_s[1:] != f_s[:-1])
+    return d_s[uniq], f_s[uniq]

@@ -19,27 +19,51 @@ caps are never silent.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from raydedup.config import DedupConfig
 from raydedup.functions.hashing import splitmix64
-from raydedup.functions.pairs import (
-    dedup_sorted_members,
-    emit_bucket_pairs,
-    group_ids_from_sorted,
-)
+from raydedup.functions.pairs import emit_bucket_pairs, group_ids_from_sorted
 from raydedup.ray_utils import keyed_blocks
 
 _FNV = np.uint64(0x100000001B3)
 
-_EMPTY_PAIRS = pd.DataFrame(
+_EMPTY_PAIRS = pa.table(
     {
-        "a": pd.Series([], dtype=object),
-        "b": pd.Series([], dtype=object),
-        "capped": pd.Series([], dtype=np.int32),
+        "a": pa.array([], pa.string()),
+        "b": pa.array([], pa.string()),
+        "capped": pa.array([], pa.int32()),
     }
 )
+
+
+def _sorted_unique_members(t: pa.Table, sort_keys, group_cols):
+    """Sort ``t`` by ``sort_keys`` (C-level Arrow sort — no object-dtype
+    Python comparisons), then drop duplicate (group, conv_id) members.
+
+    Returns ``(gid, cv, rows)``: dense group ids (numpy int64), the matching
+    deduped conv_id StringArray, and the original row indices of the kept
+    members (for callers carrying extra aligned columns).  UTF-8 byte order
+    == code-point order, so Arrow's binary string sort matches the previous
+    Python-str lexsort."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    idx = pa.compute.sort_indices(t, sort_keys=sort_keys)
+    idx_np = idx.to_numpy(zero_copy_only=False)
+    keys = [t[c].take(idx).to_numpy(zero_copy_only=False) for c in group_cols]
+    cv = t["conv_id"].take(idx)
+    if isinstance(cv, pa.ChunkedArray):
+        cv = cv.combine_chunks()
+    gid = group_ids_from_sorted(*keys)
+    n = len(gid)
+    keep = np.ones(n, dtype=bool)
+    if n > 1:
+        same_cv = pa.compute.equal(cv.slice(1), cv.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        keep[1:] = (gid[1:] != gid[:-1]) | ~same_cv
+    sel = np.flatnonzero(keep)
+    return gid[sel], cv.take(pa.array(sel)), idx_np[sel]
 
 def signature_matrix(batch: pa.Table, num_perm: int) -> np.ndarray:
     """(n, num_perm) uint64 from the minhash list column (fixed-size or plain list)."""
@@ -85,12 +109,15 @@ def make_band_rows(cfg: DedupConfig):
         # element, so near-identical docs sort adjacently inside a capped
         # bucket and their chain edges survive exact verification
         sk = splitmix64(sig[:, 1] ^ np.uint64(0x5EED))
-        conv = np.asarray(batch["conv_id"], dtype=object)
+        # C-level take instead of an object-dtype numpy repeat round-trip
+        conv = batch["conv_id"].take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), cfg.bands))
+        )
         return pa.table(
             {
                 "bucket": pa.array(bucket.reshape(-1)),
                 "sk": pa.array(np.repeat(sk, cfg.bands)),
-                "conv_id": pa.array(np.repeat(conv, cfg.bands), pa.string()),
+                "conv_id": conv,
             }
         )
 
@@ -108,57 +135,69 @@ def make_bucket_emitter(cfg: DedupConfig, pair_mask_fn=None):
 
     cap = cfg.bucket_pair_cap
 
-    def emit(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
+    def emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
             return _EMPTY_PAIRS
-        bk = df["bucket"].to_numpy()
-        sk = df["sk"].to_numpy()
-        cv = df["conv_id"].to_numpy(dtype=object)
         # members order by (sk, conv_id) inside each bucket: the capped
         # chain then runs through signature space, keeping near-identical
         # docs adjacent (duplicate members share sk, so the member dedup's
         # adjacency requirement still holds)
-        order = np.lexsort((cv, sk, bk))
-        bk, cv = bk[order], cv[order]
-        gid = group_ids_from_sorted(bk)
-        keep = dedup_sorted_members(gid, cv)
-        gid, cv = gid[keep], cv[keep]
+        gid, cv, _rows = _sorted_unique_members(
+            t, [("bucket", "ascending"), ("sk", "ascending"), ("conv_id", "ascending")],
+            "bucket",
+        )
         i, j, capped = emit_bucket_pairs(gid, cap)
         if len(i) == 0:
             return _EMPTY_PAIRS
-        x, y = cv[i], cv[j]
-        swap = x > y  # normalize a < b (bucket order is signature order)
-        a = np.where(swap, y, x)
-        b = np.where(swap, x, y)
+        x = cv.take(pa.array(i))
+        y = cv.take(pa.array(j))
+        swap = pa.compute.greater(x, y)  # normalize a < b (bucket order is signature order)
+        a = pa.compute.if_else(swap, y, x)
+        b = pa.compute.if_else(swap, x, y)
         if pair_mask_fn is not None:
-            m = pair_mask_fn(a, b)
+            m = np.asarray(
+                pair_mask_fn(
+                    a.to_numpy(zero_copy_only=False), b.to_numpy(zero_copy_only=False)
+                ),
+                dtype=bool,
+            )
             if not m.any():
                 return _EMPTY_PAIRS
-            a, b, capped = a[m], b[m], capped[m]
-        return pd.DataFrame({"a": a, "b": b, "capped": capped.astype(np.int32)})
+            sel = pa.array(m)
+            a, b, capped = a.filter(sel), b.filter(sel), capped[m]
+        return pa.table({"a": a, "b": b, "capped": pa.array(capped.astype(np.int32))})
 
     return emit
 
 
 def make_pair_dedup():
     """Whole-block fn over hash-partitioned (a, b) rows → unique pairs with
-    band-evidence counters (replaces a per-group aggregate)."""
+    band-evidence counters (replaces a per-group aggregate).  Arrow-native
+    hash aggregation — no pandas object-dtype groupby."""
 
-    def dedup(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
-                {
-                    "a": pd.Series([], dtype=object),
-                    "b": pd.Series([], dtype=object),
-                    "n_bands": pd.Series([], dtype=np.int64),
-                    "capped": pd.Series([], dtype=np.int32),
-                }
-            )
-        g = df.groupby(["a", "b"], sort=False)
-        out = g.agg(n_bands=("capped", "size"), capped=("capped", "max")).reset_index()
-        out["n_bands"] = out["n_bands"].astype(np.int64)
-        out["capped"] = out["capped"].astype(np.int32)
-        return out
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "n_bands": pa.array([], pa.int64()),
+            "capped": pa.array([], pa.int32()),
+        }
+    )
+
+    def dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["a", "b"], use_threads=False).aggregate(
+            [("capped", "count"), ("capped", "max")]
+        )
+        return pa.table(
+            {
+                "a": g["a"],
+                "b": g["b"],
+                "n_bands": g["capped_count"].cast(pa.int64()),
+                "capped": g["capped_max"].cast(pa.int32()),
+            }
+        )
 
     return dedup
 
@@ -185,8 +224,14 @@ def candidate_pairs(sigs_ds, cfg: DedupConfig, pair_mask_fn=None, prefilter: boo
     else:
         bands = make_rows()
     raw = keyed_blocks(bands, ["bucket"], cfg.num_partitions).map_batches(
-        make_bucket_emitter(cfg, pair_mask_fn), batch_size=None, batch_format="pandas"
+        make_bucket_emitter(cfg, pair_mask_fn),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     return keyed_blocks(raw, ["a", "b"], cfg.num_partitions).map_batches(
-        make_pair_dedup(), batch_size=None, batch_format="pandas"
+        make_pair_dedup(),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )

@@ -12,23 +12,18 @@ runs inside the same vectorized block pass — no join needed.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from raydedup.config import DedupConfig
-from raydedup.functions.pairs import (
-    dedup_sorted_members,
-    emit_bucket_pairs,
-    group_ids_from_sorted,
-)
+from raydedup.functions.pairs import emit_bucket_pairs
 from raydedup.functions.simhash import hamming64
 from raydedup.ray_utils import keyed_blocks
 
-_EMPTY = pd.DataFrame(
+_EMPTY = pa.table(
     {
-        "a": pd.Series([], dtype=object),
-        "b": pd.Series([], dtype=object),
-        "est_sim": pd.Series([], dtype=np.float64),
+        "a": pa.array([], pa.string()),
+        "b": pa.array([], pa.string()),
+        "est_sim": pa.array([], pa.float64()),
     }
 )
 
@@ -42,8 +37,7 @@ def make_block_rows(cfg: DedupConfig):
         batch = batch.filter(pa.array(keep))
         n = batch.num_rows
         sh = np.asarray(batch["simhash"], dtype=np.uint64)
-        conv = np.asarray(batch["conv_id"], dtype=object)
-        out_idx, out_val, out_conv, out_sh = [], [], [], []
+        out_idx, out_val, out_sh = [], [], []
         for j in range(n_blocks):
             lo, hi = bounds[j], bounds[j + 1]
             width = np.uint64(hi - lo)
@@ -51,13 +45,16 @@ def make_block_rows(cfg: DedupConfig):
             val = (sh >> np.uint64(lo)) & mask
             out_idx.append(np.full(n, j, dtype=np.int32))
             out_val.append(val)
-            out_conv.append(conv)
             out_sh.append(sh)
+        # conv_id repeated per block via C-level take (no object round-trip)
+        conv = batch["conv_id"].take(
+            pa.array(np.tile(np.arange(n, dtype=np.int64), n_blocks))
+        ) if n else pa.array([], pa.string())
         return pa.table(
             {
                 "block_idx": pa.array(np.concatenate(out_idx) if n else np.empty(0, np.int32)),
                 "block_val": pa.array(np.concatenate(out_val) if n else np.empty(0, np.uint64)),
-                "conv_id": pa.array(np.concatenate(out_conv) if n else [], pa.string()),
+                "conv_id": conv,
                 "simhash": pa.array(np.concatenate(out_sh) if n else np.empty(0, np.uint64)),
             }
         )
@@ -71,18 +68,26 @@ def make_block_emitter(cfg: DedupConfig):
     cap = cfg.bucket_pair_cap
     thr = cfg.hamming_threshold
 
-    def emit(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
+    def emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
             return _EMPTY
-        bi = df["block_idx"].to_numpy()
-        bv = df["block_val"].to_numpy()
-        cv = df["conv_id"].to_numpy(dtype=object)
-        fp = df["simhash"].to_numpy().astype(np.uint64)
-        order = np.lexsort((cv, bv, bi))
-        bi, bv, cv, fp = bi[order], bv[order], cv[order], fp[order]
-        gid = group_ids_from_sorted(bi, bv)
-        keep = dedup_sorted_members(gid, cv)
-        gid, cv, fp = gid[keep], cv[keep], fp[keep]
+        from raydedup.stages.lsh import _sorted_unique_members
+
+        gid, cv, rows = _sorted_unique_members(
+            t,
+            [
+                ("block_idx", "ascending"),
+                ("block_val", "ascending"),
+                ("conv_id", "ascending"),
+            ],
+            ["block_idx", "block_val"],
+        )
+        fp = (
+            t["simhash"]
+            .take(pa.array(rows))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
         i, j, _capped = emit_bucket_pairs(gid, cap)
         if len(i) == 0:
             return _EMPTY
@@ -90,8 +95,14 @@ def make_block_emitter(cfg: DedupConfig):
         ok = d <= thr
         if not ok.any():
             return _EMPTY
-        return pd.DataFrame(
-            {"a": cv[i[ok]], "b": cv[j[ok]], "est_sim": 1.0 - d[ok] / 64.0}
+        # members sort by conv_id within each block group and i < j, so
+        # (a, b) is already normalized a < b
+        return pa.table(
+            {
+                "a": cv.take(pa.array(i[ok])),
+                "b": cv.take(pa.array(j[ok])),
+                "est_sim": pa.array(1.0 - d[ok] / 64.0),
+            }
         )
 
     return emit
@@ -106,7 +117,10 @@ def simhash_pairs(sigs_ds, cfg: DedupConfig):
         make_block_rows(cfg), batch_format="pyarrow", zero_copy_batch=True
     )
     raw = keyed_blocks(blocks, ["block_idx", "block_val"], cfg.num_partitions).map_batches(
-        make_block_emitter(cfg), batch_size=None, batch_format="pandas"
+        make_block_emitter(cfg),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     return raw.map_batches(
         lambda t: t.append_column("source", pa.array(np.repeat("simhash", t.num_rows), pa.string())),

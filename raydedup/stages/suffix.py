@@ -11,42 +11,30 @@ and skip Jaccard verification.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from raydedup.config import DedupConfig
-from raydedup.functions.pairs import (
-    dedup_sorted_members,
-    emit_bucket_pairs,
-    group_ids_from_sorted,
-)
-from raydedup.functions.winnow import span_fingerprints
+from raydedup.functions.pairs import emit_bucket_pairs
+from raydedup.functions.winnow import span_fingerprints_flat, utf8_flat_bytes
 from raydedup.ray_utils import keyed_blocks
 
-_EMPTY = pd.DataFrame(
-    {"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)}
-)
+_EMPTY = pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
 
 
 def make_fp_rows(cfg: DedupConfig):
     def fp_fn(batch: pa.Table) -> pa.Table:
-        keep = np.asarray(pa.compute.equal(batch["status"], "ok"))
-        batch = batch.filter(pa.array(keep))
-        texts = batch["doc_text"].to_pylist()  # already normalized at reassembly
-        conv = np.asarray(batch["conv_id"], dtype=object)
-        fps, ids = [], []
-        for i, t in enumerate(texts):
-            f = span_fingerprints(
-                t or "", cfg.suffix_window, cfg.suffix_fp_len, cfg.suffix_anchor_mod
-            )
-            if len(f):
-                fps.append(f)
-                ids.append(np.repeat(conv[i], len(f)))
-        if not fps:
-            return pa.table({"fp": pa.array([], pa.uint64()), "conv_id": pa.array([], pa.string())})
-        return pa.table(
-            {"fp": pa.array(np.concatenate(fps)), "conv_id": pa.array(np.concatenate(ids), pa.string())}
+        batch = batch.filter(pa.compute.equal(batch["status"], "ok"))
+        # zero-copy utf-8 bytes straight from the Arrow value buffer, one
+        # segmented fingerprint kernel per batch (bit-identical to the
+        # per-doc span_fingerprints path; see tests/test_functions.py)
+        data, offsets = utf8_flat_bytes(batch["doc_text"])
+        d_idx, fps = span_fingerprints_flat(
+            data, offsets, cfg.suffix_window, cfg.suffix_fp_len, cfg.suffix_anchor_mod
         )
+        if len(fps) == 0:
+            return pa.table({"fp": pa.array([], pa.uint64()), "conv_id": pa.array([], pa.string())})
+        conv = batch["conv_id"].take(pa.array(d_idx))
+        return pa.table({"fp": pa.array(fps), "conv_id": conv})
 
     return fp_fn
 
@@ -55,25 +43,26 @@ def make_fp_emitter(cfg: DedupConfig):
     """Whole-block fn over hash-partitioned (fp, conv_id) rows → exact edges.
 
     Exact-equal spans are transitive, so star emission (cap path) preserves
-    everything that matters: connectivity.
+    everything that matters: connectivity.  Arrow-native sort/take — no
+    object-dtype Python string comparisons (see ``_sorted_unique_members``).
     """
+
+    from raydedup.stages.lsh import _sorted_unique_members
 
     cap = cfg.bucket_pair_cap
 
-    def emit(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
+    def emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
             return _EMPTY
-        fp = df["fp"].to_numpy().astype(np.uint64)
-        cv = df["conv_id"].to_numpy(dtype=object)
-        order = np.lexsort((cv, fp))
-        fp, cv = fp[order], cv[order]
-        gid = group_ids_from_sorted(fp)
-        keep = dedup_sorted_members(gid, cv)
-        gid, cv = gid[keep], cv[keep]
+        gid, cv, _rows = _sorted_unique_members(
+            t, [("fp", "ascending"), ("conv_id", "ascending")], "fp"
+        )
         i, j, _ = emit_bucket_pairs(gid, cap)
         if len(i) == 0:
             return _EMPTY
-        return pd.DataFrame({"a": cv[i], "b": cv[j]})
+        # members sort by conv_id within each fp group and i < j, so the
+        # (a, b) pair is already normalized a < b
+        return pa.table({"a": cv.take(pa.array(i)), "b": cv.take(pa.array(j))})
 
     return emit
 
@@ -93,8 +82,15 @@ def suffix_pairs(docs_ds, cfg: DedupConfig, prefilter: bool = False):
     """
 
     def make_rows():
+        # bounded batch: the segmented kernel's temporaries are ~30× the
+        # batch's text bytes (prefix-product/sum arrays + window vectors),
+        # so block-sized batches (tens of MB of text) would allocate GBs
+        # per task; ~2k docs keeps the working set ~100 MB
         return docs_ds.map_batches(
-            make_fp_rows(cfg), batch_format="pyarrow", zero_copy_batch=True
+            make_fp_rows(cfg),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=2048,
         )
 
     if prefilter and cfg.prefilter_bloom_bits:
@@ -104,7 +100,10 @@ def suffix_pairs(docs_ds, cfg: DedupConfig, prefilter: bool = False):
     else:
         fps = make_rows()
     raw = keyed_blocks(fps, ["fp"], cfg.num_partitions).map_batches(
-        make_fp_emitter(cfg), batch_size=None, batch_format="pandas"
+        make_fp_emitter(cfg),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     return raw.map_batches(
         lambda t: pa.table(

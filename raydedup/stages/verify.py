@@ -21,7 +21,6 @@ computed vectorized per block:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from raydedup.config import DedupConfig
@@ -140,18 +139,31 @@ def _attach_block(t: pa.Table) -> pa.Table:
     )
     if t.num_rows == 0:
         return empty
-    t = t.combine_chunks()
+    # Arrow sort by (endpoint, side): each endpoint's signature row
+    # (side=-1, unique per conv_id) leads its group, so every pair-endpoint
+    # row's payload is the group-leading row's — a C-level sort + gather
+    # instead of an object-dtype pandas Index lookup.
+    idx = pa.compute.sort_indices(
+        t, sort_keys=[("endpoint", "ascending"), ("side", "ascending")]
+    )
+    t = t.take(idx).combine_chunks()
+    n = t.num_rows
     side = np.asarray(t["side"])
-    sig_tbl = t.filter(pa.array(side == -1))
-    ep_tbl = t.filter(pa.array(side >= 0))
-    if sig_tbl.num_rows == 0 or ep_tbl.num_rows == 0:
+    ep = t["endpoint"].combine_chunks() if isinstance(t["endpoint"], pa.ChunkedArray) else t["endpoint"]
+    newgrp = np.ones(n, dtype=bool)
+    if n > 1:
+        newgrp[1:] = ~pa.compute.equal(ep.slice(1), ep.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    gid = np.cumsum(newgrp) - 1
+    grp_first = np.flatnonzero(newgrp)
+    has_sig = (side == -1)[grp_first]
+    keep_rows = np.flatnonzero((side >= 0) & has_sig[gid])
+    if len(keep_rows) == 0:
         return empty
-    sig_ep = pd.Index(np.asarray(sig_tbl["endpoint"], dtype=object))
-    idx = sig_ep.get_indexer(np.asarray(ep_tbl["endpoint"], dtype=object))
-    keep = idx >= 0
-    ep_tbl = ep_tbl.filter(pa.array(keep))
-    payload = (
-        sig_tbl["payload"].combine_chunks().take(pa.array(idx[keep], pa.int64()))
+    ep_tbl = t.take(pa.array(keep_rows))
+    payload = t["payload"].combine_chunks().take(
+        pa.array(grp_first[gid[keep_rows]], pa.int64())
     )
     return pa.table(
         {
@@ -229,27 +241,30 @@ def make_verify_block(cfg: DedupConfig):
     )
 
     def verify(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
+        if t.num_rows < 2:
             return empty
-        t = t.combine_chunks()
+        # pair up side-0 and side-1 rows on (a, b): (a, b, side) is unique,
+        # so after an Arrow sort a complete pair is exactly an adjacent
+        # (side=0, side=1) run with equal keys — C-level sort + neighbor
+        # equality instead of an object-dtype pandas MultiIndex lookup
+        idx = pa.compute.sort_indices(
+            t,
+            sort_keys=[("a", "ascending"), ("b", "ascending"), ("side", "ascending")],
+        )
+        t = t.take(idx).combine_chunks()
+        m = t.num_rows
         side = np.asarray(t["side"])
-        t0 = t.filter(pa.array(side == 0))
-        t1 = t.filter(pa.array(side == 1))
-        if t0.num_rows == 0 or t1.num_rows == 0:
+        a_arr = t["a"]
+        b_arr = t["b"]
+        eq_next = pa.compute.and_(
+            pa.compute.equal(a_arr.slice(1), a_arr.slice(0, m - 1)),
+            pa.compute.equal(b_arr.slice(1), b_arr.slice(0, m - 1)),
+        ).to_numpy(zero_copy_only=False)
+        first = np.flatnonzero((side[:-1] == 0) & (side[1:] == 1) & eq_next)
+        if len(first) == 0:
             return empty
-        # pair up side-0 and side-1 rows on (a, b) — indices only via pandas
-        k0 = pd.MultiIndex.from_arrays(
-            [np.asarray(t0["a"], dtype=object), np.asarray(t0["b"], dtype=object)]
-        )
-        k1 = pd.MultiIndex.from_arrays(
-            [np.asarray(t1["a"], dtype=object), np.asarray(t1["b"], dtype=object)]
-        )
-        idx = k0.get_indexer(k1)  # position of each side-1 row's partner in t0
-        keep = idx >= 0
-        if not keep.any():
-            return empty
-        t1 = t1.filter(pa.array(keep))
-        t0 = t0.take(pa.array(idx[keep], pa.int64()))
+        t0 = t.take(pa.array(first))
+        t1 = t.take(pa.array(first + 1))
         n = t0.num_rows
         off0, val0 = _payload_slices(t0["payload"])
         off1, val1 = _payload_slices(t1["payload"])

@@ -108,6 +108,44 @@ def test_winnow_shared_long_span_detected_but_short_not():
     assert len(np.intersect1d(span_fingerprints(doc_c), span_fingerprints(doc_d))) == 0
 
 
+def test_span_fingerprints_flat_bit_identical_to_scalar():
+    import pyarrow as pa
+
+    from raydedup.functions.winnow import (
+        span_fingerprints,
+        span_fingerprints_flat,
+        utf8_flat_bytes,
+    )
+
+    rng = np.random.RandomState(11)
+    vocab = ["alpha", "beta", "gamma", "δélta", "ε", "zeta?"]
+    shared = " ".join(rng.choice(vocab, 200))  # long span two docs share
+    docs = [
+        "",  # empty
+        None,  # null
+        "short doc",  # below window+fp_len
+        " ".join(rng.choice(vocab, 150)),
+        shared + " " + " ".join(rng.choice(vocab, 40)),
+        " ".join(rng.choice(vocab, 30)) + " " + shared,
+        "日本語テキスト " * 120,  # multi-byte utf-8
+    ]
+    w, fl, mod = 16, 48, 4
+    arr = pa.chunked_array([pa.array(docs[:3], pa.string()), pa.array(docs[3:], pa.string())])
+    data, offsets = utf8_flat_bytes(arr)
+    d_idx, fps = span_fingerprints_flat(data, offsets, w, fl, mod)
+    for i, t in enumerate(docs):
+        expect = span_fingerprints(t or "", w, fl, mod)
+        got = fps[d_idx == i]
+        np.testing.assert_array_equal(got, expect)
+    # the two shared-span docs overlap in fingerprints
+    assert len(np.intersect1d(fps[d_idx == 4], fps[d_idx == 5])) > 0
+    # sliced (offset != 0) arrays read the right bytes
+    sl = arr.combine_chunks().slice(3, 3)
+    data2, off2 = utf8_flat_bytes(sl)
+    d2, f2 = span_fingerprints_flat(data2, off2, w, fl, mod)
+    np.testing.assert_array_equal(f2[d2 == 0], span_fingerprints(docs[3], w, fl, mod))
+
+
 def test_dupbloom_no_false_negatives_and_fold_associative():
     from raydedup.functions.dupbloom import (
         fold_partials,
