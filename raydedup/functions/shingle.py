@@ -33,20 +33,66 @@ def batch_shingles_flat(texts: "list[str] | pd.Series", k: int, max_shingles: in
     """
     n_docs = len(texts)
     texts = ["" if t is None else t for t in texts]
-    capped = np.zeros(n_docs, dtype=bool)
     # one flat token stream for the whole batch, with per-doc offsets
     token_lists = [t.split() for t in texts]
     lens = np.fromiter((len(tl) for tl in token_lists), dtype=np.int64, count=n_docs)
     toff = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(lens, out=toff[1:])
-    empty_off = np.zeros(n_docs + 1, dtype=np.int64)
     if toff[-1] == 0:
-        return np.empty(0, dtype=np.uint64), empty_off, capped
+        return np.empty(0, dtype=np.uint64), toff, np.zeros(n_docs, dtype=bool)
 
     flat_tok = np.concatenate([np.asarray(tl, dtype=object) for tl in token_lists if tl])
     codes_idx, uniques = pd.factorize(flat_tok)
     unique_hashes = hash_tokens(uniques)
     flat_codes = unique_hashes[codes_idx]
+    return _shingles_from_codes(flat_codes, toff, k, max_shingles)
+
+
+def batch_shingles_flat_arrow(texts, k: int, max_shingles: int = 0):
+    """Arrow-native twin of :func:`batch_shingles_flat` over a
+    ``pa.Array``/``ChunkedArray`` of *normalized* documents (single-space
+    separated, stripped — the reassembly contract), bit-identical output.
+
+    Tokenization is ``pc.split_pattern`` + ``dictionary_encode`` (C-level);
+    the per-token Python hash loop runs only over the batch's *unique*
+    tokens, exactly like the factorize path.  Null/empty docs yield empty
+    segments (Arrow splits "" into one empty token — corrected here)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    texts = pc.fill_null(texts, "")
+    toks = pc.split_pattern(texts, " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_tok = toks.flatten()
+    voff = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=voff[1:])
+    # "" splits to [""], not []: drop those tokens and zero the doc's length
+    empty_doc = np.flatnonzero(
+        pc.equal(texts, "").to_numpy(zero_copy_only=False) & (lens == 1)
+    )
+    if len(empty_doc):
+        keep = np.ones(len(flat_tok), dtype=bool)
+        keep[voff[empty_doc]] = False
+        flat_tok = flat_tok.filter(pa.array(keep))
+        lens[empty_doc] = 0
+    toff = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=toff[1:])
+    if toff[-1] == 0:
+        return np.empty(0, dtype=np.uint64), toff, np.zeros(n_docs, dtype=bool)
+    enc = flat_tok.dictionary_encode()
+    unique_hashes = hash_tokens(enc.dictionary.to_pylist())
+    flat_codes = unique_hashes[enc.indices.to_numpy(zero_copy_only=False)]
+    return _shingles_from_codes(flat_codes, toff, k, max_shingles)
+
+
+def _shingles_from_codes(flat_codes: np.ndarray, toff: np.ndarray, k: int, max_shingles: int):
+    """Shared core: flat token-hash stream + doc offsets → shingle sets."""
+    n_docs = len(toff) - 1
+    lens = np.diff(toff)
+    capped = np.zeros(n_docs, dtype=bool)
 
     # full-length docs: slice their windows out of ONE global window-hash pass
     all_win = poly_window_hash(flat_codes, k)  # window at p covers codes[p:p+k)

@@ -43,54 +43,62 @@ def assemble_group(turn_idx: np.ndarray, texts: list) -> tuple:
     return doc, "ok"
 
 
-def _assemble_block(df: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized twin of :func:`assemble_group` over a whole block."""
-    empty = pd.DataFrame(
-        {
-            "conv_id": pd.Series([], dtype=object),
-            "doc_text": pd.Series([], dtype=object),
-            "n_turns": pd.Series([], dtype=np.int32),
-            "status": pd.Series([], dtype=object),
-        }
-    )
-    if len(df) == 0:
-        return empty
-    df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
-    conv = df["conv_id"].to_numpy(dtype=object)
-    idx = df["turn_idx"].to_numpy()
-    isnull = df["text"].isna().to_numpy()
+def _assemble_block(t) -> "pa.Table":
+    """Vectorized twin of :func:`assemble_group` over a whole block.
 
-    is_start = np.ones(len(conv), dtype=bool)
-    is_start[1:] = conv[1:] != conv[:-1]
-    start_vals = np.flatnonzero(is_start)
-    sizes = np.diff(np.append(start_vals, len(conv)))
-    pos = np.arange(len(conv), dtype=np.int64) - np.repeat(start_vals, sizes)
-
-    non_dense = idx != pos
-    grp_bad = np.add.reduceat(non_dense | isnull, start_vals) > 0
-
-    texts = df["text"].fillna("").to_numpy(dtype=object)
-    docs = np.empty(len(start_vals), dtype=object)
-    bounds = np.append(start_vals, len(conv))
-    for g in range(len(start_vals)):  # in-process join; C-speed-dominated
-        docs[g] = SEP.join(texts[bounds[g] : bounds[g + 1]])
-
+    Arrow end-to-end: C-level sort by (conv_id, turn_idx), group detection
+    by neighbor equality, and per-group turn concatenation via
+    ``binary_join`` over a ListArray built from the group offsets — no
+    object-dtype pandas sort, no per-group Python join loop."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from raydedup.functions.textnorm import normalize_array
 
-    docs = np.asarray(
-        normalize_array(pa.array(docs.tolist(), pa.string())).to_pylist(), dtype=object
-    )
-    empty_doc = np.fromiter((d == "" for d in docs), dtype=bool, count=len(docs))
-    status = np.where(grp_bad, "corrupted", np.where(empty_doc, "no_content", "ok"))
-    docs[grp_bad] = ""  # corrupted docs carry no payload (quarantined)
-    return pd.DataFrame(
+    empty = pa.table(
         {
-            "conv_id": conv[start_vals],
+            "conv_id": pa.array([], pa.string()),
+            "doc_text": pa.array([], pa.string()),
+            "n_turns": pa.array([], pa.int32()),
+            "status": pa.array([], pa.string()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    idx = pc.sort_indices(
+        t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    t = t.take(idx).combine_chunks()
+    n = t.num_rows
+    conv = t["conv_id"]
+    is_start = np.ones(n, dtype=bool)
+    if n > 1:
+        is_start[1:] = ~pc.equal(conv.slice(1), conv.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    start_vals = np.flatnonzero(is_start)
+    sizes = np.diff(np.append(start_vals, n))
+    pos = np.arange(n, dtype=np.int64) - np.repeat(start_vals, sizes)
+
+    turn_idx = t["turn_idx"].to_numpy(zero_copy_only=False)
+    isnull = pc.is_null(t["text"]).to_numpy(zero_copy_only=False)
+    non_dense = turn_idx != pos
+    grp_bad = np.add.reduceat(non_dense | isnull, start_vals) > 0
+
+    texts = pc.fill_null(t["text"], "").combine_chunks()
+    offsets = pa.array(np.append(start_vals, n).astype(np.int32), pa.int32())
+    docs = pc.binary_join(pa.ListArray.from_arrays(offsets, texts), SEP)
+    docs = normalize_array(docs)
+    empty_doc = pc.equal(docs, "").to_numpy(zero_copy_only=False)
+    status = np.where(grp_bad, "corrupted", np.where(empty_doc, "no_content", "ok"))
+    # corrupted docs carry no payload (quarantined)
+    docs = pc.if_else(pa.array(grp_bad), pa.scalar("", pa.string()), docs)
+    return pa.table(
+        {
+            "conv_id": conv.take(pa.array(start_vals)),
             "doc_text": docs,
-            "n_turns": sizes.astype(np.int32),
-            "status": status,
+            "n_turns": pa.array(sizes.astype(np.int32)),
+            "status": pa.array(status),
         }
     )
 
@@ -103,7 +111,7 @@ def reassemble(turns_ds, num_partitions: int = 32, min_doc_chars: int = 1):
     than it are flagged ``no_content`` instead of silently dropped."""
     slim = turns_ds.select_columns(["conv_id", "turn_idx", "text"])
     docs = keyed_blocks(slim, ["conv_id"], num_partitions).map_batches(
-        _assemble_block, batch_size=None, batch_format="pandas"
+        _assemble_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
     if min_doc_chars > 1:
 

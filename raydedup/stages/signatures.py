@@ -14,7 +14,7 @@ import pyarrow as pa
 
 from raydedup.config import DedupConfig
 from raydedup.functions.minhash import MinHasher
-from raydedup.functions.shingle import batch_shingles_flat
+from raydedup.functions.shingle import batch_shingles_flat_arrow
 from raydedup.functions.simhash import simhash64_segments
 
 
@@ -37,23 +37,25 @@ class SignatureActor:
         self.mh = _cached_minhasher(cfg.num_perm, cfg.seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         cfg = self.cfg
         n = batch.num_rows
-        statuses = batch["status"].to_pylist()
-        texts = batch["doc_text"].to_pylist()  # already normalized at reassembly
-        # quarantined docs contribute no shingles
-        flat, offsets, capped = batch_shingles_flat(
-            [t if s == "ok" else "" for t, s in zip(texts, statuses)],
-            cfg.shingle_k,
-            cfg.max_shingles_per_doc,
+        ok = pc.equal(batch["status"], "ok")
+        # quarantined docs contribute no shingles; text stays Arrow all the
+        # way into the C-level tokenizer (no to_pylist round-trip)
+        texts = pc.if_else(ok, batch["doc_text"], pa.scalar("", pa.string()))
+        flat, offsets, capped = batch_shingles_flat_arrow(
+            texts, cfg.shingle_k, cfg.max_shingles_per_doc
         )
         n_shingles = np.diff(offsets)
         sigs = self.mh.signature_segments(flat, offsets)
         simhashes = simhash64_segments(flat, offsets)
-        out_status = [
-            "no_content" if s == "ok" and n_sh == 0 else s
-            for s, n_sh in zip(statuses, n_shingles)
-        ]
+        out_status = pc.if_else(
+            pc.and_(ok, pa.array(n_shingles == 0)),
+            pa.scalar("no_content", pa.string()),
+            batch["status"],
+        )
 
         mh_col = pa.FixedSizeListArray.from_arrays(pa.array(sigs.reshape(-1)), cfg.num_perm)
         if cfg.store_shingles:
@@ -73,7 +75,7 @@ class SignatureActor:
                 "n_shingles": pa.array(n_shingles),
                 "shingles": shingle_col,
                 "capped": pa.array(capped),
-                "status": pa.array(out_status, pa.string()),
+                "status": out_status,
             }
         )
 

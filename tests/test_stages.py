@@ -67,8 +67,10 @@ def test_assemble_block_matches_scalar():
         ("c4", 0, "  "),
         ("c4", 1, ""),            # whitespace only → no_content
     ]
+    import pyarrow as pa
+
     out = _block_df(rows)
-    res = _assemble_block(out).set_index("conv_id")
+    res = _assemble_block(pa.Table.from_pandas(out)).to_pandas().set_index("conv_id")
     assert res.loc["c1", "doc_text"] == "hello world"  # normalized at reassembly
     assert res.loc["c1", "status"] == "ok"
     assert res.loc["c2", "status"] == "corrupted" and res.loc["c2", "doc_text"] == ""
@@ -83,9 +85,19 @@ def test_assemble_block_matches_scalar():
 
 
 def test_assemble_block_empty():
-    res = _assemble_block(_block_df([]))
-    assert len(res) == 0
-    assert list(res.columns) == ["conv_id", "doc_text", "n_turns", "status"]
+    import pyarrow as pa
+
+    res = _assemble_block(
+        pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+    )
+    assert res.num_rows == 0
+    assert res.column_names == ["conv_id", "doc_text", "n_turns", "status"]
 
 
 def test_cc_pendant_chains_all_partitionings(ray_session):
