@@ -171,15 +171,26 @@ def _finish_on_driver(directed, n_directed: int):
             pa.table({"node": pa.array([], pa.string()), "label": pa.array([], pa.string())})
         )
 
+    import pyarrow.compute as pc
+
     chunks_u, chunks_v = [], []
     for b in directed.iter_batches(batch_format="pyarrow", batch_size=None):
-        chunks_u.append(np.asarray(b["node"].to_pylist(), dtype=object))
-        chunks_v.append(np.asarray(b["nbr"].to_pylist(), dtype=object))
-    e_u = np.concatenate(chunks_u)
-    e_v = np.concatenate(chunks_v)
-    names, codes = np.unique(np.concatenate([e_u, e_v]), return_inverse=True)
-    u, v = codes[: len(e_u)], codes[len(e_u) :]
-    lab = np.arange(len(names), dtype=np.int64)
+        chunks_u.append(b["node"].combine_chunks() if isinstance(b["node"], pa.ChunkedArray) else b["node"])
+        chunks_v.append(b["nbr"].combine_chunks() if isinstance(b["nbr"], pa.ChunkedArray) else b["nbr"])
+    u_arr = pa.concat_arrays(chunks_u)
+    v_arr = pa.concat_arrays(chunks_v)
+    n_e = len(u_arr)
+    # dictionary codes ranked through the sorted permutation, so code order
+    # == lexicographic node order and code-min == node-min (same kernel as
+    # contract_block — no object-dtype unique over millions of strings)
+    enc = pa.concat_arrays([u_arr, v_arr]).dictionary_encode()
+    dic = enc.dictionary
+    order = pc.sort_indices(dic).to_numpy(zero_copy_only=False)
+    rank = np.empty(len(dic), dtype=np.int64)
+    rank[order] = np.arange(len(dic), dtype=np.int64)
+    codes = rank[enc.indices.to_numpy(zero_copy_only=False)]
+    u, v = codes[:n_e], codes[n_e:]
+    lab = np.arange(len(dic), dtype=np.int64)
     while True:
         prev = lab.copy()
         np.minimum.at(lab, u, lab[v])
@@ -187,19 +198,23 @@ def _finish_on_driver(directed, n_directed: int):
         np.minimum(lab, lab[lab], out=lab)  # pointer halving
         if np.array_equal(lab, prev):
             break
-    mapping_ref = ray.put((names, names[lab]))  # one object-store copy, read per task
+    names = dic.take(pa.array(order))       # sorted node names
+    roots = dic.take(pa.array(order[lab]))  # their component-min labels
+    mapping_ref = ray.put((names, roots))  # one object-store copy, read per task
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
-                {"node": pd.Series([], dtype=object), "label": pd.Series([], dtype=object)}
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], pa.string()), "label": pa.array([], pa.string())}
             )
         names_, roots_ = ray.get(mapping_ref)
-        nodes = pd.unique(df["node"])  # block-complete: hash-partitioned by node
-        idx = np.searchsorted(names_, nodes)
-        return pd.DataFrame({"node": nodes, "label": roots_[idx]})
+        nodes = pc.unique(t["node"])  # block-complete: hash-partitioned by node
+        idx = pc.index_in(nodes, value_set=names_)
+        return pa.table({"node": nodes, "label": roots_.take(idx)})
 
-    return directed.map_batches(assign, batch_size=None, batch_format="pandas")
+    return directed.map_batches(
+        assign, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def connected_components(pairs_ds, cfg: DedupConfig):
@@ -220,47 +235,53 @@ def connected_components(pairs_ds, cfg: DedupConfig):
     """
     edges = pairs_ds.select_columns(["a", "b"])
 
-    def contract_block(df: pd.DataFrame) -> pd.DataFrame:
-        """Local union-find per edge block → star edges to block-local roots
+    def contract_block(t: pa.Table) -> pa.Table:
+        """Local contraction per edge block → star edges to block-local roots
         (both directions).  Cuts edge multiplicity and caps the local
-        diameter at 2, so global propagation converges in fewer rounds."""
-        if len(df) == 0:
-            return pd.DataFrame(
-                {"node": pd.Series([], dtype=object), "nbr": pd.Series([], dtype=object)}
+        diameter at 2, so global propagation converges in fewer rounds.
+
+        Vectorized: Arrow dictionary_encode for codes (ranked through a
+        sorted-dictionary permutation so code order == lexicographic node
+        order), then the same min-relaxation + pointer-halving kernel the
+        propagate blocks use — the fixpoint root is the component's min
+        rank, exactly the min-node root the sequential union-find picked."""
+        if t.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], pa.string()), "nbr": pa.array([], pa.string())}
             )
-        a = df["a"].to_numpy(dtype=object)
-        b = df["b"].to_numpy(dtype=object)
-        nodes, codes = np.unique(np.concatenate([a, b]), return_inverse=True)
-        ca, cb = codes[: len(a)], codes[len(a) :]
-        parent = np.arange(len(nodes))
-
-        def find(x: int) -> int:
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for i in range(len(ca)):
-            ra, rb = find(ca[i]), find(cb[i])
-            if ra != rb:  # smaller index (lexicographically smaller node) wins
-                if ra < rb:
-                    parent[rb] = ra
-                else:
-                    parent[ra] = rb
-        roots = np.array([find(i) for i in range(len(nodes))])
-        non_root = np.flatnonzero(roots != np.arange(len(nodes)))
-        n_node = nodes[non_root]
-        n_root = nodes[roots[non_root]]
-        return pd.DataFrame(
+        a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
+        b = t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"]
+        enc = pa.concat_arrays(
+            [a.cast(pa.string()), b.cast(pa.string())]
+        ).dictionary_encode()
+        dic = enc.dictionary
+        order = pa.compute.sort_indices(dic).to_numpy(zero_copy_only=False)
+        rank = np.empty(len(dic), dtype=np.int64)
+        rank[order] = np.arange(len(dic), dtype=np.int64)
+        codes = rank[enc.indices.to_numpy(zero_copy_only=False)]
+        n_rows = t.num_rows
+        ca, cb = codes[:n_rows], codes[n_rows:]
+        lab = np.arange(len(dic), dtype=np.int64)
+        while True:
+            prev = lab.copy()
+            np.minimum.at(lab, ca, lab[cb])
+            np.minimum.at(lab, cb, lab[ca])
+            np.minimum(lab, lab[lab], out=lab)  # pointer halving
+            if np.array_equal(lab, prev):
+                break
+        non_root = np.flatnonzero(lab != np.arange(len(dic)))
+        node_pos = order[non_root]
+        root_pos = order[lab[non_root]]
+        return pa.table(
             {
-                "node": np.concatenate([n_node, n_root]),
-                "nbr": np.concatenate([n_root, n_node]),
+                "node": dic.take(pa.array(np.concatenate([node_pos, root_pos]))),
+                "nbr": dic.take(pa.array(np.concatenate([root_pos, node_pos]))),
             }
         )
 
     directed = (
         keyed_blocks(
-            edges.map_batches(contract_block, batch_format="pandas"),
+            edges.map_batches(contract_block, batch_format="pyarrow", zero_copy_batch=True),
             ["node"],
             cfg.num_partitions,
         )
