@@ -181,6 +181,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # global ranked top-k (two-level cut, no global sort) + exact
         # bigram collocation counts (double co-shuffle attach join)
         "q_longest_docs": docops.longest_docs,
+        # global window RANK() with zero shuffle (broadcast
+        # count-distribution instead of a global sort)
+        "q_doc_length_rank": docops.doc_length_rank,
         "q_bigram_collocations": docops.bigram_collocations,
         "q_cluster_report": docdedup.cluster_report,
         "q_cluster_canonicals": docdedup.cluster_canonicals,
@@ -208,6 +211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_dup_pairs_lsh": lambda sf: _embedding_dup_pairs_table(sf, lsh=True),
         # --- corpus curation (benchmark decontamination, splits, PII) ---
         "q_decontaminate": curation.decontaminate,
+        # GPT-3-style n-gram-collision decontamination (Bloom-prefiltered
+        # gram shuffle + exact in-partition verify)
+        "q_ngram_decontaminate": curation.ngram_decontaminate,
         "q_train_split": curation.train_split,
         "q_distinct_counts": curation.distinct_counts,
         "q_pii_scrub": curation.pii_scrub,
@@ -768,6 +774,13 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
             FROM documents QUALIFY rnk <= 100
         """,
+        # full-corpus window RANK() — the engine computes it sort-free via
+        # a broadcast count-distribution
+        "q_doc_length_rank": """
+            SELECT doc_id, n_chars,
+                   CAST(RANK() OVER (ORDER BY n_chars DESC) AS BIGINT) AS len_rank
+            FROM documents
+        """,
         # adjacent-pair counts on single-space splits (the synth corpus
         # tokenization), integer-only so values hash bit-for-bit
         "q_bigram_collocations": """
@@ -836,6 +849,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_hits, CAST(n_hits > 0 AS BIGINT) AS contaminated
             FROM h
+        """,
+        # n-gram-collision decontamination: benchmark slice = doc_id %
+        # DECON_MOD == 0; a training doc is contaminated iff it shares a
+        # distinct DECON_N-token window with any benchmark doc.  DuckDB
+        # list slices are 1-based inclusive: ws[i:i+n-1] is n tokens.
+        "q_ngram_decontaminate": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents WHERE text IS NOT NULL AND text <> ''
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(ws[i:i+{_CUR.DECON_N - 1}], ' ') AS g
+              FROM toks,
+                   UNNEST(generate_series(1, len(ws)-{_CUR.DECON_N - 1})) AS t(i)
+            ),
+            bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % {_CUR.DECON_MOD} = 0
+            ),
+            hits AS (
+              SELECT doc_id, COUNT(*) AS n_shared
+              FROM grams JOIN bench USING (g)
+              WHERE doc_id % {_CUR.DECON_MOD} <> 0 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared_grams,
+                   CAST(COALESCE(h.n_shared, 0) > 0 AS BIGINT) AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % {_CUR.DECON_MOD} <> 0
         """,
         # fixed-width lowercase hex compares lexicographically == numerically,
         # so the same string thresholds work in both engines

@@ -558,6 +558,172 @@ def sample_per_group(sf_dir: str, k: int = 2):
     )
 
 
+# --------------------------------------------- n-gram decontamination
+# GPT-3-style benchmark decontamination: a training document is
+# contaminated if it shares any length-N token window with any document
+# of the held-out benchmark slice.  The benchmark slice is derived
+# deterministically from the corpus itself (doc_id % DECON_MOD == 0 — no
+# external benchmark files exist in this sandbox); at production scale
+# the slice would be the real eval sets.
+DECON_MOD = 13   # ~7.7% of docs stand in for the benchmark set
+DECON_N = 4      # token-window length (13 in GPT-3; 4 exercises at sf)
+
+
+def _gram_frame(df: pd.DataFrame, n: int) -> pd.DataFrame:
+    """Distinct (doc_id, g) token n-gram rows per document, vectorized.
+
+    A document's rows live entirely inside one batch, so the per-batch
+    ``drop_duplicates(["doc_id", "g"])`` IS the global per-doc dedup.
+    Tokenization matches the DuckDB twin (``string_split(text, ' ')`` on
+    the single-space synth corpus; empty/NULL texts yield no grams).
+    """
+    toks = df["text"].fillna("").str.split()
+    ex = (
+        pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64), "tok": toks})
+        .explode("tok")
+        .dropna(subset=["tok"])
+    )
+    tok = ex["tok"].to_numpy(dtype=object)
+    did = ex["doc_id"].to_numpy(dtype=np.int64)
+    if len(tok) < n:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "g": pd.Series([], dtype=object)})
+    # explode preserves in-doc token order, so a window starting at flat
+    # position p is a real n-gram iff position p+n-1 is still the same doc
+    valid = did[: len(did) - n + 1] == did[n - 1 :]
+    gram = tok[: len(tok) - n + 1].copy()
+    for k in range(1, n):
+        gram = gram + " "
+        gram = gram + tok[k : len(tok) - n + 1 + k]
+    out = pd.DataFrame({"doc_id": did[: len(did) - n + 1][valid], "g": gram[valid]})
+    return out.drop_duplicates(["doc_id", "g"]).reset_index(drop=True)
+
+
+def ngram_decontaminate(sf_dir: str, bloom_bits: int = 1 << 20, n_hashes: int = 4):
+    """(doc_id, n_shared_grams, contaminated) for every non-benchmark doc:
+    the count of its distinct token ``DECON_N``-grams that also occur in
+    any benchmark document, and a 0/1 contamination flag.
+
+    Scale shape (the 100-TB decontamination pattern):
+
+    1. The benchmark side (a small fraction of the corpus; real eval sets
+       are tiny) folds its distinct grams into a FIXED-SIZE Bloom filter —
+       each block packs a partial bitmap, the driver OR-merges
+       ``bloom_bits/8``-byte rows, ``ray.put`` ships it once.
+    2. Every training block probes the filter vectorized and drops
+       definite non-matches BEFORE the shuffle, so the gram exchange
+       carries hits + Bloom false positives, never the full corpus's
+       gram stream.
+    3. One hash shuffle on the gram string co-locates surviving training
+       grams with the true benchmark gram rows; exact membership inside
+       the partition removes false positives (output is exact — it
+       hash-matches the SQL twin).
+    4. Per-doc hit counts union zero base rows and collapse in one small
+       ``doc_id`` shuffle, so clean documents appear with count 0.
+    """
+    import ray
+    import ray.data as rd
+
+    from raydedup.functions.hashing import splitmix64
+
+    n = DECON_N
+    m = np.uint64(bloom_bits)
+    seeds = (np.arange(n_hashes, dtype=np.uint64) + np.uint64(1)) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+
+    def _ghash(g: np.ndarray) -> np.ndarray:
+        # deterministic vectorized 64-bit string hash (fixed-key siphash)
+        return pd.util.hash_array(g, categorize=False)
+
+    def _docs_cols():
+        return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[(df["doc_id"].to_numpy(np.int64) % DECON_MOD) == 0]
+        gf = _gram_frame(sub, n)
+        # benchmark side needs gram identity only; block-level dedup
+        # shrinks the shuffle (cross-block dups collapse in-partition)
+        return pd.DataFrame({"g": gf["g"].unique()})
+
+    bench_ds = _docs_cols().map_batches(bench_grams, batch_format="pandas")
+
+    def bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(int(m), dtype=bool)
+        h = _ghash(df["g"].to_numpy(dtype=object))
+        for s in seeds:
+            bits[(splitmix64(h ^ s) % m).astype(np.int64)] = True
+        return pd.DataFrame({"bloom": [np.packbits(bits).tobytes()]})
+
+    bloom = np.zeros(int(m) // 8, dtype=np.uint8)
+    for row in bench_ds.map_batches(bloom_partial, batch_format="pandas").take_all():
+        bloom |= np.frombuffer(row["bloom"], dtype=np.uint8)
+    bloom_ref = ray.put(np.unpackbits(bloom).view(bool))
+
+    def bench_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = bench_grams(df)
+        return pd.DataFrame({"doc_id": np.full(len(out), -1, dtype=np.int64),
+                             "g": out["g"].to_numpy(dtype=object),
+                             "side": np.ones(len(out), dtype=np.int64)})
+
+    def train_rows(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[(df["doc_id"].to_numpy(np.int64) % DECON_MOD) != 0]
+        gf = _gram_frame(sub, n)
+        g = gf["g"].to_numpy(dtype=object)
+        h = _ghash(g)
+        hit = np.ones(len(g), dtype=bool)
+        blm = ray.get(bloom_ref)
+        for s in seeds:
+            hit &= blm[(splitmix64(h ^ s) % m).astype(np.int64)]
+        return pd.DataFrame({"doc_id": gf["doc_id"].to_numpy(np.int64)[hit],
+                             "g": g[hit],
+                             "side": np.zeros(int(hit.sum()), dtype=np.int64)})
+
+    gram_rows = _docs_cols().map_batches(bench_rows, batch_format="pandas").union(
+        _docs_cols().map_batches(train_rows, batch_format="pandas")
+    )
+
+    def count_hits(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        is_bench = (df["side"] == 1).to_numpy()
+        bench_set = pd.unique(df.loc[is_bench, "g"])
+        hits = df[~is_bench & df["g"].isin(bench_set).to_numpy()]
+        out = hits.groupby("doc_id", sort=False).size().rename("cnt").reset_index()
+        return out.astype({"doc_id": np.int64, "cnt": np.int64})
+
+    partials = keyed_blocks(gram_rows, ["g"], _P).map_batches(
+        count_hits, batch_size=None, batch_format="pandas"
+    )
+
+    def base_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        ids = ids[ids % DECON_MOD != 0]
+        return pd.DataFrame({"doc_id": ids, "cnt": np.zeros(len(ids), dtype=np.int64)})
+
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        base_rows, batch_format="pandas"
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": pd.Series([], dtype=np.int64),
+                "n_shared_grams": pd.Series([], dtype=np.int64),
+                "contaminated": pd.Series([], dtype=np.int64)}
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        agg = df.groupby("doc_id", sort=False)["cnt"].sum().reset_index()
+        return pd.DataFrame({
+            "doc_id": agg["doc_id"].to_numpy(np.int64),
+            "n_shared_grams": agg["cnt"].to_numpy(np.int64),
+            "contaminated": (agg["cnt"].to_numpy(np.int64) > 0).astype(np.int64),
+        })
+
+    return keyed_blocks(partials.union(base), ["doc_id"], _P).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
 # ------------------------------------------------------- partitioned sink
 def export_partitioned(sf_dir: str, out_dir: str, by: str = "lang"):
     """Write the documents table as hive-partitioned Parquet

@@ -1392,6 +1392,49 @@ def longest_docs(sf_dir: str, k: int = 100):
                                             batch_format="pandas")
 
 
+def doc_length_rank(sf_dir: str):
+    """Global window function without a global sort: (doc_id, n_chars,
+    len_rank) where ``len_rank`` is SQL ``RANK() OVER (ORDER BY n_chars
+    DESC)`` over the whole corpus.
+
+    Scale shape: a window rank via ``ds.sort`` would all-to-all exchange
+    every row; instead each block pre-reduces to a (n_chars, cnt)
+    histogram (lengths are small integers), the driver folds blocks ×
+    distinct-lengths tiny partials into one cumulative distribution,
+    ``ray.put`` broadcasts it once, and a pure vectorized map assigns
+    every row its exact rank by ``searchsorted`` — shuffle volume zero,
+    driver state ∝ distinct lengths, never ∝ rows.
+    """
+    import ray
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["n_chars"].value_counts()
+        return pd.DataFrame({"n_chars": vc.index.to_numpy(np.int64),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    parts = docs.map_batches(hist, batch_format="pandas").take_all()
+    if parts:
+        hp = pd.DataFrame(parts).groupby("n_chars", sort=True)["cnt"].sum()
+        vals = hp.index.to_numpy(np.int64)
+        cum_le = np.cumsum(hp.to_numpy(np.int64))       # docs with length <= vals[i]
+        total = int(cum_le[-1])
+    else:
+        vals, cum_le, total = np.empty(0, np.int64), np.empty(0, np.int64), 0
+    dist_ref = ray.put((vals, cum_le, total))
+
+    def rank_fn(df: pd.DataFrame) -> pd.DataFrame:
+        v, c, tot = ray.get(dist_ref)
+        nc = df["n_chars"].to_numpy(np.int64)
+        idx = np.searchsorted(v, nc, side="right")      # == position after my value
+        le = c[idx - 1]                                 # my value always present
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "n_chars": nc,
+                             "len_rank": (tot - le + 1).astype(np.int64)})
+
+    return docs.map_batches(rank_fn, batch_format="pandas")
+
+
 # --------------------------------------------------------- bigram collocations
 def bigram_collocations(sf_dir: str, min_pair: int = 5):
     """Corpus bigram collocation counts → (w1, w2, n_pair, n_w1, n_w2)
