@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_docs_events_semijoin_bloom": docops.docs_events_semijoin_bloom,
         "q_event_value_pivot": docops.event_value_pivot,
         "q_user_cumulative_value": docops.user_cumulative_value,
+        # LAG window: per-user inter-arrival gaps (integer-exact)
+        "q_event_interarrival": docops.event_interarrival,
         # relational side-table patterns: filtered scan, grouped agg
         # (cent-exact integer sums), co-shuffle join + rollup
         "q_pricing_summary": relops.pricing_summary,
@@ -811,6 +813,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    ROUND(SUM(value) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id), 6) AS cum_value
+            FROM events
+        """,
+        # LAG window, integer microseconds; first event per user → −1
+        "q_event_interarrival": """
+            SELECT event_id, user_id,
+                   CAST(COALESCE(date_diff('microsecond',
+                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        ts), -1) AS BIGINT) AS gap_us
             FROM events
         """,
         "q_knn_bruteforce": """

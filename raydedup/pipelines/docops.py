@@ -1273,6 +1273,54 @@ def user_cumulative_value(sf_dir: str):
         block, batch_size=None, batch_format="pandas"
     )
 
+def event_interarrival(sf_dir: str):
+    """LAG window: each event with the microsecond gap to the SAME user's
+    previous event → (event_id, user_id, gap_us; first event per user →
+    −1) — the distributed ``ts − LAG(ts) OVER (PARTITION BY user_id ORDER
+    BY ts, event_id)``, the inter-arrival-time building block of bot /
+    burst detection over an event stream.
+
+    Same shape as ``user_cumulative_value``: one hash shuffle on
+    ``user_id`` co-locates each user's pruned rows, then the block
+    function is one sort + a C-level shifted diff with group-boundary
+    masking — no per-user Python, integer-exact output (no float hashing
+    risk in the contract).
+    """
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "gap_us": pd.Series([], dtype=np.int64),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        gap = np.empty(len(df), dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = np.where(uid[1:] == uid[:-1], ts[1:] - ts[:-1], -1)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(dtype=np.int64),
+                "user_id": uid,
+                "gap_us": gap,
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return keyed_blocks(ds, ["user_id"], 4).map_batches(
+        block, batch_size=None, batch_format="pandas"
+    )
+
+
 # GPT-2-style pre-tokenizer approximation, restricted to syntax both
 # Python re and DuckDB RE2 implement with identical leftmost-first
 # semantics (verified empirically over contraction/punct/unicode cases):
