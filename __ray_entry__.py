@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_cumulative_value": docops.user_cumulative_value,
         # LAG window: per-user inter-arrival gaps (integer-exact)
         "q_event_interarrival": docops.event_interarrival,
+        # Markov transition counts over per-user event sequences
+        "q_event_type_transitions": docops.event_type_transitions,
         # relational side-table patterns: filtered scan, grouped agg
         # (cent-exact integer sums), co-shuffle join + rollup
         "q_pricing_summary": relops.pricing_summary,
@@ -216,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GPT-3-style n-gram-collision decontamination (Bloom-prefiltered
         # gram shuffle + exact in-partition verify)
         "q_ngram_decontaminate": curation.ngram_decontaminate,
+        # first-occurrence gram attribution (min-doc_id owner) → novelty
+        "q_ngram_novelty": curation.ngram_novelty,
         "q_train_split": curation.train_split,
         "q_distinct_counts": curation.distinct_counts,
         "q_pii_scrub": curation.pii_scrub,
@@ -823,6 +827,19 @@ def oracle_sql() -> dict[str, str]:
                         ts), -1) AS BIGINT) AS gap_us
             FROM events
         """,
+        # Markov transition counts (LAG + GROUP BY)
+        "q_event_type_transitions": """
+            WITH s AS (
+              SELECT user_id, event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_type
+              FROM events
+            )
+            SELECT prev_type AS t_from, event_type AS t_to,
+                   CAST(COUNT(*) AS BIGINT) AS n_trans
+            FROM s WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        """,
         "q_knn_bruteforce": """
             WITH s AS (
               SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -888,6 +905,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(h.n_shared, 0) > 0 AS BIGINT) AS contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
             WHERE d.doc_id % {_CUR.DECON_MOD} <> 0
+        """,
+        # first-occurrence n-gram attribution: a gram belongs to its
+        # minimum doc_id; novelty = grams this doc introduced
+        "q_ngram_novelty": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents WHERE text IS NOT NULL AND text <> ''
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(ws[i:i+{_CUR.DECON_N - 1}], ' ') AS g
+              FROM toks,
+                   UNNEST(generate_series(1, len(ws)-{_CUR.DECON_N - 1})) AS t(i)
+            ),
+            firsts AS (SELECT g, MIN(doc_id) AS owner FROM grams GROUP BY g),
+            novel AS (SELECT owner AS doc_id, COUNT(*) AS n_novel
+                      FROM firsts GROUP BY owner),
+            tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel
+            FROM documents d
+            LEFT JOIN tot t ON d.doc_id = t.doc_id
+            LEFT JOIN novel nv ON d.doc_id = nv.doc_id
         """,
         # fixed-width lowercase hex compares lexicographically == numerically,
         # so the same string thresholds work in both engines

@@ -137,6 +137,9 @@ def run_doc_queries(sf_dir: str) -> dict:
         ("q_brand_revenue", relops.brand_revenue),
         ("q_segment_priority_counts", relops.segment_priority_counts),
         ("q_events_recent_activity", docops.events_recent_activity),
+        ("q_ngram_decontaminate", curation.ngram_decontaminate),
+        ("q_doc_length_rank", docops.doc_length_rank),
+        ("q_event_interarrival", docops.event_interarrival),
     ]:
         t0 = time.time()
         res = fn(sf_dir)

@@ -724,6 +724,74 @@ def ngram_decontaminate(sf_dir: str, bloom_bits: int = 1 << 20, n_hashes: int = 
     )
 
 
+def ngram_novelty(sf_dir: str):
+    """(doc_id, n_grams, n_novel): per document, its distinct token
+    ``DECON_N``-gram count and how many of those grams FIRST occur in
+    this document (gram attributed to its minimum ``doc_id`` — the
+    distributed first-occurrence attribution, the same canonical-owner
+    semantics as the flagship's min-conv_id rule, cf. reference
+    ``duplicate_face.py:64-75`` keeping the first-seen face).  A low
+    novelty ratio marks documents that are mostly recombinations of
+    already-seen text.
+
+    Scale shape: distinct (doc_id, g) rows per block (a doc lives in one
+    block, so per-block dedup is global), ONE hash shuffle on the gram
+    string; inside each gram partition the min-doc_id owner and per-doc
+    totals are exact, and they collapse with zero base rows in one small
+    ``doc_id`` shuffle — no driver state, shuffle ∝ distinct grams.
+    """
+    import ray.data as rd
+
+    n = DECON_N
+
+    def gram_stats(df: pd.DataFrame) -> pd.DataFrame:
+        gf = _gram_frame(df, n)
+        return pd.DataFrame({"doc_id": gf["doc_id"].to_numpy(np.int64),
+                             "g": gf["g"].to_numpy(dtype=object)})
+
+    grams = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(gram_stats, batch_format="pandas")
+
+    def per_gram(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": pd.Series([], dtype=np.int64),
+                "n_grams": pd.Series([], dtype=np.int64),
+                "n_novel": pd.Series([], dtype=np.int64)}
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        tot = df.groupby("doc_id", sort=False).size().rename("n_grams").reset_index()
+        owners = df.groupby("g", sort=False)["doc_id"].min()
+        nov = owners.value_counts().rename("n_novel").reset_index()
+        nov.columns = ["doc_id", "n_novel"]
+        out = tot.merge(nov, on="doc_id", how="outer").fillna(0)
+        return out.astype({"doc_id": np.int64, "n_grams": np.int64, "n_novel": np.int64})
+
+    partials = keyed_blocks(grams, ["g"], _P).map_batches(
+        per_gram, batch_size=None, batch_format="pandas"
+    )
+
+    def base_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        z = np.zeros(len(ids), dtype=np.int64)
+        return pd.DataFrame({"doc_id": ids, "n_grams": z, "n_novel": z})
+
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        base_rows, batch_format="pandas"
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "n_grams": pd.Series([], dtype=np.int64),
+                                 "n_novel": pd.Series([], dtype=np.int64)})
+        agg = df.groupby("doc_id", sort=False)[["n_grams", "n_novel"]].sum().reset_index()
+        return agg.astype({"doc_id": np.int64, "n_grams": np.int64, "n_novel": np.int64})
+
+    return keyed_blocks(partials.union(base), ["doc_id"], _P).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
 # ------------------------------------------------------- partitioned sink
 def export_partitioned(sf_dir: str, out_dir: str, by: str = "lang"):
     """Write the documents table as hive-partitioned Parquet

@@ -1321,6 +1321,55 @@ def event_interarrival(sf_dir: str):
     )
 
 
+def event_type_transitions(sf_dir: str):
+    """Markov transition counts over each user's event sequence →
+    (t_from, t_to, n_trans): how often ``t_from`` is immediately followed
+    by ``t_to`` for the same user (LAG + GROUP BY in SQL) — the
+    session-behavior building block next to ``user_funnel``.
+
+    One hash shuffle on ``user_id``, a sorted C-level shift per block,
+    then a per-block partial count so the second shuffle carries ≤
+    type² × blocks tiny rows, never the event stream.
+    """
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"t_from": pd.Series([], dtype=object),
+                "t_to": pd.Series([], dtype=object),
+                "n_trans": pd.Series([], dtype=np.int64)}
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy(dtype=object)
+        same = uid[1:] == uid[:-1]
+        out = pd.DataFrame({"t_from": et[:-1][same], "t_to": et[1:][same]})
+        if len(out) == 0:
+            return pd.DataFrame(cols)
+        agg = out.groupby(["t_from", "t_to"], sort=False).size().rename("n_trans").reset_index()
+        return agg.astype({"n_trans": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"t_from": pd.Series([], dtype=object),
+                                 "t_to": pd.Series([], dtype=object),
+                                 "n_trans": pd.Series([], dtype=np.int64)})
+        agg = df.groupby(["t_from", "t_to"], sort=False)["n_trans"].sum().reset_index()
+        return agg.astype({"n_trans": np.int64})
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    partials = keyed_blocks(ds, ["user_id"], 4).map_batches(
+        block, batch_size=None, batch_format="pandas"
+    )
+    return keyed_blocks(partials, ["t_from", "t_to"], 4).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
 # GPT-2-style pre-tokenizer approximation, restricted to syntax both
 # Python re and DuckDB RE2 implement with identical leftmost-first
 # semantics (verified empirically over contraction/punct/unicode cases):
