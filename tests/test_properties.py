@@ -204,3 +204,30 @@ def test_compress_weighted_rank_error_bound(vals, s):
         hi = np.searchsorted(v, est, side="right") / total
         # estimate's rank interval must overlap [q - 1/s, q + 1/s]
         assert lo - 1.0 / s <= q <= hi + 1.0 / s, (q, est, lo, hi, s)
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=20
+    ),
+    n=st.integers(2, 5),
+)
+@settings(max_examples=200, deadline=None)
+def test_gram_frame_matches_bruteforce(docs, n):
+    """_gram_frame (flat shifted-concat kernel) == per-doc Python twin:
+    distinct n-token windows per document, tokenized by whitespace runs."""
+    import pandas as pd
+
+    from raydedup.pipelines.curation import _gram_frame
+
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs})
+    got = _gram_frame(df, n)
+    got_set = set(zip(got["doc_id"].tolist(), got["g"].tolist()))
+
+    exp = set()
+    for did, text in enumerate(docs):
+        toks = text.split()
+        for i in range(len(toks) - n + 1):
+            exp.add((did, " ".join(toks[i : i + n])))
+    assert got_set == exp
+    assert len(got) == len(got_set)  # no duplicate rows
