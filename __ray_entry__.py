@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_interarrival": docops.event_interarrival,
         # Markov transition counts over per-user event sequences
         "q_event_type_transitions": docops.event_type_transitions,
+        # exact COUNT(DISTINCT) per tumbling window (distinct-safe partials)
+        "q_window_active_users": docops.window_active_users,
         # relational side-table patterns: filtered scan, grouped agg
         # (cent-exact integer sums), co-shuffle join + rollup
         "q_pricing_summary": relops.pricing_summary,
@@ -827,6 +829,12 @@ def oracle_sql() -> dict[str, str]:
                         ts), -1) AS BIGINT) AS gap_us
             FROM events
         """,
+        # exact distinct-user count per tumbling hour window
+        "q_window_active_users": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "
+            "AS window_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active "
+            "FROM events GROUP BY 1"
+        ),
         # Markov transition counts (LAG + GROUP BY)
         "q_event_type_transitions": """
             WITH s AS (

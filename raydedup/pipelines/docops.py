@@ -1321,6 +1321,44 @@ def event_interarrival(sf_dir: str):
     )
 
 
+def window_active_users(sf_dir: str, hours: int = 1):
+    """Exact COUNT(DISTINCT user_id) per tumbling window →
+    (window_start, n_active) — the distinct aggregate ``events_by_window``
+    can't express with plain partial sums.
+
+    Distinct-safe partial aggregation: each block first reduces to its
+    DISTINCT (window, user) pairs (C-level drop_duplicates), the hash
+    shuffle then carries at most windows × users reduced rows (never raw
+    events), and the per-window distinct count is exact in-partition —
+    cross-block duplicate pairs collapse because the shuffle co-locates
+    equal pairs.  ``window_start`` is an ISO string so the twin
+    hash-matches across timestamp dtypes.
+    """
+    import ray.data as rd
+
+    ensure_hash_shuffle()
+    freq = f"{hours}h"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["ts"].dt.floor(freq).dt.strftime("%Y-%m-%d %H:%M:%S")
+        out = pd.DataFrame({"window_start": w, "user_id": df["user_id"].to_numpy(np.int64)})
+        return out.drop_duplicates(["window_start", "user_id"]).reset_index(drop=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"window_start": pd.Series([], dtype=object),
+                                 "n_active": pd.Series([], dtype=np.int64)})
+        d = df.drop_duplicates(["window_start", "user_id"])
+        out = d.groupby("window_start", sort=False).size().rename("n_active").reset_index()
+        return out.astype({"n_active": np.int64})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return keyed_blocks(partials, ["window_start"], 4).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
 def event_type_transitions(sf_dir: str):
     """Markov transition counts over each user's event sequence →
     (t_from, t_to, n_trans): how often ``t_from`` is immediately followed
