@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_decontaminate": curation.ngram_decontaminate,
         # first-occurrence gram attribution (min-doc_id owner) → novelty
         "q_ngram_novelty": curation.ngram_novelty,
+        # gram document-frequency histogram (the df-cap sizing diagnostic)
+        "q_gram_df_histogram": curation.gram_df_histogram,
         "q_train_split": curation.train_split,
         "q_distinct_counts": curation.distinct_counts,
         "q_pii_scrub": curation.pii_scrub,
@@ -937,6 +939,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN tot t ON d.doc_id = t.doc_id
             LEFT JOIN novel nv ON d.doc_id = nv.doc_id
+        """,
+        # document-frequency histogram over token n-grams
+        "q_gram_df_histogram": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents WHERE text IS NOT NULL AND text <> ''
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(ws[i:i+{_CUR.DECON_N - 1}], ' ') AS g
+              FROM toks,
+                   UNNEST(generate_series(1, len(ws)-{_CUR.DECON_N - 1})) AS t(i)
+            ),
+            dfs AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g)
+            SELECT df, CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM dfs GROUP BY df
         """,
         # fixed-width lowercase hex compares lexicographically == numerically,
         # so the same string thresholds work in both engines

@@ -625,7 +625,9 @@ def ngram_decontaminate(sf_dir: str, bloom_bits: int = 1 << 20, n_hashes: int = 
     import ray.data as rd
 
     from raydedup.functions.hashing import splitmix64
+    from raydedup.ray_utils import ensure_hash_shuffle
 
+    ensure_hash_shuffle()  # before read_parquet: the context binds at creation
     n = DECON_N
     m = np.uint64(bloom_bits)
     seeds = (np.arange(n_hashes, dtype=np.uint64) + np.uint64(1)) * np.uint64(
@@ -742,6 +744,9 @@ def ngram_novelty(sf_dir: str):
     """
     import ray.data as rd
 
+    from raydedup.ray_utils import ensure_hash_shuffle
+
+    ensure_hash_shuffle()  # before read_parquet: the context binds at creation
     n = DECON_N
 
     def gram_stats(df: pd.DataFrame) -> pd.DataFrame:
@@ -788,6 +793,60 @@ def ngram_novelty(sf_dir: str):
         return agg.astype({"doc_id": np.int64, "n_grams": np.int64, "n_novel": np.int64})
 
     return keyed_blocks(partials.union(base), ["doc_id"], _P).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
+def gram_df_histogram(sf_dir: str):
+    """(df, n_grams): how many distinct n-grams occur in exactly ``df``
+    documents — the document-frequency distribution over token
+    ``DECON_N``-grams.  This is the corpus diagnostic that sizes the
+    df-caps the dedup operators rely on (``ngram_jaccard_pairs``'s hot-token
+    cap, the LSH bucket cap): the histogram's tail mass tells you how much
+    emission a given cap drops.
+
+    One gram shuffle (distinct (doc, g) rows, so per-partition group sizes
+    ARE exact document frequencies), then the per-partition df histogram
+    collapses in a second tiny shuffle — final volume ∝ distinct df values,
+    never grams.
+    """
+    import ray.data as rd
+
+    from raydedup.ray_utils import ensure_hash_shuffle
+
+    ensure_hash_shuffle()  # before read_parquet: the context binds at creation
+    n = DECON_N
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        gf = _gram_frame(df, n)
+        return pd.DataFrame({"doc_id": gf["doc_id"].to_numpy(np.int64),
+                             "g": gf["g"].to_numpy(dtype=object)})
+
+    grams = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(gram_rows, batch_format="pandas")
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"df": pd.Series([], dtype=np.int64),
+                                 "n_grams": pd.Series([], dtype=np.int64)})
+        dfs = df.groupby("g", sort=False).size()
+        vc = dfs.value_counts()
+        return pd.DataFrame({"df": vc.index.to_numpy(np.int64),
+                             "n_grams": vc.to_numpy(np.int64)})
+
+    partials = keyed_blocks(grams, ["g"], _P).map_batches(
+        df_partial, batch_size=None, batch_format="pandas"
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"df": pd.Series([], dtype=np.int64),
+                                 "n_grams": pd.Series([], dtype=np.int64)})
+        agg = df.groupby("df", sort=False)["n_grams"].sum().reset_index()
+        return agg.astype({"df": np.int64, "n_grams": np.int64})
+
+    return keyed_blocks(partials, ["df"], 4).map_batches(
         final, batch_size=None, batch_format="pandas"
     )
 
