@@ -574,10 +574,13 @@ def _gram_frame(df: pd.DataFrame, n: int) -> pd.DataFrame:
 
     A document's rows live entirely inside one batch, so the per-batch
     ``drop_duplicates(["doc_id", "g"])`` IS the global per-doc dedup.
-    Tokenization matches the DuckDB twin (``string_split(text, ' ')`` on
-    the single-space synth corpus; empty/NULL texts yield no grams).
+    Tokenization is a single-space split — the EXACT semantics of the
+    DuckDB twins' ``string_split(text, ' ')``, including empty tokens from
+    runs of spaces and tabs/newlines kept inside tokens (a whitespace-run
+    split would silently diverge from the contract on such texts);
+    empty/NULL texts yield no grams.
     """
-    toks = df["text"].fillna("").str.split()
+    toks = df["text"].fillna("").str.split(" ")
     ex = (
         pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64), "tok": toks})
         .explode("tok")
@@ -648,7 +651,10 @@ def ngram_decontaminate(sf_dir: str, bloom_bits: int = 1 << 20, n_hashes: int = 
         # shrinks the shuffle (cross-block dups collapse in-partition)
         return pd.DataFrame({"g": gf["g"].unique()})
 
-    bench_ds = _docs_cols().map_batches(bench_grams, batch_format="pandas")
+    # materialized once (the benchmark side is the SMALL side): both the
+    # Bloom fold and the exact verify rows below read these blocks from the
+    # object store instead of re-tokenizing the benchmark slice
+    bench_ds = _docs_cols().map_batches(bench_grams, batch_format="pandas").materialize()
 
     def bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(int(m), dtype=bool)
@@ -663,10 +669,10 @@ def ngram_decontaminate(sf_dir: str, bloom_bits: int = 1 << 20, n_hashes: int = 
     bloom_ref = ray.put(np.unpackbits(bloom).view(bool))
 
     def bench_rows(df: pd.DataFrame) -> pd.DataFrame:
-        out = bench_grams(df)
-        return pd.DataFrame({"doc_id": np.full(len(out), -1, dtype=np.int64),
-                             "g": out["g"].to_numpy(dtype=object),
-                             "side": np.ones(len(out), dtype=np.int64)})
+        g = df["g"].to_numpy(dtype=object)
+        return pd.DataFrame({"doc_id": np.full(len(g), -1, dtype=np.int64),
+                             "g": g,
+                             "side": np.ones(len(g), dtype=np.int64)})
 
     def train_rows(df: pd.DataFrame) -> pd.DataFrame:
         sub = df[(df["doc_id"].to_numpy(np.int64) % DECON_MOD) != 0]
@@ -681,7 +687,7 @@ def ngram_decontaminate(sf_dir: str, bloom_bits: int = 1 << 20, n_hashes: int = 
                              "g": g[hit],
                              "side": np.zeros(int(hit.sum()), dtype=np.int64)})
 
-    gram_rows = _docs_cols().map_batches(bench_rows, batch_format="pandas").union(
+    gram_rows = bench_ds.map_batches(bench_rows, batch_format="pandas").union(
         _docs_cols().map_batches(train_rows, batch_format="pandas")
     )
 
@@ -704,6 +710,10 @@ def ngram_decontaminate(sf_dir: str, bloom_bits: int = 1 << 20, n_hashes: int = 
         ids = ids[ids % DECON_MOD != 0]
         return pd.DataFrame({"doc_id": ids, "cnt": np.zeros(len(ids), dtype=np.int64)})
 
+    # zero rows come from a separate doc_id-only scan (8 B/row, column
+    # pruned) rather than riding the gram shuffle: emitting them there
+    # would need a sentinel gram key that funnels every doc to one hot
+    # partition
     base = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
         base_rows, batch_format="pandas"
     )
@@ -749,14 +759,9 @@ def ngram_novelty(sf_dir: str):
     ensure_hash_shuffle()  # before read_parquet: the context binds at creation
     n = DECON_N
 
-    def gram_stats(df: pd.DataFrame) -> pd.DataFrame:
-        gf = _gram_frame(df, n)
-        return pd.DataFrame({"doc_id": gf["doc_id"].to_numpy(np.int64),
-                             "g": gf["g"].to_numpy(dtype=object)})
-
     grams = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(gram_stats, batch_format="pandas")
+    ).map_batches(lambda df: _gram_frame(df, n), batch_format="pandas")
 
     def per_gram(df: pd.DataFrame) -> pd.DataFrame:
         cols = {"doc_id": pd.Series([], dtype=np.int64),
@@ -817,14 +822,9 @@ def gram_df_histogram(sf_dir: str):
     ensure_hash_shuffle()  # before read_parquet: the context binds at creation
     n = DECON_N
 
-    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
-        gf = _gram_frame(df, n)
-        return pd.DataFrame({"doc_id": gf["doc_id"].to_numpy(np.int64),
-                             "g": gf["g"].to_numpy(dtype=object)})
-
     grams = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(gram_rows, batch_format="pandas")
+    ).map_batches(lambda df: _gram_frame(df, n), batch_format="pandas")
 
     def df_partial(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:

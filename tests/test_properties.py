@@ -208,14 +208,16 @@ def test_compress_weighted_rank_error_bound(vals, s):
 
 @given(
     docs=st.lists(
-        st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=20
+        st.text(alphabet="ab c\t", min_size=0, max_size=40), min_size=1, max_size=20
     ),
     n=st.integers(2, 5),
 )
 @settings(max_examples=200, deadline=None)
 def test_gram_frame_matches_bruteforce(docs, n):
     """_gram_frame (flat shifted-concat kernel) == per-doc Python twin:
-    distinct n-token windows per document, tokenized by whitespace runs."""
+    distinct n-token windows per document, split on SINGLE spaces (the
+    exact semantics of the DuckDB twins' string_split(text, ' '): empty
+    tokens from space runs are real tokens, tabs stay inside tokens)."""
     import pandas as pd
 
     from raydedup.pipelines.curation import _gram_frame
@@ -226,7 +228,7 @@ def test_gram_frame_matches_bruteforce(docs, n):
 
     exp = set()
     for did, text in enumerate(docs):
-        toks = text.split()
+        toks = text.split(" ")
         for i in range(len(toks) - n + 1):
             exp.add((did, " ".join(toks[i : i + n])))
     assert got_set == exp
