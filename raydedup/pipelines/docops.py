@@ -1534,11 +1534,12 @@ def doc_length_rank(sf_dir: str):
 
     Scale shape: a window rank via ``ds.sort`` would all-to-all exchange
     every row; instead each block pre-reduces to a (n_chars, cnt)
-    histogram (lengths are small integers), the driver folds blocks ×
-    distinct-lengths tiny partials into one cumulative distribution,
-    ``ray.put`` broadcasts it once, and a pure vectorized map assigns
-    every row its exact rank by ``searchsorted`` — shuffle volume zero,
-    driver state ∝ distinct lengths, never ∝ rows.
+    histogram (lengths are small integers), one SMALL hash shuffle on
+    ``n_chars`` merges the blocks × distinct-lengths partials down to one
+    row per distinct length (so the driver fold is ∝ distinct lengths,
+    never ∝ blocks × lengths), ``ray.put`` broadcasts the cumulative
+    distribution once, and a pure vectorized map assigns every row its
+    exact rank by ``searchsorted`` — the row stream itself never shuffles.
     """
     import ray
 
@@ -1547,8 +1548,19 @@ def doc_length_rank(sf_dir: str):
         return pd.DataFrame({"n_chars": vc.index.to_numpy(np.int64),
                              "cnt": vc.to_numpy(np.int64)})
 
+    def merge_hist(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"n_chars": pd.Series([], dtype=np.int64),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        agg = df.groupby("n_chars", sort=False)["cnt"].sum().reset_index()
+        return agg.astype({"n_chars": np.int64, "cnt": np.int64})
+
     docs = _docs(sf_dir, ["doc_id", "n_chars"])
-    parts = docs.map_batches(hist, batch_format="pandas").take_all()
+    parts = (
+        keyed_blocks(docs.map_batches(hist, batch_format="pandas"), ["n_chars"], 4)
+        .map_batches(merge_hist, batch_size=None, batch_format="pandas")
+        .take_all()
+    )
     if parts:
         hp = pd.DataFrame(parts).groupby("n_chars", sort=True)["cnt"].sum()
         vals = hp.index.to_numpy(np.int64)
