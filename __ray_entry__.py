@@ -236,6 +236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MRL-style mergeable quantile sketch (estimate is sketch-defined
         # → no SQL twin; pytest bounds the rank error vs exact)
         "q_approx_value_quantiles": curation.approx_value_quantiles,
+        # per-group quantile sketch (types × quantiles, in-partition merge,
+        # no driver fold; sketch-defined → no SQL twin, pytest-bounded)
+        "q_value_quantiles_by_type": curation.value_quantiles_by_type,
         # suffix-array long-repeat pass standalone (deterministic,
         # winnowing-based → no SQL twin)
         "q_suffix_doc_pairs": docdedup.suffix_doc_pairs,

@@ -449,6 +449,69 @@ def approx_value_quantiles(sf_dir: str,
     return pd.DataFrame({"q": out_q, "value_est": vals[idx]})
 
 
+def value_quantiles_by_type(sf_dir: str,
+                            qs: tuple = (0.25, 0.5, 0.75, 0.95)):
+    """Per-group approximate quantiles → (event_type, q, value_est): the
+    grouped generalization of :func:`approx_value_quantiles` for
+    continuous columns (per-segment latency/value percentiles — the
+    per-key analog a monitoring or curation pipeline reports).
+
+    Each block compresses each of its types to ≤ S (value, weight)
+    points; ONE hash shuffle on ``event_type`` co-locates every type's
+    block summaries, and the final merge + quantile read-off happens
+    entirely inside the type partition — no driver fold at all, output
+    rows = types × quantiles.  Same two-merge-level rank-error bound as
+    the global sketch; rows-only driver check (sketch-defined estimate),
+    pytest bounds the observed per-type rank error against exact.
+    """
+    import ray.data as rd
+
+    from raydedup.ray_utils import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    out_q = np.asarray(qs, dtype=np.float64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": pd.Series([], dtype=object),
+                "value": pd.Series([], dtype=np.float64),
+                "weight": pd.Series([], dtype=np.float64)}
+        d = df.dropna(subset=["value"])
+        if len(d) == 0:
+            return pd.DataFrame(cols)
+        frames = []
+        for et, g in d.groupby("event_type", sort=False):
+            v = np.sort(g["value"].to_numpy(np.float64))
+            vals, wts = _compress_weighted(v, np.ones(len(v), dtype=np.float64), _QSK_S)
+            frames.append(pd.DataFrame({"event_type": et, "value": vals, "weight": wts}))
+        return pd.concat(frames, ignore_index=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": pd.Series([], dtype=object),
+                "q": pd.Series([], dtype=np.float64),
+                "value_est": pd.Series([], dtype=np.float64)}
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        frames = []
+        for et, g in df.groupby("event_type", sort=False):
+            order = np.argsort(g["value"].to_numpy(np.float64), kind="stable")
+            vals = g["value"].to_numpy(np.float64)[order]
+            wts = g["weight"].to_numpy(np.float64)[order]
+            cum = np.cumsum(wts)
+            idx = np.minimum(np.searchsorted(cum, out_q * cum[-1], side="left"),
+                             len(vals) - 1)
+            frames.append(pd.DataFrame({"event_type": et, "q": out_q,
+                                        "value_est": vals[idx]}))
+        return pd.concat(frames, ignore_index=True)
+
+    summaries = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pandas")
+    )
+    return keyed_blocks(summaries, ["event_type"], 4).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
 def events_profile(sf_dir: str) -> pd.DataFrame:
     """One row of data-quality stats over the events table: row count,
     per-column null counts, and integer-exact value aggregates

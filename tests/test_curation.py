@@ -232,3 +232,22 @@ def test_export_partitioned_roundtrip(ray_session, tmp_path):
     got = pruned.to_pandas()
     assert (got["lang"] == lang0).all()
     assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_value_quantiles_by_type_rank_error(ray_session):
+    """Per-type sketch estimates sit within 2% rank error of each type's
+    exact distribution, for every type in the table."""
+    import numpy as np
+
+    from raydedup.pipelines.curation import value_quantiles_by_type
+
+    got = value_quantiles_by_type(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas().dropna(subset=["value"])
+    types = set(ev["event_type"])
+    assert set(got["event_type"]) == types
+    for et, g in got.groupby("event_type"):
+        vals = np.sort(ev.loc[ev["event_type"] == et, "value"].to_numpy(np.float64))
+        n = len(vals)
+        for q, est in zip(g["q"], g["value_est"]):
+            rank = np.searchsorted(vals, est, side="left") / n
+            assert abs(rank - q) <= 0.02, (et, q, est, rank)
