@@ -13,6 +13,8 @@ single parameterized job whose stages checkpoint and resume
 
 from __future__ import annotations
 
+from raydedup.ray_utils import read_parquet_clean
+
 import argparse
 import json
 import sys
@@ -76,9 +78,9 @@ def cmd_label(args) -> int:
 
     cfg = _cfg_from_args(args)
     res = run_pipeline(args.input, args.out, cfg)
-    labeled = label_turns(rd.read_parquet(args.input), res["clusters"], cfg)
+    labeled = label_turns(read_parquet_clean(args.input), res["clusters"], cfg)
     labeled.write_parquet(f"{args.out}/labeled")
-    print(json.dumps({"labeled_rows": rd.read_parquet(f"{args.out}/labeled").count()}))
+    print(json.dumps({"labeled_rows": read_parquet_clean(f"{args.out}/labeled").count()}))
     return 0
 
 

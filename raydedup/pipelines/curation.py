@@ -17,6 +17,8 @@ operators are the engine's beyond-parity additions for LLM-corpus work.
 
 from __future__ import annotations
 
+from raydedup.ray_utils import read_parquet_clean
+
 import hashlib
 from functools import lru_cache
 
@@ -64,7 +66,7 @@ def _probe_list(sf_dir: str) -> list:
         )
 
     parts = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"])
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"])
         .map_batches(partial, batch_format="pandas")
         .to_pandas()  # ≤ N_PROBES × num_blocks rows — tiny at any scale
     )
@@ -109,7 +111,7 @@ def decontaminate(sf_dir: str):
             }
         )
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
         scan, batch_format="pandas"
     )
 
@@ -137,7 +139,7 @@ def train_split(sf_dir: str):
         )
         return pd.DataFrame({"doc_id": ids, "bucket": b, "split": split})
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
         fn, batch_format="pandas"
     )
 
@@ -172,7 +174,7 @@ def distinct_counts(sf_dir: str) -> pd.DataFrame:
 
     parts = (
         keyed_blocks(
-            rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+            read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
             .map_batches(tagged_uniques, batch_format="pandas"),
             ["col", "val"],
             _P,
@@ -220,7 +222,7 @@ def pii_scrub(sf_dir: str):
             }
         )
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
         fn, batch_format="pandas"
     )
 
@@ -296,7 +298,7 @@ def label_centroids(sf_dir: str):
     from raydedup.ray_utils import ensure_hash_shuffle
 
     ensure_hash_shuffle()  # before read_parquet: the context binds at creation
-    partials = rd.read_parquet(
+    partials = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
     ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return keyed_blocks(partials, ["label"], _P).map_batches(
@@ -345,7 +347,7 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"reg_id": np.arange(m, dtype=np.int64), "rho": reg})
 
     parts = (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
         .map_batches(registers, batch_format="pandas")
         .to_pandas()  # m rows per block, int8 — small driver fold
     )
@@ -429,7 +431,7 @@ def approx_value_quantiles(sf_dir: str,
         return pd.DataFrame({"value": vals, "weight": wts})
 
     summaries = (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+        read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
         .map_batches(partial, batch_format="pandas")
     )
     merged = keyed_blocks(summaries, ["grp"], 8).map_batches(
@@ -504,7 +506,7 @@ def value_quantiles_by_type(sf_dir: str,
         return pd.concat(frames, ignore_index=True)
 
     summaries = (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
         .map_batches(partial, batch_format="pandas")
     )
     return keyed_blocks(summaries, ["event_type"], 4).map_batches(
@@ -544,7 +546,7 @@ def events_profile(sf_dir: str) -> pd.DataFrame:
         )
 
     parts = (
-        rd.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
         )
         .map_batches(partial, batch_format="pandas")
@@ -613,7 +615,7 @@ def sample_per_group(sf_dir: str, k: int = 2):
     from raydedup.ray_utils import ensure_hash_shuffle
 
     ensure_hash_shuffle()  # before read_parquet: the context binds at creation
-    partials = rd.read_parquet(
+    partials = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     ).map_batches(partial, batch_format="pandas")
     return keyed_blocks(partials, ["lang"], 4).map_batches(
@@ -705,7 +707,7 @@ def ngram_decontaminate(sf_dir: str, bloom_bits: int = 1 << 20, n_hashes: int = 
         return pd.util.hash_array(g, categorize=False)
 
     def _docs_cols():
-        return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
         sub = df[(df["doc_id"].to_numpy(np.int64) % DECON_MOD) == 0]
@@ -777,7 +779,7 @@ def ngram_decontaminate(sf_dir: str, bloom_bits: int = 1 << 20, n_hashes: int = 
     # pruned) rather than riding the gram shuffle: emitting them there
     # would need a sentinel gram key that funnels every doc to one hot
     # partition
-    base = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+    base = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
         base_rows, batch_format="pandas"
     )
 
@@ -822,7 +824,7 @@ def ngram_novelty(sf_dir: str):
     ensure_hash_shuffle()  # before read_parquet: the context binds at creation
     n = DECON_N
 
-    grams = rd.read_parquet(
+    grams = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(lambda df: _gram_frame(df, n), batch_format="pandas")
 
@@ -848,7 +850,7 @@ def ngram_novelty(sf_dir: str):
         z = np.zeros(len(ids), dtype=np.int64)
         return pd.DataFrame({"doc_id": ids, "n_grams": z, "n_novel": z})
 
-    base = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+    base = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
         base_rows, batch_format="pandas"
     )
 
@@ -885,7 +887,7 @@ def gram_df_histogram(sf_dir: str):
     ensure_hash_shuffle()  # before read_parquet: the context binds at creation
     n = DECON_N
 
-    grams = rd.read_parquet(
+    grams = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(lambda df: _gram_frame(df, n), batch_format="pandas")
 
@@ -923,6 +925,6 @@ def export_partitioned(sf_dir: str, out_dir: str, by: str = "lang"):
     """
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet")
     ds.write_parquet(out_dir, partition_cols=[by])
     return out_dir

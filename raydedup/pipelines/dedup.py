@@ -18,6 +18,8 @@ holds driver-resident dedup state.
 
 from __future__ import annotations
 
+from raydedup.ray_utils import read_parquet_clean
+
 import numpy as np
 import pyarrow as pa
 
@@ -62,7 +64,7 @@ def run_pipeline(
     docs = store.stage(
         "docs",
         lambda: reassemble(
-            rd.read_parquet(input_path, columns=["conv_id", "turn_idx", "text"]),
+            read_parquet_clean(input_path, columns=["conv_id", "turn_idx", "text"]),
             cfg.num_partitions,
             cfg.min_doc_chars,
         ),
@@ -74,7 +76,7 @@ def run_pipeline(
         sigs = store.partitioned_map_stage(
             "signatures",
             "docs",
-            lambda files: compute_signatures(rd.read_parquet(files), cfg),
+            lambda files: compute_signatures(read_parquet_clean(files), cfg),
             cfg.checkpoint_parts,
         )
     else:

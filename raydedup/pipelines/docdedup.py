@@ -9,6 +9,8 @@ seed but not SQL-expressible → rows-only driver check.
 
 from __future__ import annotations
 
+from raydedup.ray_utils import read_parquet_clean
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -53,7 +55,7 @@ def documents_as_docs(sf_dir: str):
             }
         )
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(fn, batch_format="pandas")
 
 
@@ -304,7 +306,7 @@ def cluster_canonicals(sf_dir: str, cfg: DedupConfig | None = None):
             }
         )
 
-    lens = rd.read_parquet(
+    lens = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     ).map_batches(lens_fn, batch_format="pandas")
     joined = clusters.join(

@@ -19,6 +19,8 @@ Each operator is a Ray Data pipeline with a DuckDB-checkable twin in
 
 from __future__ import annotations
 
+from raydedup.ray_utils import read_parquet_clean
+
 import numpy as np
 import pandas as pd
 
@@ -32,7 +34,7 @@ def _docs(sf_dir: str, columns=None):
     import ray.data as rd
 
     ensure_hash_shuffle()
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------- exact dedup
@@ -251,7 +253,7 @@ def events_by_user(sf_dir: str):
         out = pd.DataFrame(rows, columns=["user_id", "n_events", "n_types"])
         return out.astype({"user_id": np.int64, "n_events": np.int64, "n_types": np.int64})
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
     )
     partials = ds.map_batches(partial, batch_format="pandas")
@@ -311,7 +313,7 @@ def events_by_type(sf_dir: str):
         out["n_events"] = out["n_events"].astype(np.int64)
         return out
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type"])
     partials = ds.map_batches(partial, batch_format="pandas")
     return keyed_blocks(partials, ["event_type"], 2).map_batches(
         final, batch_size=None, batch_format="pandas"
@@ -694,7 +696,7 @@ def asof_attribution(sf_dir: str, left_type: str = "purchase", right_type: str =
             }
         )
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
     ).filter(expr=f"event_type == '{left_type}' or event_type == '{right_type}'")
     return keyed_blocks(ds, ["user_id"], 4).map_batches(
@@ -745,7 +747,7 @@ def events_by_window(sf_dir: str, hours: int = 1):
         )
         return out.astype({"n_events": np.int64})
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
     partials = ds.map_batches(partial, batch_format="pandas")
     return keyed_blocks(partials, ["window_start", "event_type"], 4).map_batches(
         final, batch_size=None, batch_format="pandas"
@@ -805,7 +807,7 @@ def events_by_hopping_window(sf_dir: str, size_hours: int = 2, hop_hours: int = 
         )
         return out.astype({"n_events": np.int64})
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
     partials = ds.map_batches(partial, batch_format="pandas")
     return keyed_blocks(partials, ["window_start", "event_type"], 4).map_batches(
         final, batch_size=None, batch_format="pandas"
@@ -862,7 +864,7 @@ def events_rollup(sf_dir: str):
         return pd.concat([fine, sub[["event_type", "day", "n_events"]]],
                          ignore_index=True).astype({"n_events": np.int64})
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
     partials = ds.map_batches(partial, batch_format="pandas")
     levels = keyed_blocks(partials, ["event_type"], 4).map_batches(
         final, batch_size=None, batch_format="pandas"
@@ -928,7 +930,7 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
             {"user_id": np.int64, "n_events": np.int64, "n_sessions": np.int64}
         )
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     return keyed_blocks(ds, ["user_id"], 4).map_batches(
         block, batch_size=None, batch_format="pandas"
     )
@@ -1070,7 +1072,7 @@ def docs_events_antijoin(sf_dir: str, semi: bool = False):
         return pd.DataFrame({"user_id": df["user_id"].unique().astype(np.int64)})
 
     users = (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
         .map_batches(distinct_partial, batch_format="pandas")
         .to_pandas()  # tiny: ≤ distinct users × blocks rows
     )
@@ -1126,7 +1128,7 @@ def docs_events_semijoin_bloom(sf_dir: str, bloom_bits: int = 1 << 17,
         return pd.DataFrame({"user_id": df["user_id"].unique().astype(np.int64)})
 
     users_ds = (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id"])
         .map_batches(distinct_partial, batch_format="pandas")
     )
 
@@ -1224,7 +1226,7 @@ def event_value_pivot(
             out[t] = np.round(vals, 6)
         return out
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"])
     partials = ds.map_batches(partial, batch_format="pandas")
     return keyed_blocks(partials, ["user_id"], 4).map_batches(
         final, batch_size=None, batch_format="pandas"
@@ -1266,7 +1268,7 @@ def user_cumulative_value(sf_dir: str):
             }
         )
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
     return keyed_blocks(ds, ["user_id"], 4).map_batches(
@@ -1313,7 +1315,7 @@ def event_interarrival(sf_dir: str):
             }
         )
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     return keyed_blocks(ds, ["user_id"], 4).map_batches(
@@ -1352,7 +1354,7 @@ def window_active_users(sf_dir: str, hours: int = 1):
         out = d.groupby("window_start", sort=False).size().rename("n_active").reset_index()
         return out.astype({"n_active": np.int64})
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
     partials = ds.map_batches(partial, batch_format="pandas")
     return keyed_blocks(partials, ["window_start"], 4).map_batches(
         final, batch_size=None, batch_format="pandas"
@@ -1397,7 +1399,7 @@ def event_type_transitions(sf_dir: str):
         agg = df.groupby(["t_from", "t_to"], sort=False)["n_trans"].sum().reset_index()
         return agg.astype({"n_trans": np.int64})
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
     )
     partials = keyed_blocks(ds, ["user_id"], 4).map_batches(
@@ -1779,7 +1781,7 @@ def events_recent_activity(sf_dir: str, window_minutes: int = 60):
             out = hi - lo
         return pd.DataFrame({"event_id": eid, "n_recent": out.astype(np.int64)})
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts"])
     return keyed_blocks(ds, ["user_id"], 4).map_batches(
         block, batch_size=None, batch_format="pandas"
@@ -1872,7 +1874,7 @@ def user_funnel(sf_dir: str, steps: tuple = ("view", "click", "purchase"),
         )
         return g.astype({"step": np.int64, "n_users": np.int64})
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_type"])
     partials = keyed_blocks(ds, ["user_id"], 4).map_batches(
         block, batch_size=None, batch_format="pandas"
@@ -1957,7 +1959,7 @@ def event_props_stats(sf_dir: str, field: str = "k"):
                          "sum_k": np.int64, "min_k": np.int64,
                          "max_k": np.int64})
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["event_type", "props"])
     partials = ds.map_batches(partial, batch_format="pandas")
     return keyed_blocks(partials, ["event_type"], 4).map_batches(

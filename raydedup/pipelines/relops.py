@@ -23,6 +23,8 @@ Patterns:
 
 from __future__ import annotations
 
+from raydedup.ray_utils import read_parquet_clean
+
 import numpy as np
 import pandas as pd
 
@@ -90,7 +92,7 @@ def pricing_summary(sf_dir: str):
         return g.astype({"sum_qty": np.int64, "sum_base_cents": np.int64,
                          "sum_disc_cents": np.int64, "n_rows": np.int64})
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"],
@@ -172,10 +174,10 @@ def segment_revenue(sf_dir: str):
         )
         return g.astype({"n_orders": np.int64, "revenue_cents": np.int64})
 
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).map_batches(cust_rows, batch_format="pandas")
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).map_batches(order_rows, batch_format="pandas")
     joined = keyed_blocks(cust.union(orders), ["custkey"], _P).map_batches(
@@ -223,7 +225,7 @@ def priority_counts(sf_dir: str, year: int = 1996):
         )
         return g.astype({"n_orders": np.int64})
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderpriority", "o_orderdate"],
         filter=flt,
@@ -286,10 +288,10 @@ def customer_order_distribution(sf_dir: str):
         g = df.groupby("n_orders", sort=False).agg(n_custs=("n_custs", "sum")).reset_index()
         return g.astype({"n_orders": np.int64, "n_custs": np.int64})
 
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey"]
     ).map_batches(order_partial, batch_format="pandas")
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"]
     ).map_batches(cust_rows, batch_format="pandas")
     per = keyed_blocks(cust.union(orders), ["custkey"], _P).map_batches(
@@ -338,10 +340,10 @@ def segment_priority_counts(sf_dir: str):
         )
         return g.astype({"n_orders": np.int64})
 
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
     )
     joined = orders.join(
@@ -427,7 +429,7 @@ def supplier_nation_revenue(sf_dir: str):
         )
         return g.astype({"n_items": np.int64, "revenue_cents": np.int64})
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(partial, batch_format="pandas")
@@ -520,10 +522,10 @@ def brand_revenue(sf_dir: str):
         )
         return g.astype({"n_items": np.int64, "revenue_cents": np.int64})
 
-    part = rd.read_parquet(
+    part = read_parquet_clean(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
     ).map_batches(part_rows, batch_format="pandas")
-    lines = rd.read_parquet(
+    lines = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_extendedprice", "l_discount"],
     ).map_batches(line_partial, batch_format="pandas")
@@ -645,12 +647,12 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         return out.astype({"o_orderkey": np.int64, "revenue_cents": np.int64,
                            "rnk": np.int64})
 
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_mktsegment"],
         filter=(pads.field("c_mktsegment") == segment),
     ).map_batches(cust_rows, batch_format="pandas")
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=(pads.field("o_orderdate") < cut),
@@ -658,7 +660,7 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
     seg_orders = keyed_blocks(cust.union(orders), ["custkey"], _P).map_batches(
         semi_join, batch_size=None, batch_format="pandas"
     )
-    lines = rd.read_parquet(
+    lines = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         filter=(pads.field("l_shipdate") > cut),
@@ -761,10 +763,10 @@ def region_revenue(sf_dir: str):
         )
         return g.astype({"n_orders": np.int64, "revenue_cents": np.int64})
 
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).map_batches(cust_rows, batch_format="pandas")
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).map_batches(order_rows, batch_format="pandas")
     joined = keyed_blocks(cust.union(orders), ["custkey"], _P).map_batches(

@@ -16,6 +16,8 @@
 
 from __future__ import annotations
 
+from raydedup.ray_utils import read_parquet_clean
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -27,7 +29,7 @@ def _read_embeddings(sf_dir: str):
     import ray.data as rd
 
     ensure_hash_shuffle()
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
 def _matrix(df: pd.DataFrame) -> np.ndarray:

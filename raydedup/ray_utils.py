@@ -54,12 +54,65 @@ def ensure_hash_shuffle() -> None:
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = per_partition
 
 
+def _strip_block_meta(t):
+    """Zero-copy drop of schema-level metadata from an Arrow block.
+
+    pandas-written Parquet and ``pa.Table.from_pandas`` both attach a
+    ``b'pandas'`` schema-metadata entry whose presence makes
+    ``hash(pyarrow.Schema)`` raise (``unhashable type: 'dict'``) — Ray Data
+    then logs a "Failed to hash the schemas (for deduplication)" warning on
+    every schema unification in every shuffle aggregator.  Stripping the
+    metadata costs nothing (shared buffers) and restores hashability.
+    """
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def clean_blocks(ds):
+    """Coerce ``ds`` to Arrow blocks with no schema metadata (see
+    ``_strip_block_meta``).  The map fuses with the upstream stage, and the
+    pandas→Arrow conversion it may trigger is work the downstream hash
+    shuffle would otherwise do itself."""
+    return ds.map_batches(
+        _strip_block_meta, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def read_parquet_clean(path, *, columns=None, **kwargs):
+    """``read_parquet`` with an explicit metadata-free schema.
+
+    Passing ``schema=`` (the file footer's schema with its pandas metadata
+    removed, pruned to ``columns``) makes every block the read emits carry a
+    hashable schema, silencing the per-task "Failed to hash the schemas"
+    warning at the source instead of one stage downstream.
+    """
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    probe = path[0] if isinstance(path, (list, tuple)) and path else path
+    if isinstance(probe, str) and os.path.isdir(probe):
+        hits = sorted(glob.glob(os.path.join(probe, "**", "*.parquet"), recursive=True))
+        probe = hits[0] if hits else None
+    try:
+        schema = pq.read_schema(probe).remove_metadata() if probe else None
+        if schema is not None and columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+    except Exception:
+        schema = None
+    return rd.read_parquet(path, columns=columns, schema=schema, **kwargs)
+
+
 def keyed_blocks(ds, keys: list, num_partitions: int):
     """Hash-partition ``ds`` so all rows of a key land in one block.
 
     Downstream ``map_batches(fn, batch_size=None)`` then sees complete key
     groups per batch and can process them with vectorized numpy/pandas —
-    the engine's standard wide-operation pattern.
+    the engine's standard wide-operation pattern.  Input blocks are coerced
+    to metadata-free Arrow first so shuffle-side schema deduplication works
+    (see ``_strip_block_meta``).
     """
     ensure_hash_shuffle()
-    return ds.repartition(num_blocks=num_partitions, keys=keys)
+    return clean_blocks(ds).repartition(num_blocks=num_partitions, keys=keys)

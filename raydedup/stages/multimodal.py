@@ -17,6 +17,8 @@ dedup operators (e.g. embedding-cosine near-dup in
 
 from __future__ import annotations
 
+from raydedup.ray_utils import read_parquet_clean
+
 import numpy as np
 import pyarrow as pa
 
@@ -138,7 +140,7 @@ def documents_as_media(sf_dir: str):
             schema=MEDIA,
         )
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(fn, batch_format="pandas")
 
 

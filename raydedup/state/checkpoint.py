@@ -13,6 +13,8 @@ lets the pipeline resume mid-shuffle without recomputing signatures
 
 from __future__ import annotations
 
+from raydedup.ray_utils import read_parquet_clean
+
 import json
 import os
 import shutil
@@ -57,7 +59,7 @@ class CheckpointStore:
         if self.mode == "memory":
             ds = self._mem[name]
             return ds.select_columns(columns) if columns else ds
-        return rd.read_parquet(self.path(name), columns=columns)
+        return read_parquet_clean(self.path(name), columns=columns)
 
     def _valid(self, name, lineage: str | None = None) -> dict | None:
         p = self._manifest_path(name)
@@ -125,7 +127,7 @@ class CheckpointStore:
             self.events.append(
                 {"stage": name, "action": "resumed", "rows": m["rows"], "sec": 0.0}
             )
-            ds = rd.read_parquet(target)
+            ds = read_parquet_clean(target)
         else:
             ds = compute_fn()
             rows = self._persist(name, ds, self.lineage)
@@ -137,7 +139,7 @@ class CheckpointStore:
                     "sec": round(time.time() - t0, 2),
                 }
             )
-            ds = rd.read_parquet(target)
+            ds = read_parquet_clean(target)
         self.lineage = hashlib.sha256(
             f"{self.lineage}|{name}|{self.config_hash}".encode()
         ).hexdigest()[:16]
@@ -203,7 +205,7 @@ class CheckpointStore:
                 self.events.append(
                     {"stage": name, "action": "resumed", "rows": m["rows"], "sec": 0.0}
                 )
-                out[name] = rd.read_parquet(self.path(name))
+                out[name] = read_parquet_clean(self.path(name))
             else:
                 jobs.append((name, fn()))  # lazy graph built on this thread
 
@@ -220,7 +222,7 @@ class CheckpointStore:
                         {"stage": name, "action": "computed", "rows": rows,
                          "sec": round(sec, 2)}
                     )
-                    out[name] = rd.read_parquet(self.path(name))
+                    out[name] = read_parquet_clean(self.path(name))
         return {name: out[name] for name, _fn in specs}
 
     def partitioned_map_stage(self, name: str, input_name: str, make_ds_fn, n_parts: int):
@@ -259,7 +261,7 @@ class CheckpointStore:
             self.events.append(
                 {"stage": name, "action": "resumed", "rows": m["rows"], "sec": 0.0}
             )
-            ds = rd.read_parquet(target)
+            ds = read_parquet_clean(target)
         else:
             files = sorted(
                 glob.glob(os.path.join(self.path(input_name), "**", "*.parquet"),
@@ -334,7 +336,7 @@ class CheckpointStore:
                     "parts_resumed": n_parts - computed,
                 }
             )
-            ds = rd.read_parquet(target)
+            ds = read_parquet_clean(target)
         self.lineage = hashlib.sha256(
             f"{self.lineage}|{name}|{self.config_hash}".encode()
         ).hexdigest()[:16]
