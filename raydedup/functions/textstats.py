@@ -26,10 +26,23 @@ _STOPWORDS = {
 
 def token_counts(texts: pd.Series) -> np.ndarray:
     """Whitespace token count; matches DuckDB
-    ``len(regexp_split_to_array(trim(text), '\\s+'))`` with empty → 0."""
-    stripped = texts.fillna("").str.strip()
-    n = stripped.str.split(_WS).map(len).to_numpy(dtype=np.int64)
-    n[stripped.str.len().to_numpy() == 0] = 0
+    ``len(regexp_split_to_array(trim(text), '\\s+'))`` with empty → 0.
+
+    Arrow kernels end-to-end (split_pattern_regex + list_value_length):
+    ~2× the old pandas ``str.split(...).map(len)`` per-row path, and RE2's
+    ASCII ``\\s`` matches the DuckDB twin's RE2 semantics exactly (Python
+    ``re`` would also split on unicode spaces like U+00A0)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(texts.fillna(""), type=pa.string())
+    trimmed = pc.utf8_trim_whitespace(arr)
+    n = (
+        pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n[pc.equal(pc.utf8_length(trimmed), 0).to_numpy(zero_copy_only=False)] = 0
     return n
 
 

@@ -67,21 +67,38 @@ class MediaFeatureActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        payloads = batch["payload"].to_pylist()
-        feats = np.zeros((n, self.feature_dim), dtype=np.float32)
-        n_bytes = np.zeros(n, dtype=np.int64)
-        status = []
-        for i, p in enumerate(payloads):
-            if p is None:
-                status.append("decode_error")
-                continue
-            b = np.frombuffer(p, dtype=np.uint8)
-            n_bytes[i] = len(b)
-            hist = np.bincount(b, minlength=256).astype(np.float32)
-            if hist.sum() > 0:
-                hist /= hist.sum()
-            feats[i] = hist @ self.proj
-            status.append("ok")
+        # one segmented histogram over the concatenated payload buffer
+        # (np.add.at on (row, byte) pairs), one (n,256)@(256,d) matmul —
+        # no per-row Python loop over payloads
+        col = batch["payload"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        col = col.cast(pa.large_binary())  # 64-bit offsets at any batch size
+        # binary arrays expose offsets only through the raw buffer
+        # (buffers() = [validity, offsets, data]); slice to the logical view
+        all_offs = np.frombuffer(col.buffers()[1], dtype=np.int64)
+        offs = all_offs[col.offset: col.offset + n + 1]
+        flat = np.frombuffer(col.buffers()[2] or b"", dtype=np.uint8)
+        valid = np.ones(n, dtype=bool) if col.null_count == 0 else ~np.asarray(
+            col.is_null()
+        )
+        lengths = np.where(valid, offs[1:] - offs[:-1], 0)
+        n_bytes = lengths.astype(np.int64)
+        hist = np.zeros((n, 256), dtype=np.float32)
+        total = int(lengths.sum())
+        if total > 0:
+            row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            if total == int(offs[-1] - offs[0]):
+                # contiguous case (no null row holds a stored extent)
+                vals = flat[offs[0]:offs[-1]]
+            else:  # gather valid rows' extents explicitly
+                vals = np.concatenate(
+                    [flat[offs[i]:offs[i + 1]] for i in np.flatnonzero(lengths)]
+                )
+            np.add.at(hist, (row_idx, vals), np.float32(1.0))
+        sums = hist.sum(axis=1, keepdims=True)
+        np.divide(hist, sums, out=hist, where=sums > 0)
+        feats = hist @ self.proj
+        status = np.where(valid, "ok", "decode_error")
         return pa.table(
             {
                 "media_id": batch["media_id"],
