@@ -93,6 +93,18 @@ class DedupConfig:
     # independently-resumable parts (1 disables partitioning)
     checkpoint_parts: int = 4
 
+    # Per-partition lineage for the minhash-verify pair stage (disk mode):
+    # candidate-pair rows are mutually independent, so the candidates
+    # checkpoint's files split into this many independently-verified,
+    # independently-persisted parts — a crash mid-verification resumes
+    # from the completed part-i/ dirs.  Each part re-reads the signature
+    # checkpoint (its shuffle volume stays bounded by the part's own
+    # endpoints via the semi-filter), so >1 trades ~K× signature-read I/O
+    # for K× finer resume — the right trade on long multi-node runs,
+    # overhead on small single-node ones.  1 (default) keeps the stage a
+    # single execution.
+    pair_checkpoint_parts: int = 1
+
     # "disk" (default): every stage persists resumable Parquet checkpoints.
     # "memory": ephemeral one-shot mode — stage boundaries materialize in
     # the object store instead (no parquet round-trip, no resume); the

@@ -129,7 +129,29 @@ def run_pipeline(
         # same object-store-pressure reason as the memory-mode fusion
         edges = store.parallel_stages(edge_specs)
     else:
-        edges = {name: store.stage(name, fn) for name, fn in edge_specs}
+        edges = {}
+        for name, fn in edge_specs:
+            if (
+                name == "pairs_minhash"
+                and cfg.checkpoint_mode == "disk"
+                and cfg.pair_checkpoint_parts > 1
+            ):
+                # per-partition lineage over the candidates checkpoint:
+                # candidate-pair rows are independent, so verifying any
+                # file subset against the full signature table is sound —
+                # a crash mid-stage resumes from the completed part dirs
+                edges[name] = store.partitioned_map_stage(
+                    name,
+                    "candidates",
+                    lambda files: verified_pairs(
+                        read_parquet_clean(files),
+                        store.read("signatures", ["conv_id", payload]),
+                        cfg,
+                    ),
+                    cfg.pair_checkpoint_parts,
+                )
+            else:
+                edges[name] = store.stage(name, fn)
     mh_edges = edges["pairs_minhash"]
     sf_edges = edges["pairs_suffix"]
     sh_edges = edges["pairs_simhash"]

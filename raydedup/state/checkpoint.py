@@ -226,8 +226,13 @@ class CheckpointStore:
         return {name: out[name] for name, _fn in specs}
 
     def partitioned_map_stage(self, name: str, input_name: str, make_ds_fn, n_parts: int):
-        """Per-partition resumable *narrow* stage (map-only, no shuffle)
-        over the files of an upstream checkpoint.
+        """Per-partition resumable stage over the files of an upstream
+        checkpoint.  Sound for any transform where input ROWS are mutually
+        independent — narrow maps (signatures) but also sub-DAGs with
+        internal shuffles (the minhash pair verification, whose candidate
+        rows don't interact) — because the parts' union then equals the
+        single-execution output.  NOT sound for transforms that group
+        upstream rows across the whole input (e.g. LSH bucketing).
 
         The upstream checkpoint's parquet files are split into up to
         ``n_parts`` deterministic groups; each part computes and persists

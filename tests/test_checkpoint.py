@@ -180,3 +180,51 @@ def test_parallel_stages_interchangeable_with_sequential(tmp_path, ray_session):
     assert calls3["n"] == 1
     assert res3["eb"].count() == 4
     assert store3.lineage == lineage_after_parallel
+
+
+def test_pair_stage_partitioned_resume(ray_session, fixture_dir, tmp_path):
+    """pair_checkpoint_parts > 1: the minhash-verify stage persists
+    per-part lineage over the candidates checkpoint's files; losing K of
+    N parts in a crash recomputes exactly K on resume, and the cluster
+    output matches a single-execution run (candidate rows are independent,
+    so any file partitioning yields the same verified edge set)."""
+    import shutil
+
+    import pandas as pd
+
+    from raydedup.config import DedupConfig
+    from raydedup.pipelines.dedup import run_pipeline
+
+    def clusters_of(res):
+        df = res["clusters"].to_pandas()
+        return (
+            df[["conv_id", "cluster_id", "status"]]
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+
+    base = DedupConfig(num_partitions=4, sig_concurrency=(1, 2))
+    ref = run_pipeline(
+        f"{fixture_dir}/transcripts.parquet", str(tmp_path / "single"), base
+    )
+    want = clusters_of(ref)
+
+    cfg = DedupConfig(
+        num_partitions=4, sig_concurrency=(1, 2), pair_checkpoint_parts=2
+    )
+    out = str(tmp_path / "parts")
+    res = run_pipeline(f"{fixture_dir}/transcripts.parquet", out, cfg)
+    ev = [e for e in res["events"] if e["stage"] == "pairs_minhash"][-1]
+    assert ev["parts_computed"] == 2 and ev["parts_resumed"] == 0, ev
+    pd.testing.assert_frame_equal(clusters_of(res), want)
+
+    # simulated crash mid-stage: one part dir survives, the other (and the
+    # stage manifest) are lost
+    assert os.path.isdir(os.path.join(out, "pairs_minhash", "part-1"))
+    shutil.rmtree(os.path.join(out, "pairs_minhash", "part-1"))
+    os.remove(os.path.join(out, "pairs_minhash", "_MANIFEST.json"))
+
+    res2 = run_pipeline(f"{fixture_dir}/transcripts.parquet", out, cfg)
+    ev2 = [e for e in res2["events"] if e["stage"] == "pairs_minhash"][-1]
+    assert ev2["parts_computed"] == 1 and ev2["parts_resumed"] == 1, ev2
+    pd.testing.assert_frame_equal(clusters_of(res2), want)
