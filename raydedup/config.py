@@ -36,6 +36,15 @@ class DedupConfig:
     # bands this is negligible (pair recall stays ~1 for J ≥ 0.8); with few
     # bands or high thresholds, lower salt_buckets before lowering bands.
     salt_buckets: int = 4
+    # Size-gated salting: 0 (default) salts every band bucket as above.
+    # >0 enables an exact two-pass gate — band buckets are first counted
+    # (one extra 8-byte-key shuffle over the band rows), and only buckets
+    # with at least this many member rows get the salt split.  This
+    # removes the ≈(J + (1-J)/salt_buckets) recall factor entirely for
+    # low-band / high-threshold configs, where constant salting can lose
+    # a true pair whose two docs draw different salts.  Exact counts are
+    # partition-invariant, so determinism across partitionings holds.
+    salt_gate_min_bucket: int = 0
     bucket_pair_cap: int = 50       # clique emission below this group size; chain above
     max_bucket_emit: int = 2_000    # hard cap on edges emitted per (band,hash,salt) bucket
 

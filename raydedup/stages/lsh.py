@@ -75,8 +75,16 @@ def signature_matrix(batch: pa.Table, num_perm: int) -> np.ndarray:
     return flat.to_numpy(zero_copy_only=False).astype(np.uint64).reshape(-1, num_perm)
 
 
-def make_band_rows(cfg: DedupConfig):
-    """map_batches fn: signatures → BANDS rows (vectorized, no Python row loop)."""
+def make_band_rows(cfg: DedupConfig, hot_buckets: np.ndarray | None = None,
+                   gated: bool = False):
+    """map_batches fn: signatures → BANDS rows (vectorized, no Python row loop).
+
+    ``gated=False`` (default): every bucket key carries the salt, exactly
+    as before.  ``gated=True``: keys start UNSALTED; rows whose unsalted
+    key appears in ``hot_buckets`` (the exact over-threshold set from the
+    counting pass — see ``_hot_buckets``) switch to the salted key.  A
+    bucket is hot or not as a whole, so the two key variants never mix
+    within one bucket."""
 
     powers = _FNV ** np.arange(cfg.rows - 1, -1, -1, dtype=np.uint64)
     band_mix = splitmix64(np.arange(cfg.bands, dtype=np.uint64) + np.uint64(0xB0BA))
@@ -104,7 +112,14 @@ def make_band_rows(cfg: DedupConfig):
         # share every bucket key.  A 64-bit collision between distinct
         # buckets merely merges them (extra candidate pairs, verified
         # away), never loses a pair.
-        bucket = splitmix64(bh ^ (salt + np.uint64(0x5A17))[:, None])
+        salted = splitmix64(bh ^ (salt + np.uint64(0x5A17))[:, None])
+        if not gated:
+            bucket = salted
+        else:
+            bucket = splitmix64(bh ^ np.uint64(0x5A17))  # unsalted
+            if hot_buckets is not None and len(hot_buckets):
+                m = np.isin(bucket, hot_buckets)
+                bucket = np.where(m, salted, bucket)
         # chain-ordering key for over-cap buckets: a secondary signature
         # element, so near-identical docs sort adjacently inside a capped
         # bucket and their chain edges survive exact verification
@@ -202,6 +217,34 @@ def make_pair_dedup():
     return dedup
 
 
+def _hot_buckets(sigs_ds, cfg: DedupConfig) -> np.ndarray:
+    """Exact set of unsalted band-bucket keys with at least
+    ``cfg.salt_gate_min_bucket`` member rows: one bucket-keyed count
+    shuffle over just the 8-byte key column.  Exact global counts are
+    partition-invariant, so gated salting preserves the pipeline's
+    determinism-across-partitioning property (a per-block heavy-hitter
+    estimate would not).  Driver footprint is bounded by
+    total_rows / threshold keys (8 B each)."""
+    rows = sigs_ds.map_batches(
+        make_band_rows(cfg, gated=True), batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["bucket"])
+    thresh = cfg.salt_gate_min_bucket
+
+    def hot(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.uint64())})
+        g = t.group_by(["bucket"], use_threads=False).aggregate([("bucket", "count")])
+        g = g.filter(pa.compute.greater_equal(g["bucket_count"], thresh))
+        return g.select(["bucket"])
+
+    parts = keyed_blocks(rows, ["bucket"], cfg.num_partitions).map_batches(
+        hot, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    if not parts:
+        return np.empty(0, np.uint64)
+    return np.sort(np.array([r["bucket"] for r in parts], dtype=np.uint64))
+
+
 def candidate_pairs(sigs_ds, cfg: DedupConfig, pair_mask_fn=None, prefilter: bool = False):
     """signatures → deduplicated candidate pairs (a, b, n_bands, capped).
 
@@ -210,11 +253,20 @@ def candidate_pairs(sigs_ds, cfg: DedupConfig, pair_mask_fn=None, prefilter: boo
     shuffle.  ``prefilter=True`` drops (probable-)singleton buckets before
     the bucket shuffle via the twice-Bloom pass (bit-identical pairs; see
     ``raydedup.functions.dupbloom``) — callers should enable it only when
-    ``sigs_ds`` is cheap to scan twice (checkpoint read / materialized)."""
+    ``sigs_ds`` is cheap to scan twice (checkpoint read / materialized).
+
+    With ``cfg.salt_gate_min_bucket > 0`` the salt split applies only to
+    band buckets the exact counting pass found over the threshold (skew
+    control without the constant-salting recall factor; costs one extra
+    key-column shuffle over the band rows)."""
+    gated = cfg.salt_gate_min_bucket > 0
+    hot = _hot_buckets(sigs_ds, cfg) if gated else None
 
     def make_rows():
         return sigs_ds.map_batches(
-            make_band_rows(cfg), batch_format="pyarrow", zero_copy_batch=True
+            make_band_rows(cfg, hot_buckets=hot, gated=gated),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
 
     if prefilter and cfg.prefilter_bloom_bits:

@@ -198,3 +198,66 @@ def test_prefilter_bloom_pairs_identical(ray_session):
     base_s = pair_set(suffix_pairs(docs, cfg, prefilter=False))
     pref_s = pair_set(suffix_pairs(docs, cfg, prefilter=True))
     assert base_s == pref_s and len(base_s) > 0
+
+
+def test_size_gated_salting_recall(ray_session):
+    """Constant salting can lose a true near-dup pair at a low-band
+    config: two docs that differ at minhash[0] (→ different salts) but
+    agree on a whole band never share a salted bucket key.  The exact
+    size-gated mode (salt_gate_min_bucket > 0) leaves sub-threshold
+    buckets unsalted, so the pair is found — while an over-threshold
+    mega-bucket of identical signatures still gets the salt split (equal
+    signatures share every key, so its pairs survive either way)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.config import DedupConfig
+    from raydedup.functions.hashing import splitmix64
+    from raydedup.stages.lsh import candidate_pairs
+
+    base = dict(num_perm=8, bands=2, rows=4, salt_buckets=64)
+
+    # hand-built signatures: A and B agree on band 1 (sig[4:8]) but differ
+    # at sig[0], with salts provably different under salt_buckets=64
+    sig_a = np.array([11, 21, 31, 41, 101, 102, 103, 104], dtype=np.uint64)
+    sig_b = sig_a.copy()
+    for cand in range(12, 1000):
+        sig_b[0] = cand
+        if splitmix64(sig_a[:1])[0] % 64 != splitmix64(sig_b[:1])[0] % 64:
+            break
+    assert splitmix64(sig_a[:1])[0] % 64 != splitmix64(sig_b[:1])[0] % 64
+
+    # an over-threshold bucket: 30 identical signatures
+    mega = np.array([7, 8, 9, 10, 77, 88, 99, 111], dtype=np.uint64)
+    rows_ = [
+        {"conv_id": "A", "minhash": sig_a.tolist(), "n_shingles": 8},
+        {"conv_id": "B", "minhash": sig_b.tolist(), "n_shingles": 8},
+    ] + [
+        {"conv_id": f"M{i:02d}", "minhash": mega.tolist(), "n_shingles": 8}
+        for i in range(30)
+    ]
+    sigs = rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array([r["conv_id"] for r in rows_]),
+                "minhash": pa.array([r["minhash"] for r in rows_], pa.list_(pa.uint64())),
+                "n_shingles": pa.array([r["n_shingles"] for r in rows_], pa.int64()),
+            }
+        )
+    )
+
+    def pairs_with(**over):
+        cfg = DedupConfig(num_partitions=2, **base, **over)
+        got = candidate_pairs(sigs, cfg).to_pandas()
+        return set(zip(got["a"], got["b"]))
+
+    constant = pairs_with(salt_gate_min_bucket=0)
+    gated = pairs_with(salt_gate_min_bucket=10)
+
+    assert ("A", "B") not in constant          # today's recall factor, demonstrated
+    assert ("A", "B") in gated                 # gate removes it
+    # the mega-bucket stays connected in BOTH modes
+    for pairs in (constant, gated):
+        mm = {p for p in pairs if p[0].startswith("M") and p[1].startswith("M")}
+        nodes = {x for p in mm for x in p}
+        assert len(nodes) == 30, f"mega bucket lost members: {len(nodes)}"
