@@ -163,6 +163,13 @@ class DedupConfig:
     prefilter_bloom_bits: int = 0
     prefilter_min_docs: int = 300_000
 
+    # optional CSV report sinks (S6/S7/S10 full surface parity: the
+    # reference emits duplicates/unique CSV reports,
+    # duplicate_face.py:114-134): pairs and clusters additionally export
+    # as CSV under <out>/csv/ — a convenience export, not a checkpoint
+    # (never read back for resume; parquet remains the engine format)
+    emit_csv_reports: bool = False
+
     # optional artifact sink (S11 analog: the reference saves every
     # detected face crop, face_recognition_custom.py:95-100): per-doc
     # extracted-feature debug table written under <out>/artifacts

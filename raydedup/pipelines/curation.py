@@ -667,7 +667,7 @@ def _gram_frame(df: pd.DataFrame, n: int) -> pd.DataFrame:
     return out.drop_duplicates(["doc_id", "g"]).reset_index(drop=True)
 
 
-def ngram_decontaminate(sf_dir: str, bloom_bits: int = 1 << 20, n_hashes: int = 4):
+def ngram_decontaminate(sf_dir: str, bloom_bits: int | None = None, n_hashes: int = 4):
     """(doc_id, n_shared_grams, contaminated) for every non-benchmark doc:
     the count of its distinct token ``DECON_N``-grams that also occur in
     any benchmark document, and a 0/1 contamination flag.
@@ -697,7 +697,6 @@ def ngram_decontaminate(sf_dir: str, bloom_bits: int = 1 << 20, n_hashes: int = 
 
     ensure_hash_shuffle()  # before read_parquet: the context binds at creation
     n = DECON_N
-    m = np.uint64(bloom_bits)
     seeds = (np.arange(n_hashes, dtype=np.uint64) + np.uint64(1)) * np.uint64(
         0x9E3779B97F4A7C15
     )
@@ -720,6 +719,19 @@ def ngram_decontaminate(sf_dir: str, bloom_bits: int = 1 << 20, n_hashes: int = 
     # Bloom fold and the exact verify rows below read these blocks from the
     # object store instead of re-tokenizing the benchmark slice
     bench_ds = _docs_cols().map_batches(bench_grams, batch_format="pandas").materialize()
+
+    # Size the Bloom from the actual benchmark gram count (~10 bits/gram,
+    # FP ≈ 1% at 4 hashes) instead of a fixed 2^20: a large real benchmark
+    # slice would saturate a fixed filter (FP → 1), silently degrading the
+    # pre-shuffle prefilter to shipping nearly the full training gram
+    # stream (output stays exact either way — the in-partition verify
+    # removes false positives).  Power-of-two bits, floor 2^20, ceiling
+    # 2^28 (a 32 MiB broadcast); count() on the materialized small side is
+    # metadata, not an execution.
+    if bloom_bits is None:
+        n_bench_grams = max(1, bench_ds.count())
+        bloom_bits = 1 << min(28, max(20, int(np.ceil(np.log2(10 * n_bench_grams)))))
+    m = np.uint64(bloom_bits)
 
     def bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(int(m), dtype=bool)

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from raydedup.ray_utils import read_parquet_clean
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -220,6 +222,19 @@ def run_pipeline(
         return lab_joined.map_batches(finalize, batch_format="pyarrow")
 
     clusters = store.stage("clusters", compute_clusters)
+
+    # optional CSV exports (S6/S7/S10 surface parity: the reference's
+    # duplicates/unique CSV reports, duplicate_face.py:114-134) — pure
+    # sinks, partitioned one file per block like every other output;
+    # resume/lineage stays parquet-only
+    if cfg.emit_csv_reports:
+        import shutil as _shutil
+
+        for csv_name, ds_csv in (("pairs", pairs), ("clusters", clusters)):
+            csv_dir = os.path.join(out_dir, "csv", csv_name)
+            if os.path.exists(csv_dir):
+                _shutil.rmtree(csv_dir)
+            ds_csv.write_csv(csv_dir)
 
     # optional artifact sink (S11 analog: the reference writes every
     # detected face crop to detected_faces/, face_recognition_custom.py:95-100;

@@ -1303,10 +1303,17 @@ def event_interarrival(sf_dir: str):
             )
         df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
         uid = df["user_id"].to_numpy(np.int64)
+        # NaT-safe: a NaT ts casts to int64-min garbage, so rows where
+        # either endpoint is NaT get gap_us=-1 explicitly — the twin's
+        # NULL-propagating date_diff + COALESCE(-1) semantics (pandas
+        # sorts NaT last per user, matching DuckDB's NULLS LAST)
+        valid = df["ts"].notna().to_numpy()
         ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
         gap = np.empty(len(df), dtype=np.int64)
         gap[0] = -1
-        gap[1:] = np.where(uid[1:] == uid[:-1], ts[1:] - ts[:-1], -1)
+        gap[1:] = np.where(
+            (uid[1:] == uid[:-1]) & valid[1:] & valid[:-1], ts[1:] - ts[:-1], -1
+        )
         return pd.DataFrame(
             {
                 "event_id": df["event_id"].to_numpy(dtype=np.int64),
@@ -1351,7 +1358,15 @@ def window_active_users(sf_dir: str, hours: int = 1):
             return pd.DataFrame({"window_start": pd.Series([], dtype=object),
                                  "n_active": pd.Series([], dtype=np.int64)})
         d = df.drop_duplicates(["window_start", "user_id"])
-        out = d.groupby("window_start", sort=False).size().rename("n_active").reset_index()
+        # dropna=False: a NaT-derived NULL window must surface as its own
+        # group row (the DuckDB twin's GROUP BY groups NULLs together);
+        # default pandas groupby would silently drop it
+        out = (
+            d.groupby("window_start", sort=False, dropna=False)
+            .size()
+            .rename("n_active")
+            .reset_index()
+        )
         return out.astype({"n_active": np.int64})
 
     ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])

@@ -1141,3 +1141,52 @@ def test_shipping_priority_topk(ray_session):
     assert (df["o_orderkey"].to_numpy() == exp["o_orderkey"].to_numpy()).all()
     assert (df["revenue_cents"].to_numpy() == exp["revenue_cents"].to_numpy()).all()
     assert (df["rnk"].to_numpy() == exp["rnk"].to_numpy()).all()
+
+
+def test_null_ts_matches_duckdb_twin(ray_session, tmp_path):
+    """NaT timestamps follow the SQL twins' NULL semantics: gap_us=-1 when
+    either LAG endpoint is NULL (COALESCE), and a NULL window group row in
+    window_active_users (DuckDB GROUP BY groups NULLs) instead of a
+    silently-dropped pandas NaN group.  The sf fixtures carry no null ts,
+    so this pins the divergence path directly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import event_interarrival, window_active_users
+
+    ts = pa.array(
+        [
+            "2026-01-01 10:00:00", None, "2026-01-01 10:10:00",
+            "2026-01-01 11:00:00", "2026-01-01 11:30:00", None,
+        ],
+    ).cast(pa.timestamp("us"))
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+            "ts": ts,
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+
+    gaps = event_interarrival(sf).to_pandas().sort_values("event_id").reset_index(drop=True)
+    want = con.execute(
+        "SELECT event_id, user_id, CAST(COALESCE(date_diff('microsecond', "
+        "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), -1) "
+        "AS BIGINT) AS gap_us FROM events ORDER BY event_id"
+    ).df()
+    pd.testing.assert_frame_equal(gaps, want, check_dtype=False)
+
+    act = window_active_users(sf).to_pandas()
+    want2 = con.execute(
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active FROM events GROUP BY 1"
+    ).df()
+    key = lambda df: df.fillna("\0").sort_values("window_start").reset_index(drop=True)
+    a, b = key(act), key(want2)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

@@ -241,3 +241,31 @@ def test_artifact_sink(ray_session, fixture_dir, tmp_path):
             )
             for v in art["top_features"]
         )
+
+
+def test_csv_report_sinks(ray_session, fixture_dir, tmp_path):
+    """emit_csv_reports exports pairs + clusters as CSV (the reference's
+    duplicates/unique CSV reports, duplicate_face.py:114-134) alongside —
+    never instead of — the parquet checkpoints; contents round-trip."""
+    import glob
+
+    from raydedup.pipelines.dedup import run_pipeline
+
+    out = str(tmp_path / "out")
+    cfg = DedupConfig(
+        num_partitions=4, sig_concurrency=(1, 2), emit_csv_reports=True
+    )
+    res = run_pipeline(f"{fixture_dir}/transcripts.parquet", out, cfg)
+    for name, ds in (("pairs", res["pairs"]), ("clusters", res["clusters"])):
+        files = glob.glob(os.path.join(out, "csv", name, "*.csv"))
+        assert files, f"no CSV files for {name}"
+        got = pd.concat([pd.read_csv(f) for f in files], ignore_index=True)
+        want = ds.to_pandas()
+        assert len(got) == len(want)
+        assert sorted(got.columns) == sorted(want.columns)
+        key = ["a", "b"] if name == "pairs" else ["conv_id"]
+        g = got.sort_values(key).reset_index(drop=True)
+        w = want.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            g[sorted(got.columns)], w[sorted(want.columns)], check_dtype=False
+        )
