@@ -152,6 +152,69 @@ def run_pipeline(
                     ),
                     cfg.pair_checkpoint_parts,
                 )
+            elif (
+                name == "pairs_suffix"
+                and cfg.checkpoint_mode == "disk"
+                and cfg.pair_checkpoint_parts > 1
+            ):
+                # resumable fp shuffle: winnow fingerprints are computed
+                # once into a kpart-hive-partitioned checkpoint (kpart is a
+                # pure function of fp, so buckets never span parts), then
+                # each part shuffles + emits independently — a crash
+                # mid-shuffle loses only unfinished parts, never the
+                # fingerprint compute (north rule per-partition lineage)
+                from raydedup.stages.suffix import suffix_edges_from_fps, suffix_fp_rows
+
+                store.stage(
+                    "suffix_fps",
+                    lambda: suffix_fp_rows(
+                        docs, cfg, prefilter=prefilter, n_docs=n_docs,
+                        n_parts=cfg.pair_checkpoint_parts,
+                    ),
+                    partition_cols=["kpart"],
+                )
+                edges[name] = store.partitioned_map_stage(
+                    name,
+                    "suffix_fps",
+                    lambda files: suffix_edges_from_fps(
+                        read_parquet_clean(files, columns=["fp", "conv_id"]), cfg
+                    ),
+                    cfg.pair_checkpoint_parts,
+                    group_by_dir=True,
+                )
+            elif (
+                name == "pairs_simhash"
+                and cfg.checkpoint_mode == "disk"
+                and cfg.pair_checkpoint_parts > 1
+            ):
+                # same scheme over the pigeonhole block rows
+                from raydedup.stages.simhash_pairs import (
+                    simhash_block_rows,
+                    simhash_edges_from_blocks,
+                )
+
+                store.stage(
+                    "simhash_blocks",
+                    lambda: simhash_block_rows(
+                        store.read("signatures", ["conv_id", "simhash", "n_shingles"]),
+                        cfg,
+                        n_parts=cfg.pair_checkpoint_parts,
+                    ),
+                    partition_cols=["kpart"],
+                )
+                edges[name] = store.partitioned_map_stage(
+                    name,
+                    "simhash_blocks",
+                    lambda files: simhash_edges_from_blocks(
+                        read_parquet_clean(
+                            files,
+                            columns=["block_idx", "block_val", "conv_id", "simhash"],
+                        ),
+                        cfg,
+                    ),
+                    cfg.pair_checkpoint_parts,
+                    group_by_dir=True,
+                )
             else:
                 edges[name] = store.stage(name, fn)
     mh_edges = edges["pairs_minhash"]

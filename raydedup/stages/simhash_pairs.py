@@ -116,7 +116,45 @@ def simhash_pairs(sigs_ds, cfg: DedupConfig):
     blocks = sigs_ds.select_columns(["conv_id", "simhash", "n_shingles"]).map_batches(
         make_block_rows(cfg), batch_format="pyarrow", zero_copy_batch=True
     )
-    raw = keyed_blocks(blocks, ["block_idx", "block_val"], cfg.num_partitions).map_batches(
+    grouped = keyed_blocks(blocks, ["block_idx", "block_val"], cfg.num_partitions)
+    return simhash_edges_from_blocks(grouped, cfg, regroup=False)
+
+
+def simhash_block_rows(sigs_ds, cfg: DedupConfig, n_parts: int = 1):
+    """signatures → raw pigeonhole block rows, optionally tagged with a
+    ``kpart`` column (a mixed hash of the shuffle key ``(block_idx,
+    block_val)`` mod ``n_parts``) for a hive-partitioned checkpoint.  As
+    with ``suffix_fp_rows``, ``kpart`` is a pure function of the shuffle
+    key, so every pigeonhole bucket is wholly contained in one ``kpart=i/``
+    directory and per-directory emission is exact."""
+    blocks = sigs_ds.select_columns(["conv_id", "simhash", "n_shingles"]).map_batches(
+        make_block_rows(cfg), batch_format="pyarrow", zero_copy_batch=True
+    )
+    if n_parts > 1:
+        parts = np.uint64(n_parts)
+        mix = np.uint64(0x9E3779B97F4A7C15)
+
+        def tag(t: pa.Table) -> pa.Table:
+            bv = np.asarray(t["block_val"], dtype=np.uint64)
+            bi = np.asarray(t["block_idx"]).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = (bv + bi * mix) * mix
+            return t.append_column(
+                "kpart", pa.array((h % parts).astype(np.int32))
+            )
+
+        blocks = blocks.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return blocks
+
+
+def simhash_edges_from_blocks(blocks_ds, cfg: DedupConfig, regroup: bool = True):
+    """Pigeonhole block rows → Hamming-verified decorated edges.
+
+    ``regroup=True`` re-applies the key grouping (checkpoint re-read path);
+    ``regroup=False`` is the fused in-memory path."""
+    if regroup:
+        blocks_ds = keyed_blocks(blocks_ds, ["block_idx", "block_val"], cfg.num_partitions)
+    raw = blocks_ds.map_batches(
         make_block_emitter(cfg),
         batch_size=None,
         batch_format="pyarrow",

@@ -120,7 +120,63 @@ def suffix_pairs(docs_ds, cfg: DedupConfig, prefilter: bool = False,
         fps = prefilter_dup_keys(make_rows, "fp", cfg.prefilter_bloom_bits)
     else:
         fps = make_rows()
-    raw = keyed_blocks(fps, ["fp"], cfg.num_partitions).map_batches(
+    grouped = keyed_blocks(fps, ["fp"], cfg.num_partitions)
+    return suffix_edges_from_fps(grouped, cfg, regroup=False)
+
+
+def suffix_fp_rows(docs_ds, cfg: DedupConfig, prefilter: bool = False,
+                   n_docs: int | None = None, n_parts: int = 1):
+    """docs → raw (fp, conv_id) fingerprint rows, optionally tagged with a
+    ``kpart = fp % n_parts`` column for a hive-partitioned checkpoint
+    (``write_parquet(partition_cols=["kpart"])``).  Because ``kpart`` is a
+    pure function of the shuffle key, every fingerprint bucket lives wholly
+    inside one ``kpart=i/`` directory — so per-directory pair emission
+    (``suffix_edges_from_fps`` with ``regroup=True``) over any one part is
+    exact, and the union over parts equals the single-shuffle output.
+    This is the winnow-kernel half of ``suffix_pairs``, split out so the
+    expensive fingerprint compute is checkpointed once and the fp shuffle
+    itself becomes per-partition resumable (north rule: "resumes mid-shuffle
+    without recomputing signatures")."""
+    batch_size = _winnow_batch_size(cfg, n_docs)
+
+    def make_rows():
+        return docs_ds.map_batches(
+            make_fp_rows(cfg),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
+
+    if prefilter and cfg.prefilter_bloom_bits:
+        from raydedup.functions.dupbloom import prefilter_dup_keys
+
+        fps = prefilter_dup_keys(make_rows, "fp", cfg.prefilter_bloom_bits)
+    else:
+        fps = make_rows()
+    if n_parts > 1:
+        parts = np.uint64(n_parts)
+
+        def tag(t: pa.Table) -> pa.Table:
+            fp = np.asarray(t["fp"], dtype=np.uint64)
+            return t.append_column(
+                "kpart", pa.array((fp % parts).astype(np.int32))
+            )
+
+        fps = fps.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return fps
+
+
+def suffix_edges_from_fps(fps_ds, cfg: DedupConfig, regroup: bool = True):
+    """(fp, conv_id) rows → decorated exact edges.
+
+    ``regroup=True`` re-applies the fp hash grouping first — required when
+    the rows come back from a parquet checkpoint (Ray may split one written
+    partition across read tasks, so block boundaries no longer align with
+    key groups).  ``regroup=False`` is the fused in-memory path where the
+    caller already shuffled."""
+    if regroup:
+        fps_ds = keyed_blocks(fps_ds, ["fp"], cfg.num_partitions)
+    raw = fps_ds.map_batches(
         make_fp_emitter(cfg),
         batch_size=None,
         batch_format="pyarrow",

@@ -74,13 +74,15 @@ class CheckpointStore:
             return m
         return None
 
-    def _persist(self, name: str, ds, lineage: str) -> int:
+    def _persist(self, name: str, ds, lineage: str,
+                 partition_cols: list | None = None) -> int:
         """Write ``ds`` to the stage checkpoint atomically (tmp → rename)
         with its manifest; returns the row count.  Thread-safe across
         distinct stage names (independent dirs, no shared state)."""
         target = self.path(name)
         tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
-        ds.write_parquet(tmp, compression=self.compression)
+        ds.write_parquet(tmp, compression=self.compression,
+                         partition_cols=partition_cols)
         _ensure_nonempty_parquet(tmp, ds)
         rows = _parquet_rows(tmp)
         manifest = {
@@ -97,9 +99,15 @@ class CheckpointStore:
         os.rename(tmp, target)
         return rows
 
-    def stage(self, name: str, compute_fn, ray_module=None):
+    def stage(self, name: str, compute_fn, ray_module=None,
+              partition_cols: list | None = None):
         """Return a Dataset for ``name``: resumed from a valid checkpoint, or
         computed via ``compute_fn()`` and persisted atomically.
+
+        ``partition_cols`` hive-partitions the written checkpoint (disk mode
+        only) — used by the resumable pair stages so a downstream
+        ``partitioned_map_stage(..., group_by_dir=True)`` gets key-closed
+        ``kpart=i/`` part directories.
 
         Advances the lineage chain either way, so downstream validity
         depends on every upstream stage's identity.
@@ -130,7 +138,8 @@ class CheckpointStore:
             ds = read_parquet_clean(target)
         else:
             ds = compute_fn()
-            rows = self._persist(name, ds, self.lineage)
+            rows = self._persist(name, ds, self.lineage,
+                                 partition_cols=partition_cols)
             self.events.append(
                 {
                     "stage": name,
@@ -225,14 +234,20 @@ class CheckpointStore:
                     out[name] = read_parquet_clean(self.path(name))
         return {name: out[name] for name, _fn in specs}
 
-    def partitioned_map_stage(self, name: str, input_name: str, make_ds_fn, n_parts: int):
+    def partitioned_map_stage(self, name: str, input_name: str, make_ds_fn,
+                              n_parts: int, group_by_dir: bool = False):
         """Per-partition resumable stage over the files of an upstream
         checkpoint.  Sound for any transform where input ROWS are mutually
         independent — narrow maps (signatures) but also sub-DAGs with
         internal shuffles (the minhash pair verification, whose candidate
         rows don't interact) — because the parts' union then equals the
         single-execution output.  NOT sound for transforms that group
-        upstream rows across the whole input (e.g. LSH bucketing).
+        upstream rows across the whole input (e.g. LSH bucketing), UNLESS
+        the upstream checkpoint was hive-partitioned by a pure function of
+        the grouping key (``stage(..., partition_cols=["kpart"])``): then
+        ``group_by_dir=True`` makes each part one ``kpart=i/`` directory,
+        key groups never span parts, and a per-part re-shuffle + group is
+        exact (the resumable suffix/simhash pair stages).
 
         The upstream checkpoint's parquet files are split into up to
         ``n_parts`` deterministic groups; each part computes and persists
@@ -272,8 +287,20 @@ class CheckpointStore:
                 glob.glob(os.path.join(self.path(input_name), "**", "*.parquet"),
                           recursive=True)
             )
-            n_parts = max(1, min(n_parts, len(files)))
-            groups = [files[i::n_parts] for i in range(n_parts)]
+            if group_by_dir:
+                # one part per hive partition directory of the upstream
+                # checkpoint (key-closed by construction); files directly at
+                # the checkpoint root (e.g. the empty-dataset placeholder)
+                # form one extra part
+                root = self.path(input_name)
+                by_dir: dict = {}
+                for f in files:
+                    by_dir.setdefault(os.path.relpath(os.path.dirname(f), root), []).append(f)
+                groups = [by_dir[d] for d in sorted(by_dir)] or [[]]
+                n_parts = len(groups)
+            else:
+                n_parts = max(1, min(n_parts, len(files)))
+                groups = [files[i::n_parts] for i in range(n_parts)]
             os.makedirs(target, exist_ok=True)
             # clear foreign part dirs (e.g. from a run with different n_parts)
             valid_names = {f"part-{i}" for i in range(n_parts)}
@@ -385,8 +412,9 @@ def _ensure_nonempty_parquet(path: str, ds) -> None:
     import pyarrow.parquet as pq
 
     os.makedirs(path, exist_ok=True)
-    if any(f.endswith(".parquet") for f in os.listdir(path)):
-        return
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return
     schema = ds.schema().base_schema
     pq.write_table(schema.empty_table(), os.path.join(path, "empty-0.parquet"))
 

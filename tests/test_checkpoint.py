@@ -228,3 +228,25 @@ def test_pair_stage_partitioned_resume(ray_session, fixture_dir, tmp_path):
     ev2 = [e for e in res2["events"] if e["stage"] == "pairs_minhash"][-1]
     assert ev2["parts_computed"] == 1 and ev2["parts_resumed"] == 1, ev2
     pd.testing.assert_frame_equal(clusters_of(res2), want)
+
+    # the suffix/simhash pair stages are partitioned too (key-closed
+    # kpart-hive upstream checkpoints + group_by_dir): losing one part of
+    # each recomputes exactly that part, from the persisted fp/block rows
+    # (the winnow/signature compute is NOT redone), and output is unchanged
+    for stage in ("pairs_suffix", "pairs_simhash"):
+        parts = sorted(
+            d for d in os.listdir(os.path.join(out, stage)) if d.startswith("part-")
+        )
+        assert len(parts) >= 2, (stage, parts)
+        shutil.rmtree(os.path.join(out, stage, parts[0]))
+        os.remove(os.path.join(out, stage, "_MANIFEST.json"))
+    res3 = run_pipeline(f"{fixture_dir}/transcripts.parquet", out, cfg)
+    for stage, upstream in (
+        ("pairs_suffix", "suffix_fps"),
+        ("pairs_simhash", "simhash_blocks"),
+    ):
+        ev3 = [e for e in res3["events"] if e["stage"] == stage][-1]
+        assert ev3["parts_computed"] == 1 and ev3["parts_resumed"] >= 1, (stage, ev3)
+        up = [e for e in res3["events"] if e["stage"] == upstream][-1]
+        assert up["action"] == "resumed", (upstream, up)
+    pd.testing.assert_frame_equal(clusters_of(res3), want)
