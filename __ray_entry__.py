@@ -126,7 +126,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     dict.  Semantics are unchanged; only ordering moved."""
     from raydedup.pipelines import curation, docdedup, docops, relops, similarity
 
+    from raydedup.pipelines import sampling
+
     return {
+        # ============ block 0: round-3 additions (need first driver row) ====
+        # Efraimidis–Spirakis weighted sample (two-level top-k, no sort)
+        "q_weighted_sample": sampling.weighted_sample,
+        # class-balanced mixture downsample (two-pass broadcast quota)
+        "q_mixture_sample": sampling.mixture_sample,
+        # SemDeDup semantic dedup + SSL-prototypes pruning (k-means gated;
+        # iterative model state → no SQL twin, pytest oracles bound both)
+        "q_semdedup": similarity.semdedup,
+        "q_prototype_prune": similarity.prototype_prune,
         # ============ block 1: round-2 driver-unchecked entries ============
         # scaling-dim co-shuffle join (part grows with data → no broadcast)
         "q_brand_revenue": relops.brand_revenue,
@@ -311,6 +322,26 @@ def oracle_sql() -> dict[str, str]:
     from raydedup.pipelines import curation as _CUR
 
     return {
+        # A-Res weighted sampling: the twin recomputes the identical
+        # md5-derived uniform (13 hex chars = 52 bits, exact in float64)
+        # and key ln(u)/w, so even the float column hash-matches
+        "q_weighted_sample": """
+            SELECT doc_id, n_chars,
+                   ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 1)
+                      / 4503599627370496.0) / GREATEST(n_chars, 1) AS skey
+            FROM documents
+            ORDER BY skey DESC, doc_id
+            LIMIT 64
+        """,
+        "q_mixture_sample": """
+            WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+                 q AS (SELECT MIN(n) AS q FROM c),
+                 r AS (SELECT doc_id, lang,
+                              row_number() OVER (PARTITION BY lang
+                                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                       FROM documents)
+            SELECT doc_id, lang FROM r, q WHERE rn <= q.q
+        """,
         "q_langid": _langid_sql(),
         # text is wrapped COALESCE(text,'') in the exact-dedup twins so a
         # NULL text groups with '' exactly as the engine's fillna('') does

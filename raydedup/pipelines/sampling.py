@@ -1,0 +1,154 @@
+"""Weighted and mixture sampling operators for training-data assembly.
+
+Two deterministic, shuffle-light sampling primitives a 100-TB corpus
+pipeline needs beyond the engine's plain hash sample (``docops.sample_docs``)
+and per-group k-sample (``curation.sample_per_group``):
+
+- ``weighted_sample``: weighted sampling WITHOUT replacement
+  (Efraimidis–Spirakis A-Res, Inf. Proc. Letters 2006): each row gets the
+  key ``u**(1/w)`` for a uniform ``u`` and weight ``w``; the global top-k
+  by key IS an exact weighted sample.  The uniform is derived from
+  ``md5(doc_id)`` — no RNG state, reproducible across runs, partitionings
+  and cluster sizes, and SQL-twinnable (the DuckDB twin recomputes the
+  identical key).
+- ``mixture_sample``: class-balance / data-mixing downsample — compute the
+  per-group cardinalities (tiny aggregate), derive a per-group quota (the
+  minority-group count, the classic balancing mix), then keep each group's
+  ``quota`` lowest-hash documents.  Two passes over the corpus, both
+  streaming; the quota table is a broadcast small side, never a join.
+
+Scale shape (both): per-block pre-pruning to the local top-k/quota means
+the only data movement is ≤ blocks × k (or blocks × groups × quota) rows —
+never the corpus.  Reference parity note: the reference has no sampling
+surface at all; these are beyond-parity additions for LLM-corpus work
+(mixture weighting per Gopher/The Pile-style source mixing).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from raydedup.ray_utils import ensure_hash_shuffle, keyed_blocks, read_parquet_clean
+
+# 13 hex chars = 52 bits — exactly representable in a float64, so
+# `(v + 1) / 2**52` is bit-identical between numpy and the DuckDB twin.
+_U_HEX = 13
+_U_DEN = float(1 << 52)
+
+
+def _docs(sf_dir: str, columns):
+    ensure_hash_shuffle()  # before read_parquet: the context binds at creation
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _md5_uniform(ids: np.ndarray) -> np.ndarray:
+    """Deterministic uniform in (0, 1]: first 52 bits of md5(str(id)).
+
+    md5 of a short string is CPU-trivial next to the scan; the per-value
+    hashlib call matches the DuckDB twin's ``md5(CAST(id AS VARCHAR))``
+    bit-for-bit (a vectorized integer mixer would be faster but has no
+    SQL-side equivalent, which would break the correctness contract).
+    """
+    v = np.fromiter(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:_U_HEX], 16) for i in ids),
+        dtype=np.int64,
+        count=len(ids),
+    )
+    return (v + 1) / _U_DEN
+
+
+def weighted_sample(sf_dir: str, k: int = 64):
+    """Exact weighted sample without replacement → (doc_id, n_chars, skey).
+
+    A-Res keys: ``skey = ln(u) / w`` with ``w = max(n_chars, 1)`` (the
+    log of ``u**(1/w)`` — monotone, so top-k by ``skey`` descending is the
+    same sample, and the log form is exact for tiny keys).  Longer
+    documents are proportionally more likely to be drawn — the
+    byte-weighted sampling used when a token budget, not a doc budget,
+    defines the slice.
+
+    Scale shape: two-level top-k exactly like ``docops.longest_docs`` —
+    each block keeps its local top-k (argsort over ≤ batch rows), the
+    ≤ blocks × k survivors collapse into one tiny block for the exact
+    global cut.  No global sort, no shuffle of the corpus.
+    """
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        w = np.maximum(df["n_chars"].to_numpy(dtype=np.int64), 1)
+        skey = np.log(_md5_uniform(ids)) / w
+        out = pd.DataFrame({"doc_id": ids, "n_chars": df["n_chars"].to_numpy(np.int64),
+                            "skey": skey})
+        if len(out) > k:
+            out = out.sort_values(["skey", "doc_id"], ascending=[False, True],
+                                  kind="stable").head(k)
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "n_chars": pd.Series([], dtype=np.int64),
+                                 "skey": pd.Series([], dtype=np.float64)})
+        return (df.sort_values(["skey", "doc_id"], ascending=[False, True],
+                               kind="stable").head(k).reset_index(drop=True))
+
+    cands = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        local_topk, batch_format="pandas"
+    )
+    return cands.repartition(1).map_batches(final, batch_size=None,
+                                            batch_format="pandas")
+
+
+def mixture_sample(sf_dir: str, group: str = "lang", num_partitions: int = 4):
+    """Class-balanced downsample → (doc_id, lang): every language keeps
+    exactly ``min_g count(g)`` documents, chosen as the group's
+    lowest-``md5(doc_id)`` rows (deterministic, content-free).
+
+    The two-pass broadcast pattern: pass 1 is a per-block ``value_counts``
+    partial folded into the global per-group counts (≤ blocks × groups
+    rows — a driver-safe small side); the min-count quota then rides into
+    pass 2 as a plain closure constant.  Pass 2 prunes each block to its
+    local per-group quota-head before the ``group``-keyed shuffle, so the
+    exchange moves ≤ blocks × groups × quota rows.
+    """
+
+    counts_partial = _docs(sf_dir, [group]).map_batches(
+        lambda df: df[group].value_counts().rename_axis(group).reset_index(name="n"),
+        batch_format="pandas",
+    )
+    counts = counts_partial.to_pandas().groupby(group)["n"].sum()  # groups rows — tiny
+    if len(counts) == 0:
+        return _docs(sf_dir, ["doc_id", group]).limit(0)
+    quota = int(counts.min())
+
+    def _key(ids: np.ndarray) -> pd.Series:
+        return pd.Series(
+            [hashlib.md5(str(i).encode()).hexdigest() for i in ids], dtype=object
+        )
+
+    def local_prune(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 group: pd.Series([], dtype=object),
+                                 "sk": pd.Series([], dtype=object)})
+        df = df.assign(sk=_key(df["doc_id"].to_numpy(dtype=np.int64)))
+        df = df.sort_values([group, "sk", "doc_id"], kind="stable")
+        return df.groupby(group, sort=False).head(quota)[["doc_id", group, "sk"]]
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 group: pd.Series([], dtype=object)})
+        df = df.sort_values([group, "sk", "doc_id"], kind="stable")
+        out = df.groupby(group, sort=False).head(quota).reset_index(drop=True)
+        return out[["doc_id", group]].astype({"doc_id": np.int64})
+
+    pruned = _docs(sf_dir, ["doc_id", group]).map_batches(
+        local_prune, batch_format="pandas"
+    )
+    return keyed_blocks(pruned, [group], num_partitions).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )

@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from raydedup.ray_utils import ensure_hash_shuffle
+from raydedup.ray_utils import ensure_hash_shuffle, keyed_blocks
 
 
 def _read_embeddings(sf_dir: str):
@@ -443,6 +443,37 @@ def kmeans(sf_dir: str, k: int = 8, n_iters: int = 5):
     import ray
 
     ds = _read_embeddings(sf_dir)
+    centroids = _kmeans_centroids(ds, k, n_iters)
+    c_ref = ray.put(centroids)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "centroid_id": pd.Series([], dtype=np.int64),
+                }
+            )
+        c = ray.get(c_ref)
+        x = _matrix(df)
+        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(dtype=np.int64),
+                "centroid_id": d2.argmin(axis=1).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def _kmeans_centroids(ds, k: int, n_iters: int) -> np.ndarray:
+    """The Lloyd iteration loop of :func:`kmeans`, factored out so
+    centroid-reusing operators (:func:`semdedup`, :func:`prototype_prune`)
+    share the same broadcast + quantized-partial pattern and the same
+    bit-deterministic result."""
+    import ray
+
     init = ds.filter(expr=f"vec_id < {k}").to_pandas().sort_values("vec_id")
     centroids = _matrix(init)  # (k, d)
 
@@ -496,6 +527,16 @@ def kmeans(sf_dir: str, k: int = 8, n_iters: int = 5):
         new[nonempty] = sums[nonempty] / (cnts[nonempty, None] * _KQ)
         centroids = new
 
+    return centroids
+
+
+def _assigned_with_vectors(sf_dir: str, k: int, n_iters: int):
+    """(vec_id, centroid_id, embedding) dataset + the centroid matrix —
+    the shared front half of the cluster-then-prune curation operators."""
+    import ray
+
+    ds = _read_embeddings(sf_dir)
+    centroids = _kmeans_centroids(ds, k, n_iters)
     c_ref = ray.put(centroids)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
@@ -504,6 +545,7 @@ def kmeans(sf_dir: str, k: int = 8, n_iters: int = 5):
                 {
                     "vec_id": pd.Series([], dtype=np.int64),
                     "centroid_id": pd.Series([], dtype=np.int64),
+                    "embedding": pd.Series([], dtype=object),
                 }
             )
         c = ray.get(c_ref)
@@ -513,10 +555,107 @@ def kmeans(sf_dir: str, k: int = 8, n_iters: int = 5):
             {
                 "vec_id": df["vec_id"].to_numpy(dtype=np.int64),
                 "centroid_id": d2.argmin(axis=1).astype(np.int64),
+                "embedding": list(df["embedding"]),
             }
         )
 
-    return ds.map_batches(assign, batch_format="pandas")
+    return ds.map_batches(assign, batch_format="pandas"), centroids
+
+
+def semdedup(sf_dir: str, k: int = 8, tau: float = 0.95, n_iters: int = 5,
+             num_partitions: int = 4, chunk: int = 2048):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication → (vec_id, centroid_id, keep).
+
+    Cluster the embeddings with k-means, then WITHIN each cluster drop
+    every vector whose cosine similarity to a lower-``vec_id`` cluster
+    member is ≥ ``tau`` (greedy keep-first, deterministic).  The k-means
+    gate bounds the quadratic pair work to cluster-local comparisons —
+    the paper's trick for making semantic dedup tractable at corpus
+    scale; at 100 TB you raise ``k`` so clusters stay ~10⁴ vectors.
+
+    Distribution: centroids are broadcast once; the only shuffle keys the
+    (vec_id, cid, embedding) rows by ``centroid_id`` so each cluster is
+    block-local; the in-cluster scan is a chunked float64 matmul
+    (``chunk`` × cluster rows per step — bounded memory, no n² buffer).
+    """
+    assigned, _ = _assigned_with_vectors(sf_dir, k, n_iters)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                 "centroid_id": pd.Series([], dtype=np.int64),
+                                 "keep": pd.Series([], dtype=bool)})
+        outs = []
+        for cid, g in df.groupby("centroid_id", sort=False):
+            g = g.sort_values("vec_id")
+            x = _normalize(_matrix(g))
+            n = len(g)
+            keep = np.ones(n, dtype=bool)
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                sims = x[s:e] @ x[:e].T  # rows s..e vs ALL earlier rows
+                j = np.arange(e)
+                dup = ((sims >= tau) & (j[None, :] < np.arange(s, e)[:, None])).any(1)
+                keep[s:e] = ~dup
+            outs.append(pd.DataFrame({
+                "vec_id": g["vec_id"].to_numpy(np.int64),
+                "centroid_id": np.full(n, cid, dtype=np.int64),
+                "keep": keep,
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    keyed = keyed_blocks(assigned, ["centroid_id"], num_partitions)
+    return keyed.map_batches(prune, batch_size=None, batch_format="pandas")
+
+
+def prototype_prune(sf_dir: str, k: int = 8, p: float = 0.25, n_iters: int = 5,
+                    num_partitions: int = 4):
+    """SSL-prototypes / D4-style prototypicality pruning (Sorscher et al.
+    2022; Tirumala et al. 2023): → (vec_id, centroid_id, proto_rank, keep).
+
+    Cluster with k-means, rank each cluster's members by cosine to their
+    OWN centroid (rank 1 = most prototypical), and drop the top ``p``
+    fraction per cluster — the published recipe for removing the
+    easiest / most redundant examples after semantic dedup.  Ties break
+    to the lower ``vec_id`` (dropped first), so output is deterministic.
+
+    Distribution: same shape as :func:`semdedup` minus the pair matmul —
+    one centroid broadcast, one ``centroid_id``-keyed shuffle, then a
+    per-cluster vectorized rank; per-row cost is one dot product.
+    """
+    import ray
+
+    assigned, centroids = _assigned_with_vectors(sf_dir, k, n_iters)
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    c_ref = ray.put(cn)
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                 "centroid_id": pd.Series([], dtype=np.int64),
+                                 "proto_rank": pd.Series([], dtype=np.int64),
+                                 "keep": pd.Series([], dtype=bool)})
+        c = ray.get(c_ref)
+        outs = []
+        for cid, g in df.groupby("centroid_id", sort=False):
+            x = _normalize(_matrix(g))
+            cos = x @ c[int(cid)]
+            g = g.assign(_cos=cos).sort_values(["_cos", "vec_id"],
+                                               ascending=[False, True], kind="stable")
+            n = len(g)
+            rnk = np.arange(1, n + 1, dtype=np.int64)
+            n_drop = int(np.floor(p * n))
+            outs.append(pd.DataFrame({
+                "vec_id": g["vec_id"].to_numpy(np.int64),
+                "centroid_id": np.full(n, cid, dtype=np.int64),
+                "proto_rank": rnk,
+                "keep": rnk > n_drop,
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    keyed = keyed_blocks(assigned, ["centroid_id"], num_partitions)
+    return keyed.map_batches(rank, batch_size=None, batch_format="pandas")
 
 
 _PCAQ = np.int64(1 << 12)  # per-row quantization for order-free Gram sums

@@ -1,0 +1,138 @@
+"""Sampling + embedding-curation operators: weighted A-Res sample,
+mixture downsample, SemDeDup, prototypicality pruning."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_weighted_topk(sf_dir: str, k: int) -> pd.DataFrame:
+    import hashlib
+
+    df = pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "n_chars"]).to_pandas()
+    u = np.array(
+        [(int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) + 1) / float(1 << 52)
+         for i in df["doc_id"]]
+    )
+    df["skey"] = np.log(u) / np.maximum(df["n_chars"].to_numpy(), 1)
+    return (df.sort_values(["skey", "doc_id"], ascending=[False, True])
+              .head(k).reset_index(drop=True))
+
+
+def test_weighted_sample_matches_brute_force(ray_session):
+    from raydedup.pipelines.sampling import weighted_sample
+
+    got = weighted_sample(SF, k=25).to_pandas().reset_index(drop=True)
+    want = _brute_weighted_topk(SF, 25)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert np.allclose(got["skey"], want["skey"], rtol=0, atol=1e-15)
+
+
+def test_weighted_sample_prefers_long_docs(ray_session):
+    """Sanity on the weighting itself: the weighted sample's mean length
+    must exceed the corpus mean (longer docs are more likely drawn)."""
+    from raydedup.pipelines.sampling import weighted_sample
+
+    got = weighted_sample(SF, k=50).to_pandas()
+    corpus = pq.read_table(f"{SF}/documents.parquet", columns=["n_chars"]).to_pandas()
+    assert got["n_chars"].mean() > corpus["n_chars"].mean()
+
+
+def test_mixture_sample_balances_groups(ray_session):
+    from raydedup.pipelines.sampling import mixture_sample
+
+    got = mixture_sample(SF).to_pandas()
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "lang"]).to_pandas()
+    quota = src["lang"].value_counts().min()
+    counts = got["lang"].value_counts()
+    assert set(counts.index) == set(src["lang"].unique())
+    assert (counts == quota).all()
+    # deterministic membership: lowest-md5 docs per group
+    import hashlib
+
+    src["sk"] = [hashlib.md5(str(i).encode()).hexdigest() for i in src["doc_id"]]
+    want = (src.sort_values(["lang", "sk", "doc_id"])
+               .groupby("lang").head(quota))
+    assert set(got["doc_id"]) == set(want["doc_id"])
+
+
+def _planted_embeddings(tmp_path, n_clusters=4, per=40, dim=16, n_dups=25):
+    """Well-separated clusters + exact-duplicate rows appended at the end
+    (vec_id >= base) duplicating the first ``n_dups`` base vectors."""
+    rng = np.random.RandomState(7)
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, per, axis=0) + 0.05 * rng.randn(n_clusters * per, dim)
+    base = len(vecs)
+    vecs = np.vstack([vecs, vecs[:n_dups]])  # exact dups of ids 0..n_dups-1
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+        }),
+        d / "embeddings.parquet",
+    )
+    return str(d), base, n_dups, vecs
+
+
+def test_semdedup_drops_planted_duplicates(ray_session, tmp_path):
+    """Every planted exact duplicate (same vector ⇒ same k-means cell) must
+    be dropped; the member-count invariant and within-cluster greedy oracle
+    must hold exactly."""
+    from raydedup.pipelines.similarity import semdedup
+
+    d, base, n_dups, vecs = _planted_embeddings(tmp_path)
+    got = semdedup(d, k=4, tau=0.999, n_iters=4).to_pandas().sort_values("vec_id")
+    assert len(got) == len(vecs)  # row-preserving: one verdict per vector
+    dup_rows = got[got["vec_id"] >= base]
+    assert not dup_rows["keep"].any()  # all planted dups dropped
+    assert got[got["vec_id"] < base]["keep"].all()  # originals all kept
+
+    # greedy within-cluster oracle at a loose tau: recompute keep flags
+    # locally from the SAME assignments and compare exactly
+    loose = semdedup(d, k=4, tau=0.98, n_iters=4).to_pandas().sort_values("vec_id")
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for cid, g in loose.groupby("centroid_id"):
+        ids = g["vec_id"].to_numpy()
+        x = norm[ids]
+        sims = x @ x.T
+        want_keep = np.ones(len(ids), dtype=bool)
+        for i in range(len(ids)):
+            if (sims[i, :i] >= 0.98).any():
+                want_keep[i] = False
+        assert (g["keep"].to_numpy() == want_keep).all()
+
+
+def test_prototype_prune_fraction_and_rank(ray_session, tmp_path):
+    from raydedup.pipelines.similarity import prototype_prune
+
+    d, base, n_dups, vecs = _planted_embeddings(tmp_path)
+    p = 0.25
+    got = prototype_prune(d, k=4, p=p, n_iters=4).to_pandas()
+    assert len(got) == len(vecs)
+    for cid, g in got.groupby("centroid_id"):
+        n = len(g)
+        # exactly floor(p*n) dropped, and the dropped are ranks 1..n_drop
+        n_drop = int(np.floor(p * n))
+        assert int((~g["keep"]).sum()) == n_drop
+        assert set(g.loc[~g["keep"], "proto_rank"]) == set(range(1, n_drop + 1))
+        assert sorted(g["proto_rank"]) == list(range(1, n + 1))
+
+
+def test_prototype_prune_deterministic_across_partitioning(ray_session, tmp_path):
+    from raydedup.pipelines.similarity import prototype_prune
+
+    d, *_ = _planted_embeddings(tmp_path)
+    a = prototype_prune(d, k=4, p=0.2, num_partitions=2).to_pandas().sort_values("vec_id")
+    b = prototype_prune(d, k=4, p=0.2, num_partitions=7).to_pandas().sort_values("vec_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
