@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative model state → no SQL twin, pytest oracles bound both)
         "q_semdedup": similarity.semdedup,
         "q_prototype_prune": similarity.prototype_prune,
+        # fixed-size token chunking (flat_map, zero shuffles)
+        "q_chunk_docs": docops.chunk_docs,
         # ============ block 1: round-2 driver-unchecked entries ============
         # scaling-dim co-shuffle join (part grows with data → no broadcast)
         "q_brand_revenue": relops.brand_revenue,
@@ -320,6 +322,7 @@ def _ngram_df_cap() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from raydedup.pipelines import curation as _CUR
+    from raydedup.pipelines import docops as _DOC
 
     return {
         # A-Res weighted sampling: the twin recomputes the identical
@@ -341,6 +344,20 @@ def oracle_sql() -> dict[str, str]:
                                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
                        FROM documents)
             SELECT doc_id, lang FROM r, q WHERE rn <= q.q
+        """,
+        # fixed-size token chunking; slice clamping makes the last window
+        # short on both sides, and the `text <> ''` guard mirrors the
+        # engine's notna/non-empty filter
+        "q_chunk_docs": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents WHERE text IS NOT NULL AND text <> ''
+            )
+            SELECT doc_id,
+                   CAST((i - 1) // {_DOC.CHUNK_TOKENS} AS BIGINT) AS chunk_idx,
+                   array_to_string(ws[i:i+{_DOC.CHUNK_TOKENS - 1}], ' ') AS chunk_text,
+                   LEAST(CAST({_DOC.CHUNK_TOKENS} AS BIGINT), len(ws) - i + 1) AS n_toks
+            FROM toks, UNNEST(generate_series(1, len(ws), {_DOC.CHUNK_TOKENS})) AS t(i)
         """,
         "q_langid": _langid_sql(),
         # text is wrapped COALESCE(text,'') in the exact-dedup twins so a

@@ -1980,3 +1980,44 @@ def event_props_stats(sf_dir: str, field: str = "k"):
     return keyed_blocks(partials, ["event_type"], 4).map_batches(
         final, batch_size=None, batch_format="pandas"
     )
+
+
+# ------------------------------------------------------------ chunking
+CHUNK_TOKENS = 64  # default context-window chunk size (tokens)
+
+
+def chunk_docs(sf_dir: str, chunk: int = CHUNK_TOKENS):
+    """Fixed-size token chunking → (doc_id, chunk_idx, chunk_text, n_toks):
+    split every document into consecutive ``chunk``-token windows — the
+    context-window / RAG-chunking primitive of a training-data pipeline
+    (each output row is one training sequence; the last window per doc is
+    short).
+
+    Scale shape: a pure ``flat_map``-style batch transform — no shuffle at
+    all; output rows ∝ input tokens / chunk.  Tokenization is the single-
+    space split shared with every gram operator (exact DuckDB-twin
+    semantics); empty/NULL texts yield no chunks, matching the twin's
+    ``text <> ''`` guard.  Chunk assembly is one pandas groupby-join over
+    (doc, chunk) groups — per-chunk, not per-token, work.
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "chunk_idx": pd.Series([], dtype=np.int64),
+                              "chunk_text": pd.Series([], dtype=object),
+                              "n_toks": pd.Series([], dtype=np.int64)})
+        df = df[df["text"].notna() & (df["text"] != "")]
+        if len(df) == 0:
+            return empty
+        toks = df["text"].str.split(" ")
+        ex = (pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64), "tok": toks})
+              .explode("tok"))
+        ex["chunk_idx"] = ex.groupby("doc_id", sort=False).cumcount() // chunk
+        g = (ex.groupby(["doc_id", "chunk_idx"], sort=False)["tok"]
+               .agg([(" ".join), "size"])
+               .reset_index())
+        g.columns = ["doc_id", "chunk_idx", "chunk_text", "n_toks"]
+        return g.astype({"doc_id": np.int64, "chunk_idx": np.int64,
+                         "n_toks": np.int64})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")

@@ -1190,3 +1190,22 @@ def test_null_ts_matches_duckdb_twin(ray_session, tmp_path):
     key = lambda df: df.fillna("\0").sort_values("window_start").reset_index(drop=True)
     a, b = key(act), key(want2)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_chunk_docs_reassembles_and_sizes(ray_session):
+    """Joining a doc's chunks in chunk_idx order reproduces the original
+    text exactly; all chunks except the last are exactly CHUNK_TOKENS."""
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import CHUNK_TOKENS, chunk_docs
+
+    got = chunk_docs(SF).to_pandas().sort_values(["doc_id", "chunk_idx"])
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas()
+    src = src[src["text"].notna() & (src["text"] != "")]
+    joined = got.groupby("doc_id")["chunk_text"].agg(" ".join)
+    assert joined.to_dict() == dict(zip(src["doc_id"], src["text"]))
+    last_idx = got.groupby("doc_id")["chunk_idx"].transform("max")
+    assert (got.loc[got["chunk_idx"] < last_idx, "n_toks"] == CHUNK_TOKENS).all()
+    assert (got["n_toks"] == got["chunk_text"].str.split(" ").str.len()).all()
+    assert got["n_toks"].between(1, CHUNK_TOKENS).all()
