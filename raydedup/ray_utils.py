@@ -52,6 +52,36 @@ def ensure_hash_shuffle() -> None:
     per_partition = min(0.05, max(0.01, (0.125 * n_cpus) / 32))
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = per_partition
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = per_partition
+    _silence_empty_partition_schema_warning()
+
+
+def _silence_empty_partition_schema_warning() -> None:
+    """Drop Ray's per-bundle schema-mismatch WARNING when the "mismatch"
+    is an EMPTY hash-shuffle partition (zero-column schema).
+
+    Small inputs with ``num_partitions`` > distinct keys produce empty
+    partitions whose bundles carry no schema; Ray 2.49's streaming
+    executor logs a warning per such bundle, flooding bench output.  A
+    genuinely diverging non-empty schema (a real operator bug) still
+    warns — the filter matches only the empty-new-schema form.  Verified
+    Ray-internal: a bare hash shuffle of a 3-row dataset into 8
+    partitions triggers it with no engine code in the loop.
+    """
+    import logging
+
+    class _EmptySchemaBundleFilter(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:  # True = keep
+            msg = record.getMessage()
+            return not (
+                "different schema than the previous one" in msg
+                and "new schema: ." in msg
+            )
+
+    logger = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    )
+    if not any(isinstance(f, _EmptySchemaBundleFilter) for f in logger.filters):
+        logger.addFilter(_EmptySchemaBundleFilter())
 
 
 def _strip_block_meta(t):
