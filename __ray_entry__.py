@@ -140,6 +140,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_prototype_prune": similarity.prototype_prune,
         # fixed-size token chunking (flat_map, zero shuffles)
         "q_chunk_docs": docops.chunk_docs,
+        # best-fit-decreasing sequence packing (bin packing is not
+        # SQL-expressible → rows-only; pytest pins budget/coverage/
+        # determinism invariants)
+        "q_sequence_pack": sampling.sequence_pack,
         # ============ block 1: round-2 driver-unchecked entries ============
         # scaling-dim co-shuffle join (part grows with data → no broadcast)
         "q_brand_revenue": relops.brand_revenue,

@@ -152,3 +152,76 @@ def mixture_sample(sf_dir: str, group: str = "lang", num_partitions: int = 4):
     return keyed_blocks(pruned, [group], num_partitions).map_batches(
         final, batch_size=None, batch_format="pandas"
     )
+
+
+def sequence_pack(sf_dir: str, budget: int = 128, num_buckets: int = 8,
+                  num_partitions: int = 4):
+    """Greedy sequence packing → (doc_id, bucket, pack_id, n_toks): assign
+    every document to a fixed-token-budget training sequence (pack) using
+    best-fit-decreasing bin packing — the assembly step that turns a
+    curated corpus into dense fixed-length training rows (padding waste =
+    pack underfill).
+
+    Partitioning assumption (documented, content-derived): packing is
+    performed independently within ``doc_id % num_buckets`` buckets, so
+    results are bit-deterministic across cluster sizes and partition
+    counts — the bucket, NOT the physical partition, is the packing
+    domain.  Global pack ids are ``bucket * 2**40 + seq``.  A document
+    longer than ``budget`` gets a singleton (oversize) pack.
+
+    Scale shape: one keyed shuffle moves only (doc_id, n_toks) pairs —
+    shuffle ∝ rows, not bytes; the per-bucket best-fit loop is
+    O(n log n) per-document work (bisect over open-pack capacities), the
+    honest cost of bin packing, parallel across buckets.  Raise
+    ``num_buckets`` with corpus size to keep buckets worker-local.
+    """
+    from bisect import bisect_left, insort
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        n = df["text"].fillna("").str.split(" ").str.len().to_numpy(dtype=np.int64)
+        return pd.DataFrame({"doc_id": ids, "bucket": ids % num_buckets,
+                             "n_toks": n})
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "bucket": pd.Series([], dtype=np.int64),
+                              "pack_id": pd.Series([], dtype=np.int64),
+                              "n_toks": pd.Series([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        outs = []
+        for bucket, g in df.groupby("bucket", sort=False):
+            g = g.sort_values(["n_toks", "doc_id"], ascending=[False, True],
+                              kind="stable")
+            ids = g["doc_id"].to_numpy(np.int64)
+            toks = g["n_toks"].to_numpy(np.int64)
+            # open packs as a capacity-sorted list of (remaining, pack_seq);
+            # best fit = smallest remaining >= need (tightest hole)
+            open_caps: list = []
+            assign = np.empty(len(ids), dtype=np.int64)
+            next_seq = 0
+            for i in range(len(ids)):
+                need = int(toks[i])
+                j = bisect_left(open_caps, (need, -1))
+                if need <= budget and j < len(open_caps):
+                    rem, seq = open_caps.pop(j)
+                    assign[i] = seq
+                    insort(open_caps, (rem - need, seq))
+                else:
+                    assign[i] = next_seq  # new pack (incl. oversize docs)
+                    if need < budget:
+                        insort(open_caps, (budget - need, next_seq))
+                    next_seq += 1
+            outs.append(pd.DataFrame({
+                "doc_id": ids,
+                "bucket": np.full(len(ids), bucket, dtype=np.int64),
+                "pack_id": np.int64(bucket) * (np.int64(1) << 40) + assign,
+                "n_toks": toks,
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    cts = _docs(sf_dir, ["doc_id", "text"]).map_batches(counts, batch_format="pandas")
+    return keyed_blocks(cts, ["bucket"], num_partitions).map_batches(
+        pack, batch_size=None, batch_format="pandas"
+    )

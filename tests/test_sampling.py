@@ -136,3 +136,38 @@ def test_prototype_prune_deterministic_across_partitioning(ray_session, tmp_path
     a = prototype_prune(d, k=4, p=0.2, num_partitions=2).to_pandas().sort_values("vec_id")
     b = prototype_prune(d, k=4, p=0.2, num_partitions=7).to_pandas().sort_values("vec_id")
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_sequence_pack_invariants(ray_session):
+    from raydedup.pipelines.sampling import sequence_pack
+
+    budget = 64
+    got = sequence_pack(SF, budget=budget).to_pandas()
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas()
+    # every document assigned exactly once, with its true token count
+    assert sorted(got["doc_id"]) == sorted(src["doc_id"])
+    want_toks = dict(zip(src["doc_id"],
+                         src["text"].fillna("").str.split(" ").str.len()))
+    assert all(want_toks[d] == n for d, n in zip(got["doc_id"], got["n_toks"]))
+    # packs respect the budget unless a single oversize doc
+    per_pack = got.groupby("pack_id").agg(total=("n_toks", "sum"),
+                                          n=("doc_id", "size"))
+    over = per_pack[per_pack["total"] > budget]
+    assert (over["n"] == 1).all()
+    # pack ids embed the bucket; buckets are content-derived
+    assert (got["bucket"] == got["doc_id"] % 8).all()
+    assert ((got["pack_id"].to_numpy() >> 40) == got["bucket"].to_numpy()).all()
+    # packing is reasonably dense: pack count within 1.5x of the LP bound
+    fit = got[got["n_toks"] <= budget]
+    lower = int(np.ceil(fit.groupby("bucket")["n_toks"].sum() / budget).sum())
+    n_packs_fit = fit["pack_id"].nunique()
+    assert n_packs_fit <= max(lower + 8, int(1.5 * lower))
+
+
+def test_sequence_pack_deterministic_across_partitioning(ray_session):
+    from raydedup.pipelines.sampling import sequence_pack
+
+    a = sequence_pack(SF, num_partitions=2).to_pandas().sort_values("doc_id")
+    b = sequence_pack(SF, num_partitions=7).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
