@@ -331,11 +331,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         # A-Res weighted sampling: the twin recomputes the identical
         # md5-derived uniform (13 hex chars = 52 bits, exact in float64)
-        # and key ln(u)/w, so even the float column hash-matches
+        # and key ROUND(ln(u)/w, 12) — the 12-decimal grid absorbs the
+        # last-ULP libm variance between numpy log and DuckDB ln, so even
+        # the float column hash-matches bit-for-bit
         "q_weighted_sample": """
             SELECT doc_id, n_chars,
-                   ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 1)
-                      / 4503599627370496.0) / GREATEST(n_chars, 1) AS skey
+                   ROUND(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 1)
+                         / 4503599627370496.0) / GREATEST(n_chars, 1), 12) AS skey
             FROM documents
             ORDER BY skey DESC, doc_id
             LIMIT 64

@@ -79,7 +79,11 @@ def weighted_sample(sf_dir: str, k: int = 64):
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy(dtype=np.int64)
         w = np.maximum(df["n_chars"].to_numpy(dtype=np.int64), 1)
-        skey = np.log(_md5_uniform(ids)) / w
+        # quantize to 12 decimals: numpy's log and DuckDB's ln differ in
+        # the last ULP (~1e-20) on some inputs, which breaks bit-exact
+        # comparison with the SQL twin; a 1e-12 grid absorbs that noise
+        # (ties, if any, resolve by doc_id identically on both sides)
+        skey = np.round(np.log(_md5_uniform(ids)) / w, 12)
         out = pd.DataFrame({"doc_id": ids, "n_chars": df["n_chars"].to_numpy(np.int64),
                             "skey": skey})
         if len(out) > k:
