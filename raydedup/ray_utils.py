@@ -84,6 +84,40 @@ def _silence_empty_partition_schema_warning() -> None:
         logger.addFilter(_EmptySchemaBundleFilter())
 
 
+def _silence_empty_block_sizing_warning() -> None:
+    """Drop Ray's per-block WARNING when it fails to size-sample an EMPTY
+    object-dtype pandas column.
+
+    ``PandasBlockAccessor.size_bytes`` samples object columns with
+    ``np.vectorize``, which raises on zero-row input ("cannot call
+    `vectorize` on size 0 inputs unless `otypes` is set"); Ray logs that
+    per empty block — e.g. every filter-style map fn whose batch keeps no
+    rows — flooding worker stderr into bench tails.  Sizing an empty
+    column as 0 bytes is the correct outcome anyway.  Installed at module
+    import so every worker that unpickles an engine fn gets it; only the
+    size-0 vectorize form is dropped, real sizing failures still warn.
+    """
+    import logging
+
+    class _EmptyBlockSizingFilter(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:  # True = keep
+            msg = record.getMessage()
+            return not (
+                "Error calculating size for column" in msg
+                and "size 0 inputs" in msg
+            )
+
+    logger = logging.getLogger("ray.data._internal.pandas_block")
+    if not any(isinstance(f, _EmptyBlockSizingFilter) for f in logger.filters):
+        logger.addFilter(_EmptyBlockSizingFilter())
+
+
+# Worker-side: this module is imported wherever engine fns are unpickled,
+# so installing here covers every worker process (the sizing happens in
+# workers, where driver-side filters can't reach).
+_silence_empty_block_sizing_warning()
+
+
 def _strip_block_meta(t):
     """Zero-copy drop of schema-level metadata from an Arrow block.
 

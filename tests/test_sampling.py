@@ -21,7 +21,9 @@ def _brute_weighted_topk(sf_dir: str, k: int) -> pd.DataFrame:
         [(int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) + 1) / float(1 << 52)
          for i in df["doc_id"]]
     )
-    df["skey"] = np.log(u) / np.maximum(df["n_chars"].to_numpy(), 1)
+    # 12-decimal quantization mirrors the operator (absorbs last-ULP libm
+    # variance vs the DuckDB twin; see sampling.weighted_sample)
+    df["skey"] = np.round(np.log(u) / np.maximum(df["n_chars"].to_numpy(), 1), 12)
     return (df.sort_values(["skey", "doc_id"], ascending=[False, True])
               .head(k).reset_index(drop=True))
 
