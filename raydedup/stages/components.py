@@ -279,14 +279,33 @@ def connected_components(pairs_ds, cfg: DedupConfig):
             }
         )
 
-    directed = (
-        keyed_blocks(
-            edges.map_batches(contract_block, batch_format="pyarrow", zero_copy_batch=True),
-            ["node"],
-            cfg.num_partitions,
-        )
-        .materialize()
-    )
+    # Two-level contraction: the first pass contracts within raw pair
+    # blocks (whose granularity follows the upstream checkpoint layout —
+    # finer at higher num_partitions, so contraction quality would
+    # otherwise DEGRADE with cluster size: measured at 36M turns, the
+    # 32-partition leg missed the driver-finish gate the 8-partition leg
+    # hit, inverting the clusters-stage scaling to 0.05).  The second
+    # pass re-contracts after the node-keyed shuffle, where each block
+    # holds complete node neighborhoods — contraction quality is then a
+    # function of data, not partition count.  Re-contraction emits nodes
+    # outside the block's key range (a local root may live in another
+    # partition), so a second — cheap, star-edges-only — node shuffle
+    # restores the block-completeness invariant that ``init_labels`` and
+    # the endgame's ``assign`` rely on for exactly-once node emission.
+    def recontract(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty shuffle partitions may carry no schema
+            return pa.table(
+                {"node": pa.array([], pa.string()), "nbr": pa.array([], pa.string())}
+            )
+        return contract_block(t.rename_columns(["a", "b"]))
+
+    recontracted = keyed_blocks(
+        edges.map_batches(contract_block, batch_format="pyarrow", zero_copy_batch=True),
+        ["node"],
+        cfg.num_partitions,
+    ).map_batches(recontract, batch_size=None, batch_format="pyarrow",
+                  zero_copy_batch=True)
+    directed = keyed_blocks(recontracted, ["node"], cfg.num_partitions).materialize()
 
     # Size-gated driver endgame (the distributed-CC analog of the endpoint
     # semi-filter's size guard): once block-local contraction has shrunk
@@ -301,6 +320,16 @@ def connected_components(pairs_ds, cfg: DedupConfig):
     n_directed = directed.count()
     if cfg.cc_driver_finish_edges and n_directed <= cfg.cc_driver_finish_edges:
         return _finish_on_driver(directed, n_directed), 1
+
+    # Partition the propagation rounds by DATA size, not cluster size:
+    # star-edge rows are tiny (two ids), so at moderate scale
+    # cfg.num_partitions partitions would each hold a few MB while every
+    # round still pays per-partition aggregator + task fixed costs —
+    # measured as the clusters stage running 5x SLOWER at 32 cpus than 8
+    # on the same 36M-turn input.  ~2M rows (~100 MB) per partition keeps
+    # blocks worker-sized; huge edge sets still fan out to the full
+    # cfg.num_partitions.
+    cc_parts = max(2, min(cfg.num_partitions, -(-n_directed // 2_000_000)))
 
     # initial messages: every node labels itself (nodes are complete per
     # block after the keyed repartition, so one reduced row per node)
@@ -332,10 +361,10 @@ def connected_components(pairs_ds, cfg: DedupConfig):
                 batch_format="pyarrow",
             )
             combined = keyed_blocks(
-                with_null_label.union(msg_rows), ["node"], cfg.num_partitions
+                with_null_label.union(msg_rows), ["node"], cc_parts
             )
         else:
-            combined = keyed_blocks(state, ["node"], cfg.num_partitions)
+            combined = keyed_blocks(state, ["node"], cc_parts)
         state = combined.map_batches(
             propagate, batch_size=None, batch_format="pandas"
         ).materialize()
