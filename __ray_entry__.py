@@ -144,6 +144,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-expressible → rows-only; pytest pins budget/coverage/
         # determinism invariants)
         "q_sequence_pack": sampling.sequence_pack,
+        # deterministic epoch-shuffle rank (global ORDER BY md5 key,
+        # bucket-histogram ranking — no global sort)
+        "q_shuffle_rank": sampling.shuffle_rank,
+        # per-source exact-duplication profile (md5-key shuffle)
+        "q_source_dup_profile": docops.source_dup_profile,
         # ============ block 1: round-2 driver-unchecked entries ============
         # scaling-dim co-shuffle join (part grows with data → no broadcast)
         "q_brand_revenue": relops.brand_revenue,
@@ -341,6 +346,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY skey DESC, doc_id
             LIMIT 64
+        """,
+        # epoch-shuffle rank: the twin recomputes the identical 52-bit
+        # md5-derived key (integer-exact, no float in the contract)
+        "q_shuffle_rank": """
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 13) AS BIGINT) AS skey,
+                   ROW_NUMBER() OVER (
+                       ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 13) AS BIGINT),
+                                doc_id
+                   ) AS shuffle_rank
+            FROM documents
+        """,
+        "q_source_dup_profile": """
+            SELECT source, COUNT(*) AS n_docs,
+                   COUNT(DISTINCT md5(COALESCE(text, ''))) AS n_distinct,
+                   COUNT(*) - COUNT(DISTINCT md5(COALESCE(text, ''))) AS n_dups
+            FROM documents GROUP BY source
         """,
         "q_mixture_sample": """
             WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),

@@ -104,6 +104,64 @@ def dup_groups(sf_dir: str):
     )
 
 
+def source_dup_profile(sf_dir: str):
+    """Per-source exact-duplication profile → (source, n_docs, n_distinct,
+    n_dups): how much of each ingestion source is verbatim-duplicated —
+    the diagnostic that decides which sources are worth deduplicating
+    (the reference's duplicate-count report, S8, cut by provenance).
+
+    Scale shape: blocks pre-reduce to distinct (source, text_md5, cnt)
+    rows (shuffle volume ∝ distinct texts per block, key is the 32-char
+    hex, never document bytes); one hash shuffle on ``text_md5``
+    co-locates all copies of a text, each partition folds to one
+    (source, n_docs, n_distinct) partial per source it saw, and a tiny
+    second shuffle on ``source`` (∝ sources × partitions rows) produces
+    the exact per-source counts."""
+
+    def with_source(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame({"source": df["source"].to_numpy(dtype=object),
+                          "text_md5": md5_fingerprints(df["text"])})
+            .groupby(["source", "text_md5"], sort=False)
+            .size().rename("cnt").reset_index()
+        )
+
+    def per_hash(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "n_docs": pd.Series([], dtype=np.int64),
+                                 "n_distinct": pd.Series([], dtype=np.int64)})
+        g = (df.groupby(["source", "text_md5"], sort=False)["cnt"].sum()
+               .reset_index())
+        out = (g.groupby("source", sort=False)
+                .agg(n_docs=("cnt", "sum"), n_distinct=("text_md5", "size"))
+                .reset_index())
+        return out.astype({"n_docs": np.int64, "n_distinct": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "n_docs": pd.Series([], dtype=np.int64),
+                                 "n_distinct": pd.Series([], dtype=np.int64),
+                                 "n_dups": pd.Series([], dtype=np.int64)})
+        g = (df.groupby("source", sort=False)
+               .agg(n_docs=("n_docs", "sum"), n_distinct=("n_distinct", "sum"))
+               .reset_index())
+        g["n_dups"] = g["n_docs"] - g["n_distinct"]
+        return g.astype({"n_docs": np.int64, "n_distinct": np.int64,
+                         "n_dups": np.int64})
+
+    partials = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        with_source, batch_format="pandas"
+    )
+    per = keyed_blocks(partials, ["text_md5"], _P).map_batches(
+        per_hash, batch_size=None, batch_format="pandas"
+    )
+    return keyed_blocks(per, ["source"], 4).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------- per-row maps
 def doc_token_stats(sf_dir: str):
     """(doc_id, n_tokens, n_chars_calc) — whitespace token + char counts."""

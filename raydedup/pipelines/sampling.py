@@ -158,6 +158,87 @@ def mixture_sample(sf_dir: str, group: str = "lang", num_partitions: int = 4):
     )
 
 
+def shuffle_rank(sf_dir: str, epoch: int = 1, num_partitions: int = 4):
+    """Deterministic epoch-shuffle order → (doc_id, skey, shuffle_rank):
+    the global training-data shuffle, as a rank column.  ``skey`` is the
+    first 52 bits of ``md5(doc_id || ':' || epoch)`` (unique per epoch —
+    changing ``epoch`` re-shuffles the corpus into an independent order)
+    and ``shuffle_rank`` is exactly SQL ``ROW_NUMBER() OVER (ORDER BY
+    skey, doc_id)`` — no RNG state, reproducible across runs and cluster
+    sizes, SQL-twinnable bit-for-bit.
+
+    Scale shape — a global ORDER BY without a global sort (same family
+    as ``docops.doc_length_rank``): md5 keys are uniform, so the top 16
+    bits partition the key space into 65,536 balanced rank buckets.
+    Pass 1 pre-reduces each block to a (bucket, cnt) histogram, one SMALL
+    bucket shuffle merges the partials (≤ 65,536 rows total), and the
+    cumulative offsets broadcast once via ``ray.put``.  Pass 2 shuffles
+    only (doc_id, skey) pairs by bucket — volume ∝ rows, never corpus
+    bytes — and ranks each complete bucket in-block with one vectorized
+    lexsort: rank = bucket offset + intra-bucket position.  The two
+    corpus passes are the streaming trade for never materializing the
+    key column (mirrors ``mixture_sample``).
+    """
+    import ray
+
+    def keys(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        v = np.fromiter(
+            (int(hashlib.md5(f"{i}:{epoch}".encode()).hexdigest()[:_U_HEX], 16)
+             for i in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        return pd.DataFrame({"doc_id": ids, "skey": v, "bucket": v >> 36})
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        vc = keys(df)["bucket"].value_counts()
+        return pd.DataFrame({"bucket": vc.index.to_numpy(np.int64),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    def merge_hist(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        agg = df.groupby("bucket", sort=False)["cnt"].sum().reset_index()
+        return agg.astype({"bucket": np.int64, "cnt": np.int64})
+
+    docs = _docs(sf_dir, ["doc_id"])
+    parts = (
+        keyed_blocks(docs.map_batches(hist, batch_format="pandas"),
+                     ["bucket"], num_partitions)
+        .map_batches(merge_hist, batch_size=None, batch_format="pandas")
+        .take_all()
+    )
+    if parts:
+        hp = pd.DataFrame(parts).groupby("bucket", sort=True)["cnt"].sum()
+        bvals = hp.index.to_numpy(np.int64)
+        # offset[i] = rows in all buckets strictly below bvals[i]
+        offs = np.concatenate(([0], np.cumsum(hp.to_numpy(np.int64))[:-1]))
+    else:
+        bvals, offs = np.empty(0, np.int64), np.empty(0, np.int64)
+    dist_ref = ray.put((bvals, offs))
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "skey": pd.Series([], dtype=np.int64),
+                              "shuffle_rank": pd.Series([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        bv, of = ray.get(dist_ref)
+        df = df.sort_values(["bucket", "skey", "doc_id"],
+                            kind="stable").reset_index(drop=True)
+        base = of[np.searchsorted(bv, df["bucket"].to_numpy(np.int64))]
+        intra = df.groupby("bucket", sort=False).cumcount().to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "skey": df["skey"].to_numpy(np.int64),
+                             "shuffle_rank": base + intra + 1})
+
+    keyed = keyed_blocks(docs.map_batches(keys, batch_format="pandas"),
+                         ["bucket"], num_partitions)
+    return keyed.map_batches(rank, batch_size=None, batch_format="pandas")
+
+
 def sequence_pack(sf_dir: str, budget: int = 128, num_buckets: int = 8,
                   num_partitions: int = 4):
     """Greedy sequence packing → (doc_id, bucket, pack_id, n_toks): assign

@@ -1209,3 +1209,19 @@ def test_chunk_docs_reassembles_and_sizes(ray_session):
     assert (got.loc[got["chunk_idx"] < last_idx, "n_toks"] == CHUNK_TOKENS).all()
     assert (got["n_toks"] == got["chunk_text"].str.split(" ").str.len()).all()
     assert got["n_toks"].between(1, CHUNK_TOKENS).all()
+
+
+def test_source_dup_profile_matches_brute_force(ray_session):
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import source_dup_profile
+
+    got = (source_dup_profile(SF).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["source", "text"]).to_pandas()
+    want = (src.groupby("source")
+               .agg(n_docs=("text", "size"), n_distinct=("text", "nunique"))
+               .reset_index().sort_values("source").reset_index(drop=True))
+    want["n_dups"] = want["n_docs"] - want["n_distinct"]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

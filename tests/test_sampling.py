@@ -173,3 +173,41 @@ def test_sequence_pack_deterministic_across_partitioning(ray_session):
     a = sequence_pack(SF, num_partitions=2).to_pandas().sort_values("doc_id")
     b = sequence_pack(SF, num_partitions=7).to_pandas().sort_values("doc_id")
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_shuffle_rank_matches_brute_force(ray_session):
+    import hashlib
+
+    from raydedup.pipelines.sampling import shuffle_rank
+
+    got = shuffle_rank(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    src = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).to_pandas()
+    want = pd.DataFrame({"doc_id": src["doc_id"].to_numpy(np.int64)})
+    want["skey"] = [
+        int(hashlib.md5(f"{i}:1".encode()).hexdigest()[:13], 16)
+        for i in want["doc_id"]
+    ]
+    want = want.sort_values(["skey", "doc_id"]).reset_index(drop=True)
+    want["shuffle_rank"] = np.arange(1, len(want) + 1, dtype=np.int64)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # ranks are a permutation of 1..N
+    assert sorted(got["shuffle_rank"]) == list(range(1, len(got) + 1))
+
+
+def test_shuffle_rank_epochs_independent(ray_session):
+    from raydedup.pipelines.sampling import shuffle_rank
+
+    a = shuffle_rank(SF, epoch=1).to_pandas().set_index("doc_id")["shuffle_rank"]
+    b = shuffle_rank(SF, epoch=2).to_pandas().set_index("doc_id")["shuffle_rank"]
+    # both are full permutations, but different orders
+    assert sorted(a) == sorted(b)
+    assert (a != b.reindex(a.index)).any()
+
+
+def test_shuffle_rank_deterministic_across_partitioning(ray_session):
+    from raydedup.pipelines.sampling import shuffle_rank
+
+    a = shuffle_rank(SF, num_partitions=2).to_pandas().sort_values("doc_id")
+    b = shuffle_rank(SF, num_partitions=7).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
