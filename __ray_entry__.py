@@ -126,7 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     dict.  Semantics are unchanged; only ordering moved."""
     from raydedup.pipelines import curation, docdedup, docops, relops, similarity
 
-    from raydedup.pipelines import sampling
+    from raydedup.pipelines import sampling, tiers
 
     return {
         # ============ block 0: round-3 additions (need first driver row) ====
@@ -149,6 +149,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_shuffle_rank": sampling.shuffle_rank,
         # per-source exact-duplication profile (md5-key shuffle)
         "q_source_dup_profile": docops.source_dup_profile,
+        # exact-family dedup ladder: bag-of-words equality, shared-opening
+        # groups, and the per-doc strictest-tier verdict (all md5-keyed
+        # shuffles ∝ rows, full DuckDB twins)
+        "q_bow_dedup": tiers.bow_dedup,
+        "q_prefix_dup_groups": tiers.prefix_dup_groups,
+        "q_dedup_tiers": tiers.dedup_tiers,
         # ============ block 1: round-2 driver-unchecked entries ============
         # scaling-dim co-shuffle join (part grows with data → no broadcast)
         "q_brand_revenue": relops.brand_revenue,
@@ -363,6 +369,34 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT md5(COALESCE(text, ''))) AS n_distinct,
                    COUNT(*) - COUNT(DISTINCT md5(COALESCE(text, ''))) AS n_dups
             FROM documents GROUP BY source
+        """,
+        # exact-family dedup ladder: the twins recompute the identical
+        # canonicalizations (single-space split; list_sort == codepoint
+        # sort; [1:16] == Python [:16])
+        "q_bow_dedup": """
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY
+                       array_to_string(list_sort(string_split(COALESCE(text, ''), ' ')), ' ')
+                   ) AS canonical_id
+            FROM documents
+        """,
+        "q_prefix_dup_groups": """
+            SELECT md5(array_to_string(string_split(COALESCE(text, ''), ' ')[1:16], ' '))
+                       AS prefix_md5,
+                   COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+            FROM documents
+            GROUP BY prefix_md5 HAVING COUNT(*) > 1
+        """,
+        "q_dedup_tiers": """
+            SELECT doc_id,
+                   CASE WHEN COUNT(*) OVER (PARTITION BY e) > 1 THEN 'exact'
+                        WHEN COUNT(*) OVER (PARTITION BY b) > 1 THEN 'bow'
+                        WHEN COUNT(*) OVER (PARTITION BY p) > 1 THEN 'prefix'
+                        ELSE 'unique' END AS tier
+            FROM (SELECT doc_id, COALESCE(text, '') AS e,
+                         array_to_string(list_sort(string_split(COALESCE(text, ''), ' ')), ' ') AS b,
+                         array_to_string(string_split(COALESCE(text, ''), ' ')[1:16], ' ') AS p
+                  FROM documents)
         """,
         "q_mixture_sample": """
             WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
