@@ -126,7 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     dict.  Semantics are unchanged; only ordering moved."""
     from raydedup.pipelines import curation, docdedup, docops, relops, similarity
 
-    from raydedup.pipelines import sampling, tiers
+    from raydedup.pipelines import sampling, tiers, transcripts
 
     return {
         # ============ block 0: round-3 additions (need first driver row) ====
@@ -155,6 +155,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bow_dedup": tiers.bow_dedup,
         "q_prefix_dup_groups": tiers.prefix_dup_groups,
         "q_dedup_tiers": tiers.dedup_tiers,
+        # transcript-table diagnostics over the sf-derived synth fixture
+        # (fixture is outside the driver's views → rows-only; pytest pins
+        # both against brute-force twins)
+        "q_boilerplate_turns": transcripts.boilerplate_turns,
+        "q_role_profile": transcripts.role_profile,
         # ============ block 1: round-2 driver-unchecked entries ============
         # scaling-dim co-shuffle join (part grows with data → no broadcast)
         "q_brand_revenue": relops.brand_revenue,

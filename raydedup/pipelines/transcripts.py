@@ -1,0 +1,154 @@
+"""Transcript-table operators beyond the flagship dedup pipeline.
+
+These run over the input_hint-shaped conversations table
+(conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+ts:timestamp) — synthesized deterministically at an sf-derived size, the
+same scale rule as the flagship ``q_transcript_dedup`` entry.  The
+fixture lives outside the driver's registered views, so these are
+rows-only driver checks; pytest pins each against a brute-force pandas
+twin on the same fixture.
+
+Operators:
+
+* :func:`boilerplate_turns` — the mega-bucket diagnostic: turn texts
+  shared verbatim across many conversations (system prompts, canned
+  tool headers).  These are exactly the texts that explode LSH band
+  buckets (the reason the flagship salts band keys, ``lsh.py``), and
+  the first thing an operator inspects when a dedup run skews.
+* :func:`role_profile` — per-role volume/length/coverage profile of the
+  corpus (turns, conversations touched, char mass) — the sanity read
+  before choosing shingle size / batch size for a new transcript dump.
+
+Scale shape: both pre-aggregate inside ``map_batches`` so the only
+all-to-all volume is (key, counters) rows — boilerplate detection
+shuffles distinct (turn_md5, conv_id) pairs (∝ turns, 40-byte rows,
+never text bytes); the role profile shuffles blocks × roles partial
+rows through a tiny key shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from raydedup.functions.textstats import md5_fingerprints
+from raydedup.ray_utils import ensure_hash_shuffle, keyed_blocks, read_parquet_clean
+
+_P = 8
+
+
+def _turns(sf_dir: str, columns=None):
+    """sf-derived deterministic transcripts fixture (same sizing rule as
+    ``__ray_entry__._transcript_dedup``: 200k convs/sf, floor 200)."""
+    from raydedup.sources.synth import materialize
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    n_convs = max(200, int(200_000 * sf))
+    fixture = materialize(seed=42, n_convs=n_convs)
+    ensure_hash_shuffle()
+    return read_parquet_clean(f"{fixture}/transcripts.parquet", columns=columns)
+
+
+def boilerplate_turns(sf_dir: str, min_convs: int = 10,
+                      num_partitions: int = _P):
+    """(turn_md5, n_convs, n_turns): turn texts appearing verbatim in at
+    least ``min_convs`` DISTINCT conversations, with their total turn
+    count.  Blocks pre-reduce to distinct (turn_md5, conv_id, cnt) rows;
+    one hash shuffle on ``turn_md5`` co-locates each text's rows, and the
+    in-block fold computes the exact distinct-conversation count."""
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"turn_md5": pd.Series([], dtype=object),
+                                 "conv_id": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        out = (
+            pd.DataFrame({"turn_md5": md5_fingerprints(df["text"]),
+                          "conv_id": df["conv_id"].to_numpy(dtype=object)})
+            .groupby(["turn_md5", "conv_id"], sort=False)
+            .size().rename("cnt").reset_index()
+        )
+        return out.astype({"cnt": np.int64})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"turn_md5": pd.Series([], dtype=object),
+                              "n_convs": pd.Series([], dtype=np.int64),
+                              "n_turns": pd.Series([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        g = (df.groupby("turn_md5", sort=False)
+               .agg(n_convs=("conv_id", "nunique"), n_turns=("cnt", "sum"))
+               .reset_index())
+        g = g[g["n_convs"] >= min_convs]
+        return g.astype({"n_convs": np.int64, "n_turns": np.int64})
+
+    pairs = _turns(sf_dir, ["conv_id", "text"]).map_batches(
+        pre, batch_format="pandas"
+    )
+    return keyed_blocks(pairs, ["turn_md5"], num_partitions).map_batches(
+        fold, batch_size=None, batch_format="pandas"
+    )
+
+
+def role_profile(sf_dir: str):
+    """(role, n_turns, n_convs, total_chars, n_tool_turns): per-role corpus
+    profile — turn volume, conversations touched, character mass, and how
+    many turns carry a tool annotation.  Integer-valued so the pytest twin
+    matches exactly.  One partial row per (block, role), then a tiny
+    role-keyed shuffle."""
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"role": pd.Series([], dtype=object),
+                              "conv_id": pd.Series([], dtype=object),
+                              "n_turns": pd.Series([], dtype=np.int64),
+                              "total_chars": pd.Series([], dtype=np.int64),
+                              "n_tool_turns": pd.Series([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        t = df["text"].fillna("")
+        tool = df["tool"].fillna("")
+        out = (
+            pd.DataFrame({"role": df["role"].to_numpy(dtype=object),
+                          "conv_id": df["conv_id"].to_numpy(dtype=object),
+                          "chars": t.str.len().to_numpy(dtype=np.int64),
+                          "has_tool": (tool.str.len() > 0).to_numpy()})
+            .groupby(["role", "conv_id"], sort=False)
+            .agg(n_turns=("chars", "size"), total_chars=("chars", "sum"),
+                 n_tool_turns=("has_tool", "sum"))
+            .reset_index()
+        )
+        return out.astype({"n_turns": np.int64, "total_chars": np.int64,
+                           "n_tool_turns": np.int64})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"role": pd.Series([], dtype=object),
+                              "n_turns": pd.Series([], dtype=np.int64),
+                              "n_convs": pd.Series([], dtype=np.int64),
+                              "total_chars": pd.Series([], dtype=np.int64),
+                              "n_tool_turns": pd.Series([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        # per-(role, conv) partials may arrive from several blocks: re-merge
+        # before counting distinct conversations
+        rc = (df.groupby(["role", "conv_id"], sort=False)
+                .agg(n_turns=("n_turns", "sum"),
+                     total_chars=("total_chars", "sum"),
+                     n_tool_turns=("n_tool_turns", "sum"))
+                .reset_index())
+        g = (rc.groupby("role", sort=False)
+               .agg(n_turns=("n_turns", "sum"), n_convs=("conv_id", "size"),
+                    total_chars=("total_chars", "sum"),
+                    n_tool_turns=("n_tool_turns", "sum"))
+               .reset_index())
+        return g.astype({"n_turns": np.int64, "n_convs": np.int64,
+                         "total_chars": np.int64, "n_tool_turns": np.int64})
+
+    partials = _turns(sf_dir, ["conv_id", "role", "text", "tool"]).map_batches(
+        pre, batch_format="pandas"
+    )
+    return keyed_blocks(partials, ["role"], 4).map_batches(
+        fold, batch_size=None, batch_format="pandas"
+    )
