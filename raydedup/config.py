@@ -88,8 +88,13 @@ class DedupConfig:
     # (one bounded collect + vectorized min-label relaxation + one
     # broadcast map) instead of paying per-round shuffle fixed costs for
     # O(log diameter) propagation rounds.  Bounds driver memory at
-    # ~gate × 2 short strings; 0 disables (always distributed).
-    cc_driver_finish_edges: int = 4_000_000
+    # ~gate × 2 short strings (~1 GB at the default); 0 disables (always
+    # distributed).  After two-level contraction the collected rows are
+    # STAR edges (≤ 2 per non-root node), so the gate is ∝ duplicated
+    # nodes, not raw pairs: measured 1.7 s for a 1.5M-edge endgame, vs
+    # ~100 s of near-serial propagation rounds when a 4.6M-edge graph
+    # missed the old 4M gate (36M-turn run, BASELINE.md).
+    cc_driver_finish_edges: int = 12_000_000
 
     # --- execution sizing ---
     sig_batch_size: int = 1024      # docs per signature-actor batch

@@ -326,10 +326,11 @@ def connected_components(pairs_ds, cfg: DedupConfig):
     # cfg.num_partitions partitions would each hold a few MB while every
     # round still pays per-partition aggregator + task fixed costs —
     # measured as the clusters stage running 5x SLOWER at 32 cpus than 8
-    # on the same 36M-turn input.  ~2M rows (~100 MB) per partition keeps
-    # blocks worker-sized; huge edge sets still fan out to the full
+    # on the same 36M-turn input.  ~500k rows (~30 MB) per partition
+    # keeps blocks worker-sized without starving parallelism just above
+    # the driver gate; huge edge sets still fan out to the full
     # cfg.num_partitions.
-    cc_parts = max(2, min(cfg.num_partitions, -(-n_directed // 2_000_000)))
+    cc_parts = max(2, min(cfg.num_partitions, -(-n_directed // 500_000)))
 
     # initial messages: every node labels itself (nodes are complete per
     # block after the keyed repartition, so one reduced row per node)
