@@ -160,6 +160,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # both against brute-force twins)
         "q_boilerplate_turns": transcripts.boilerplate_turns,
         "q_role_profile": transcripts.role_profile,
+        # per-doc near-dup pair degree (composes the df-capped jaccard
+        # pairs; one doc_id shuffle, degree-0 docs kept via marker rows)
+        "q_dup_degree_profile": docops.dup_degree_profile,
+        # embedding near-dup transitive closure (shared CC machinery;
+        # iterative → rows-only, pytest union-find oracle)
+        "q_embedding_clusters": similarity.embedding_clusters,
         # ============ block 1: round-2 driver-unchecked entries ============
         # scaling-dim co-shuffle join (part grows with data → no broadcast)
         "q_brand_revenue": relops.brand_revenue,
@@ -461,6 +467,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON it.a = sa.doc_id
             JOIN sz sb ON it.b = sb.doc_id
             WHERE 2 * it.n_inter >= sa.n + sb.n - it.n_inter
+        """.replace("__DF_CAP__", _ngram_df_cap()),
+        # per-doc near-dup degree: the jaccard-pair CTEs verbatim, melted
+        # to endpoints and left-joined so degree-0 docs keep a row
+        "q_dup_degree_profile": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_split_to_array(lower(trim(COALESCE(text,''))), '\s+'))) AS tok
+              FROM documents WHERE len(trim(COALESCE(text,''))) > 0
+            ),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+            tc AS (SELECT tok FROM t GROUP BY tok HAVING COUNT(*) <= __DF_CAP__),
+            tf AS (SELECT t.doc_id, t.tok FROM t JOIN tc USING (tok)),
+            it AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_inter
+              FROM tf x JOIN tf y ON x.tok = y.tok AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id
+            ),
+            pr AS (
+              SELECT it.a, it.b FROM it
+              JOIN sz sa ON it.a = sa.doc_id
+              JOIN sz sb ON it.b = sb.doc_id
+              WHERE 2 * it.n_inter >= sa.n + sb.n - it.n_inter
+            ),
+            ends AS (SELECT a AS doc_id FROM pr UNION ALL SELECT b AS doc_id FROM pr),
+            deg AS (SELECT doc_id, COUNT(*) AS dup_degree FROM ends GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(g.dup_degree, 0) AS dup_degree
+            FROM documents d LEFT JOIN deg g USING (doc_id)
         """.replace("__DF_CAP__", _ngram_df_cap()),
         # containment: the smaller doc's distinct-token set >= 4/5 inside
         # the other's; same capped inverted index as the jaccard twin

@@ -162,6 +162,58 @@ def source_dup_profile(sf_dir: str):
     )
 
 
+def dup_degree_profile(sf_dir: str, num_partitions: int = _P):
+    """(doc_id, dup_degree) for EVERY document: how many n-gram-Jaccard
+    near-duplicate pairs the doc participates in (0 for clean docs) —
+    the per-doc severity signal retention policies threshold on, and the
+    skew diagnostic for the pair stages (a doc with degree 10⁴ is a
+    boilerplate hub that belongs in the df-cap/salting discussion).
+
+    Scale shape: composes :func:`ngram_jaccard_pairs` (already df-capped
+    and shuffle-bounded), melts each pair to two (doc_id, 1) endpoint
+    rows, unions one (doc_id, 0) marker row per document (so degree-0
+    docs survive), and folds with ONE doc_id-keyed shuffle — volume
+    ∝ docs + 2·pairs, no join."""
+
+    import pyarrow as pa
+
+    schema = pa.schema([("doc_id", pa.int64()), ("cnt", pa.int64())])
+
+    def melt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        ids = pa.concat_arrays([
+            t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"],
+            t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"],
+        ])
+        return pa.table(
+            {"doc_id": ids, "cnt": pa.array(np.ones(len(ids), dtype=np.int64))},
+            schema=schema,
+        )
+
+    def marker(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+            "cnt": np.zeros(len(df), dtype=np.int64),
+        })
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "dup_degree": pd.Series([], dtype=np.int64)})
+        g = df.groupby("doc_id", sort=False)["cnt"].sum().reset_index()
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "dup_degree": g["cnt"].to_numpy(np.int64)})
+
+    ends = ngram_jaccard_pairs(sf_dir).map_batches(
+        melt, batch_format="pyarrow", zero_copy_batch=True
+    )
+    marks = _docs(sf_dir, ["doc_id"]).map_batches(marker, batch_format="pandas")
+    return keyed_blocks(ends.union(marks), ["doc_id"], num_partitions).map_batches(
+        fold, batch_size=None, batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------- per-row maps
 def doc_token_stats(sf_dir: str):
     """(doc_id, n_tokens, n_chars_calc) — whitespace token + char counts."""

@@ -214,6 +214,76 @@ def _embedding_dup_pairs_exact(ds, threshold: float):
     return ds.map_batches(block, batch_format="pandas")
 
 
+def embedding_clusters(sf_dir: str, threshold: float = 0.9,
+                       num_partitions: int = 4):
+    """(vec_id, cluster_id): transitive closure of the cosine near-dup
+    relation — every vector labeled with the MINIMUM vec_id of its
+    near-duplicate component (singletons label themselves).  Completes
+    the embedding dedup tier from pair level to cluster level, the same
+    step the flagship takes from verified pairs to conv clusters (and
+    the reference takes from matches to duplicate groups,
+    ``duplicate_face.py:77-96``).
+
+    Distribution: pairs from :func:`embedding_dup_pairs` (size-gated
+    exact / LSH path), re-keyed to zero-padded string node ids so the
+    CC kernel's lexicographic min IS the numeric min, then the shared
+    :func:`raydedup.stages.components.connected_components` machinery
+    (block contraction → driver endgame or propagation rounds).  The
+    final labels join back to the full vec_id column with one union +
+    key shuffle (no Dataset.join)."""
+    import pyarrow.compute as pc
+
+    from raydedup.config import DedupConfig
+    from raydedup.stages.components import connected_components
+
+    def fmt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string())})
+        return pa.table({
+            "a": pc.utf8_lpad(t["a"].cast(pa.string()), 12, "0"),
+            "b": pc.utf8_lpad(t["b"].cast(pa.string()), 12, "0"),
+        })
+
+    edges = embedding_dup_pairs(sf_dir, threshold).map_batches(
+        fmt, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cfg = DedupConfig(num_partitions=num_partitions)
+    labels, _ = connected_components(edges, cfg)
+
+    def lab_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                 "cluster_id": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({
+            "vec_id": df["node"].astype(np.int64),
+            "cluster_id": df["label"].astype(np.int64),
+        })
+
+    def self_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"vec_id": ids, "cluster_id": ids})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                 "cluster_id": pd.Series([], dtype=np.int64)})
+        # labeled rows carry the component min; self rows carry vec_id —
+        # min() picks the component label when present (label <= vec_id)
+        g = df.groupby("vec_id", sort=False)["cluster_id"].min().reset_index()
+        return g.astype({"vec_id": np.int64, "cluster_id": np.int64})
+
+    labeled = labels.map_batches(lab_rows, batch_format="pandas")
+    ensure_hash_shuffle()
+    ids_only = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    )
+    selfs = ids_only.map_batches(self_rows, batch_format="pandas")
+    return keyed_blocks(labeled.union(selfs), ["vec_id"], num_partitions).map_batches(
+        fold, batch_size=None, batch_format="pandas"
+    )
+
+
 def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9,
                             n_planes: int = 8, n_tables: int = 8,
                             seed: int = 42, num_partitions: int = 16,

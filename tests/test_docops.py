@@ -1225,3 +1225,43 @@ def test_source_dup_profile_matches_brute_force(ray_session):
                .reset_index().sort_values("source").reset_index(drop=True))
     want["n_dups"] = want["n_docs"] - want["n_distinct"]
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dup_degree_profile_matches_brute_force(ray_session):
+    from raydedup.pipelines.docops import NGRAM_DF_CAP, dup_degree_profile
+
+    got = (dup_degree_profile(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    import pyarrow.parquet as pq
+    import re as _re
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas()
+    toksets = {
+        r.doc_id: set(_re.split(r"\s+", r.text.lower().strip()))
+        for r in src.itertuples() if r.text.strip()
+    }
+    # df-capped inverted index, same rule as the operator
+    from collections import Counter, defaultdict
+    df_ct = Counter(t for s in toksets.values() for t in s)
+    inter = Counter()
+    idx = defaultdict(list)
+    for d, s in sorted(toksets.items()):
+        for t in s:
+            if df_ct[t] <= NGRAM_DF_CAP:
+                idx[t].append(d)
+    for t, docs in idx.items():
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                inter[(docs[i], docs[j])] += 1
+    deg = Counter()
+    for (a, b), n_i in inter.items():
+        union = len(toksets[a]) + len(toksets[b]) - n_i
+        if 2 * n_i >= union:
+            deg[a] += 1
+            deg[b] += 1
+    want = pd.DataFrame({
+        "doc_id": src["doc_id"].to_numpy(np.int64),
+        "dup_degree": [deg.get(d, 0) for d in src["doc_id"]],
+    }).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["dup_degree"] == 0).any()  # clean docs keep rows

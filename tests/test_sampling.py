@@ -211,3 +211,37 @@ def test_shuffle_rank_deterministic_across_partitioning(ray_session):
     a = shuffle_rank(SF, num_partitions=2).to_pandas().sort_values("doc_id")
     b = shuffle_rank(SF, num_partitions=7).to_pandas().sort_values("doc_id")
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_embedding_clusters_union_find_oracle(ray_session, tmp_path):
+    from raydedup.pipelines.similarity import embedding_clusters, embedding_dup_pairs
+
+    d, base, n_dups, vecs = _planted_embeddings(tmp_path)
+    got = (embedding_clusters(d, threshold=0.95).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert len(got) == len(vecs)  # every vector labeled, singletons included
+    # sequential union-find oracle over the SAME pair set
+    pairs = embedding_dup_pairs(d, threshold=0.95).to_pandas()
+    parent = list(range(len(vecs)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_label = {}
+    roots = {}
+    for v in range(len(vecs)):
+        r = find(v)
+        roots.setdefault(r, min(r, v))
+    want = [min(x for x in range(len(vecs)) if find(x) == find(v)) for v in range(len(vecs))]
+    assert list(got["cluster_id"]) == want
+    # planted exact duplicates must share a cluster with their originals
+    for i in range(n_dups):
+        assert got.loc[got["vec_id"] == base + i, "cluster_id"].iloc[0] == \
+               got.loc[got["vec_id"] == i, "cluster_id"].iloc[0]
