@@ -111,7 +111,16 @@ def run_flagship(sf_dir: str, num_cpus: int, fresh: bool = True,
 
 def run_doc_queries(sf_dir: str) -> dict:
     """Headline document/embedding operators over the sf dir."""
-    from raydedup.pipelines import curation, docdedup, docops, relops, similarity
+    from raydedup.pipelines import (
+        curation,
+        docdedup,
+        docops,
+        relops,
+        sampling,
+        similarity,
+        tiers,
+        transcripts,
+    )
 
     out = {}
     # ngram-Jaccard runs with a tight document-frequency cap: this
@@ -147,6 +156,11 @@ def run_doc_queries(sf_dir: str) -> dict:
         ("q_ngram_decontaminate", curation.ngram_decontaminate),
         ("q_doc_length_rank", docops.doc_length_rank),
         ("q_event_interarrival", docops.event_interarrival),
+        ("q_dedup_tiers", tiers.dedup_tiers),
+        ("q_shuffle_rank", sampling.shuffle_rank),
+        ("q_dup_degree_profile", lambda sf: docops.dup_degree_profile(sf, df_cap=256)),
+        ("q_boilerplate_turns", transcripts.boilerplate_turns),
+        ("q_embedding_clusters", similarity.embedding_clusters),
     ]:
         t0 = time.time()
         res = fn(sf_dir)

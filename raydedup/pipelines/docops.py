@@ -162,7 +162,8 @@ def source_dup_profile(sf_dir: str):
     )
 
 
-def dup_degree_profile(sf_dir: str, num_partitions: int = _P):
+def dup_degree_profile(sf_dir: str, num_partitions: int = _P,
+                       df_cap: int | None = None):
     """(doc_id, dup_degree) for EVERY document: how many n-gram-Jaccard
     near-duplicate pairs the doc participates in (0 for clean docs) —
     the per-doc severity signal retention policies threshold on, and the
@@ -205,9 +206,9 @@ def dup_degree_profile(sf_dir: str, num_partitions: int = _P):
         return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
                              "dup_degree": g["cnt"].to_numpy(np.int64)})
 
-    ends = ngram_jaccard_pairs(sf_dir).map_batches(
-        melt, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ends = ngram_jaccard_pairs(
+        sf_dir, df_cap=NGRAM_DF_CAP if df_cap is None else df_cap
+    ).map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
     marks = _docs(sf_dir, ["doc_id"]).map_batches(marker, batch_format="pandas")
     return keyed_blocks(ends.union(marks), ["doc_id"], num_partitions).map_batches(
         fold, batch_size=None, batch_format="pandas"
