@@ -299,13 +299,11 @@ def connected_components(pairs_ds, cfg: DedupConfig):
             )
         return contract_block(t.rename_columns(["a", "b"]))
 
-    recontracted = keyed_blocks(
+    directed = keyed_blocks(
         edges.map_batches(contract_block, batch_format="pyarrow", zero_copy_batch=True),
         ["node"],
         cfg.num_partitions,
-    ).map_batches(recontract, batch_size=None, batch_format="pyarrow",
-                  zero_copy_batch=True)
-    directed = keyed_blocks(recontracted, ["node"], cfg.num_partitions).materialize()
+    ).materialize()
 
     # Size-gated driver endgame (the distributed-CC analog of the endpoint
     # semi-filter's size guard): once block-local contraction has shrunk
@@ -315,10 +313,32 @@ def connected_components(pairs_ds, cfg: DedupConfig):
     # checksum pass, ~4-5 s/round).  Finishing union-find on the driver —
     # one bounded collect, the same vectorized min-relaxation the blocks
     # use, one broadcast assignment map — replaces O(log diameter) such
-    # rounds.  Above the gate (real 100-TB runs) the distributed path
-    # below runs unchanged.
+    # rounds.  The gate is checked on the FIRST-level contraction (the
+    # endgame is a general union-find: it needs node-partitioned coverage,
+    # not star edges), so the common path pays one shuffle.  Above the
+    # gate (real 100-TB runs) the distributed path below runs unchanged.
     n_directed = directed.count()
     if cfg.cc_driver_finish_edges and n_directed <= cfg.cc_driver_finish_edges:
+        return _finish_on_driver(directed, n_directed), 1
+
+    # Above the gate, re-contract before the propagation rounds: each
+    # node-keyed block now holds complete neighborhoods, so this second
+    # pass collapses what the partition-sliced first pass could not —
+    # contraction quality becomes a function of data, not upstream
+    # partition count (measured at 36M turns: the 32-partition first pass
+    # left a graph the 8-partition one contracted, inverting the stage's
+    # scaling).  Re-contraction emits nodes outside the block's key range
+    # (a local root may live in another partition), so one more — cheap,
+    # star-edges-only — node shuffle restores the block-completeness
+    # invariant that ``init_labels`` relies on for exactly-once emission.
+    recontracted = directed.map_batches(
+        recontract, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    directed = keyed_blocks(recontracted, ["node"], cfg.num_partitions).materialize()
+    n_directed = directed.count()
+    if cfg.cc_driver_finish_edges and n_directed <= cfg.cc_driver_finish_edges:
+        # the neighborhood-complete pass may shrink the graph under the
+        # gate even when the partition-sliced one could not
         return _finish_on_driver(directed, n_directed), 1
 
     # Partition the propagation rounds by DATA size, not cluster size:
