@@ -433,12 +433,18 @@ def events_by_type(sf_dir: str):
 
 # ---------------------------------------------- exact n-gram Jaccard pair join
 # Tokens in more than this many documents generate no candidate pairs
-# (stopword-class tokens at corpus scale).  The default is high enough to
-# be a no-op on the sf fixtures (max df there ~4k at sf0.1) — the cap
-# semantics themselves are tested against DuckDB with a small cap in
-# tests/test_docops.py, and bench.py runs this operator with df_cap=256
-# to demonstrate bounded emission on skewed vocabularies.
-NGRAM_DF_CAP = 4096
+# (stopword-class tokens at corpus scale).  Pair emission is bounded at
+# df_cap²/2 rows per hot token, so the default is the scale lever: the old
+# 4096 default was a no-op on the sf0.1 fixture's 31-token hot vocabulary
+# and emitted ~240M pair rows (~310 s at 8 CPUs); 512 keeps every token at
+# the sf0.01 correctness scale (max df ~402 — the pair logic is fully
+# exercised and hash-checked there) while dropping the stopword-class hubs
+# (df > 512 ⇒ the token co-occurs in >0.25% of a 200k-doc corpus) that
+# no retention policy keys on.  The cap is mirrored verbatim in the DuckDB
+# twins (__ray_entry__._ngram_df_cap), so any value is exact by
+# construction; tests/test_docops.py additionally checks the cap semantics
+# against DuckDB at a small cap.
+NGRAM_DF_CAP = 512
 
 
 def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 1, tau_den: int = 2,
