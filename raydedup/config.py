@@ -84,17 +84,25 @@ class DedupConfig:
     # --- connected components ---
     max_cc_iters: int = 25
     # Size-gated driver endgame: when the block-contracted directed edge
-    # list has at most this many rows, finish union-find on the driver
-    # (one bounded collect + vectorized min-label relaxation + one
-    # broadcast map) instead of paying per-round shuffle fixed costs for
-    # O(log diameter) propagation rounds.  Bounds driver memory at
-    # ~gate × 2 short strings (~1 GB at the default); 0 disables (always
-    # distributed).  After two-level contraction the collected rows are
-    # STAR edges (≤ 2 per non-root node), so the gate is ∝ duplicated
-    # nodes, not raw pairs: measured 1.7 s for a 1.5M-edge endgame, vs
-    # ~100 s of near-serial propagation rounds when a 4.6M-edge graph
-    # missed the old 4M gate (36M-turn run, BASELINE.md).
+    # list has at most this many rows AND at most cc_driver_finish_bytes
+    # of Arrow data, finish union-find on the driver (one bounded Arrow
+    # collect + vectorized min-label relaxation + one broadcast map)
+    # instead of paying per-round shuffle fixed costs for O(log diameter)
+    # propagation rounds.  0 disables (always distributed).  After
+    # two-level contraction the collected rows are STAR edges (≤ 2 per
+    # non-root node), so the gate is ∝ duplicated nodes, not raw pairs:
+    # measured 1.7 s for a 1.5M-edge endgame, vs ~100 s of near-serial
+    # propagation rounds when a 4.6M-edge graph missed the old 4M gate
+    # (36M-turn run, BASELINE.md).
     cc_driver_finish_edges: int = 12_000_000
+    # Companion byte gate: the endgame collects the edge list as Arrow
+    # string arrays (never per-row Python objects), but its peak driver
+    # transient is ~3-4× the collected Arrow bytes (the two-column concat
+    # fed to dictionary_encode plus int64 code/label arrays).  At the
+    # defaults (12M rows × 2 × ~20 B ids ≈ 0.5 GiB Arrow) peak driver
+    # RSS is ~2 GiB — the gate exists so unusually long node ids can't
+    # silently multiply that.  Sized for a driver with >= 8 GiB free.
+    cc_driver_finish_bytes: int = 768 * 2**20
 
     # --- execution sizing ---
     sig_batch_size: int = 1024      # docs per signature-actor batch

@@ -148,6 +148,13 @@ def read_parquet_clean(path, *, columns=None, **kwargs):
     removed, pruned to ``columns``) makes every block the read emits carry a
     hashable schema, silencing the per-task "Failed to hash the schemas"
     warning at the source instead of one stage downstream.
+
+    The probe reads ONE file's footer and assumes every file under ``path``
+    shares its schema — true for this engine's own checkpoints and the test
+    fixtures.  Hive-partitioned directories (``kpart=i/`` layouts written by
+    ``stage(..., partition_cols=...)``) are detected and read WITHOUT the
+    explicit schema: partition columns live in directory names, not file
+    footers, so pinning the footer schema would silently drop them.
     """
     import glob
     import os
@@ -157,11 +164,16 @@ def read_parquet_clean(path, *, columns=None, **kwargs):
     import ray.data as rd
 
     probe = path[0] if isinstance(path, (list, tuple)) and path else path
+    hive = False
     if isinstance(probe, str) and os.path.isdir(probe):
+        root = probe
         hits = sorted(glob.glob(os.path.join(probe, "**", "*.parquet"), recursive=True))
         probe = hits[0] if hits else None
+        if probe:
+            rel_dir = os.path.dirname(os.path.relpath(probe, root))
+            hive = any("=" in seg for seg in rel_dir.split(os.sep) if seg)
     try:
-        schema = pq.read_schema(probe).remove_metadata() if probe else None
+        schema = pq.read_schema(probe).remove_metadata() if probe and not hive else None
         if schema is not None and columns:
             schema = pa.schema([schema.field(c) for c in columns])
     except Exception:

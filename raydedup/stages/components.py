@@ -150,6 +150,25 @@ def _make_propagate_block():
     return propagate
 
 
+def _under_driver_gate(directed, n_directed: int, cfg) -> bool:
+    """Row- AND byte-gated check for the driver CC endgame.
+
+    ``directed`` is materialized, so ``size_bytes()`` is the exact Arrow
+    size of the two-string-column edge list in the object store — the
+    quantity the endgame's driver collect is proportional to (peak
+    transient ~3-4× it; see ``DedupConfig.cc_driver_finish_bytes``).
+    Row count alone under-estimates the footprint when node ids are long.
+    """
+    if not cfg.cc_driver_finish_edges or n_directed > cfg.cc_driver_finish_edges:
+        return False
+    byte_gate = getattr(cfg, "cc_driver_finish_bytes", 0)
+    if byte_gate:
+        sz = directed.size_bytes()
+        if sz is not None and sz > byte_gate:
+            return False
+    return True
+
+
 def _finish_on_driver(directed, n_directed: int):
     """labels for the gated endgame: driver union-find over the collected
     contracted edge list, broadcast back through one narrow map.
@@ -315,10 +334,12 @@ def connected_components(pairs_ds, cfg: DedupConfig):
     # use, one broadcast assignment map — replaces O(log diameter) such
     # rounds.  The gate is checked on the FIRST-level contraction (the
     # endgame is a general union-find: it needs node-partitioned coverage,
-    # not star edges), so the common path pays one shuffle.  Above the
-    # gate (real 100-TB runs) the distributed path below runs unchanged.
+    # not star edges), so the common path pays one shuffle.  Gated on rows
+    # AND collected Arrow bytes (cc_driver_finish_bytes) so long node ids
+    # can't blow the driver's memory budget.  Above the gate (real 100-TB
+    # runs) the distributed path below runs unchanged.
     n_directed = directed.count()
-    if cfg.cc_driver_finish_edges and n_directed <= cfg.cc_driver_finish_edges:
+    if _under_driver_gate(directed, n_directed, cfg):
         return _finish_on_driver(directed, n_directed), 1
 
     # Above the gate, re-contract before the propagation rounds: each
@@ -336,7 +357,7 @@ def connected_components(pairs_ds, cfg: DedupConfig):
     )
     directed = keyed_blocks(recontracted, ["node"], cfg.num_partitions).materialize()
     n_directed = directed.count()
-    if cfg.cc_driver_finish_edges and n_directed <= cfg.cc_driver_finish_edges:
+    if _under_driver_gate(directed, n_directed, cfg):
         # the neighborhood-complete pass may shrink the graph under the
         # gate even when the partition-sliced one could not
         return _finish_on_driver(directed, n_directed), 1

@@ -223,8 +223,10 @@ def _hot_buckets(sigs_ds, cfg: DedupConfig) -> np.ndarray:
     shuffle over just the 8-byte key column.  Exact global counts are
     partition-invariant, so gated salting preserves the pipeline's
     determinism-across-partitioning property (a per-block heavy-hitter
-    estimate would not).  Driver footprint is bounded by
-    total_rows / threshold keys (8 B each)."""
+    estimate would not).  The driver collects the surviving keys as Arrow
+    uint64 arrays (``to_arrow_refs``), never per-row Python dicts, so the
+    footprint really is ~8 B per hot key — bounded by
+    total_band_rows / threshold keys."""
     rows = sigs_ds.map_batches(
         make_band_rows(cfg, gated=True), batch_format="pyarrow", zero_copy_batch=True
     ).select_columns(["bucket"])
@@ -237,12 +239,16 @@ def _hot_buckets(sigs_ds, cfg: DedupConfig) -> np.ndarray:
         g = g.filter(pa.compute.greater_equal(g["bucket_count"], thresh))
         return g.select(["bucket"])
 
-    parts = keyed_blocks(rows, ["bucket"], cfg.num_partitions).map_batches(
+    hot_ds = keyed_blocks(rows, ["bucket"], cfg.num_partitions).map_batches(
         hot, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-    if not parts:
+    )
+    import ray as _ray
+
+    tables = [t for t in _ray.get(hot_ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
         return np.empty(0, np.uint64)
-    return np.sort(np.array([r["bucket"] for r in parts], dtype=np.uint64))
+    col = pa.concat_tables(tables)["bucket"].combine_chunks()
+    return np.sort(col.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False))
 
 
 def candidate_pairs(sigs_ds, cfg: DedupConfig, pair_mask_fn=None, prefilter: bool = False):
