@@ -155,17 +155,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bow_dedup": tiers.bow_dedup,
         "q_prefix_dup_groups": tiers.prefix_dup_groups,
         "q_dedup_tiers": tiers.dedup_tiers,
-        # transcript-table diagnostics over the sf-derived synth fixture
-        # (fixture is outside the driver's views → rows-only; pytest pins
-        # both against brute-force twins)
+        # transcript-table diagnostics over the sf-derived synth fixture;
+        # plain SQL over the fixture parquet → full DuckDB twins (the
+        # oracle reads the deterministic fixture file directly; see
+        # _oracle_fixture_path), pytest additionally pins brute-force twins
         "q_boilerplate_turns": transcripts.boilerplate_turns,
         "q_role_profile": transcripts.role_profile,
         # per-doc near-dup pair degree (composes the df-capped jaccard
         # pairs; one doc_id shuffle, degree-0 docs kept via marker rows)
         "q_dup_degree_profile": docops.dup_degree_profile,
-        # embedding near-dup transitive closure (shared CC machinery;
-        # iterative → rows-only, pytest union-find oracle)
-        "q_embedding_clusters": similarity.embedding_clusters,
+        # embedding near-dup transitive closure (shared CC machinery) —
+        # checked at threshold 0.4, where the test tables contain real
+        # multi-edge components (at the 0.9 operator default every sf's
+        # closest pair is < 0.52, so the driver row would only certify
+        # the all-singletons path); DuckDB twin = recursive-CTE reachability
+        "q_embedding_clusters": lambda sf: similarity.embedding_clusters(sf, threshold=0.4),
         # ============ block 1: round-2 driver-unchecked entries ============
         # scaling-dim co-shuffle join (part grows with data → no broadcast)
         "q_brand_revenue": relops.brand_revenue,
@@ -346,6 +350,27 @@ def _ngram_df_cap() -> str:
     return str(NGRAM_DF_CAP)
 
 
+def _oracle_fixture_path() -> str:
+    """Absolute path of the transcripts fixture the oracle SQL reads.
+
+    The transcript-native queries run over a deterministic synthetic
+    fixture sized from sf (``transcripts._turns``), not over the driver's
+    registered views, so their twins read the fixture parquet directly.
+    The driver's correctness gate runs at sf=0.01; a multi-sf sweep
+    (tools/check_contract.py) exports RAYDEDUP_ORACLE_SF so the twin
+    tracks the sweep's scale.  materialize() is pure pyarrow (no Ray) and
+    reuses the cached fixture when the Ray query already built it.
+    """
+    import os
+
+    from raydedup.sources.synth import materialize
+
+    sf = float(os.environ.get("RAYDEDUP_ORACLE_SF", "0.01"))
+    n_convs = max(200, int(200_000 * sf))
+    fixture = materialize(seed=42, n_convs=n_convs)
+    return f"{fixture}/transcripts.parquet"
+
+
 def oracle_sql() -> dict[str, str]:
     from raydedup.pipelines import curation as _CUR
     from raydedup.pipelines import docops as _DOC
@@ -408,6 +433,48 @@ def oracle_sql() -> dict[str, str]:
                          array_to_string(list_sort(string_split(COALESCE(text, ''), ' ')), ' ') AS b,
                          array_to_string(string_split(COALESCE(text, ''), ' ')[1:16], ' ') AS p
                   FROM documents)
+        """,
+        # transcript-fixture twins: read the deterministic synth parquet
+        # directly (md5(COALESCE(text,'')) mirrors md5_fingerprints' None
+        # handling; LENGTH/str.len both count code points)
+        "q_boilerplate_turns": f"""
+            SELECT md5(COALESCE(text, '')) AS turn_md5,
+                   COUNT(DISTINCT conv_id) AS n_convs,
+                   COUNT(*) AS n_turns
+            FROM read_parquet('{_oracle_fixture_path()}')
+            GROUP BY md5(COALESCE(text, ''))
+            HAVING COUNT(DISTINCT conv_id) >= 10
+        """,
+        "q_role_profile": f"""
+            SELECT role,
+                   COUNT(*) AS n_turns,
+                   COUNT(DISTINCT conv_id) AS n_convs,
+                   CAST(SUM(LENGTH(COALESCE(text, ''))) AS BIGINT) AS total_chars,
+                   CAST(SUM(CASE WHEN COALESCE(tool, '') <> '' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_tool_turns
+            FROM read_parquet('{_oracle_fixture_path()}')
+            GROUP BY role
+        """,
+        # embedding near-dup transitive closure: exact all-pairs cosine at
+        # the checked threshold (0.4 — real multi-edge components in the
+        # test tables), then recursive-CTE min-label reachability; the
+        # UNION (not UNION ALL) dedups states so the recursion terminates
+        "q_embedding_clusters": """
+            WITH RECURSIVE pairs AS (
+              SELECT x.vec_id AS a, y.vec_id AS b
+              FROM embeddings x, embeddings y
+              WHERE x.vec_id < y.vec_id
+                AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                           CAST(y.embedding AS DOUBLE[])) >= 0.4
+            ), edges AS (
+              SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+            ), reach(vec_id, label) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.vec_id
+            )
+            SELECT vec_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY vec_id
         """,
         "q_mixture_sample": """
             WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),

@@ -196,6 +196,13 @@ def main_bench():
     }
     queries.update(run_doc_queries(SF_DIR))
     total = round(sum(queries.values()), 2)
+    # The checkpoint mode behind each flagship key is recorded explicitly:
+    # 'flagship_transcript_dedup' follows the auto gate (ephemeral
+    # object-store boundaries at bench scale, disk above 100k convs), so a
+    # round that moves the gate would otherwise silently change what the
+    # long-lived key measures; 'flagship_disk' pins the resumable disk
+    # path for mode-stable round-over-round comparison.
+    auto_mode = "memory" if flag["convs"] <= 100_000 else "disk"
     print(
         json.dumps(
             {
@@ -206,6 +213,10 @@ def main_bench():
                 "sf": _sf_of(SF_DIR),
                 "num_cpus": NUM_CPUS,
                 "flagship": flag,
+                "flagship_modes": {
+                    "flagship_transcript_dedup": f"{auto_mode} (auto)",
+                    "flagship_disk": "disk",
+                },
             }
         )
     )

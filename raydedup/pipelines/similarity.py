@@ -709,6 +709,13 @@ def prototype_prune(sf_dir: str, k: int = 8, p: float = 0.25, n_iters: int = 5,
         c = ray.get(c_ref)
         outs = []
         for cid, g in df.groupby("centroid_id", sort=False):
+            # Fix the row order BEFORE the BLAS call: shuffle arrival order
+            # permutes group rows across partitionings, and a row's float
+            # dot product is only guaranteed bit-identical when the matrix
+            # it sits in is bit-identical.  Sorting makes the gemv input —
+            # and therefore every _cos and the (cos, vec_id) rank — exactly
+            # partition-invariant (same pattern as semdedup's prune).
+            g = g.sort_values("vec_id")
             x = _normalize(_matrix(g))
             cos = x @ c[int(cid)]
             g = g.assign(_cos=cos).sort_values(["_cos", "vec_id"],

@@ -4,9 +4,9 @@ These run over the input_hint-shaped conversations table
 (conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
 ts:timestamp) — synthesized deterministically at an sf-derived size, the
 same scale rule as the flagship ``q_transcript_dedup`` entry.  The
-fixture lives outside the driver's registered views, so these are
-rows-only driver checks; pytest pins each against a brute-force pandas
-twin on the same fixture.
+fixture lives outside the driver's registered views, so the DuckDB twins
+read the fixture parquet directly (``__ray_entry__._oracle_fixture_path``);
+pytest additionally pins each against a brute-force pandas twin.
 
 Operators:
 

@@ -17,9 +17,17 @@ TABLES = [
 
 @pytest.fixture(scope="module")
 def contract():
+    import os
+
     import __ray_entry__ as entry
 
-    return entry.queries(), entry.oracle_sql()
+    # the transcript-fixture twins size the oracle's fixture from this env
+    # var (driver default 0.01) — this suite runs at sf0.001
+    os.environ["RAYDEDUP_ORACLE_SF"] = "0.001"
+    try:
+        return entry.queries(), entry.oracle_sql()
+    finally:
+        os.environ.pop("RAYDEDUP_ORACLE_SF", None)
 
 
 @pytest.fixture(scope="module")

@@ -50,6 +50,16 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # the transcript-fixture twins size their fixture from sf (the driver
+    # gate runs at 0.01, the default); tell oracle_sql() which scale this
+    # sweep runs at so the twin reads the matching fixture
+    import os
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    if m:
+        os.environ["RAYDEDUP_ORACLE_SF"] = m.group(1)
+
     import ray
 
     if not ray.is_initialized():
