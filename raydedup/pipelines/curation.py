@@ -26,9 +26,14 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from raydedup.ray_utils import keyed_blocks
+from raydedup.ray_utils import default_partitions, keyed_blocks
 
-_P = 8  # hash partitions for sf-scale correctness runs (cluster: ~cores)
+def _P() -> int:
+    """Hash partitions for the sf-scale query surface — resolved at call
+    time from the live Ray session (~1/CPU, floor 8, cap 256; see
+    ray_utils.default_partitions).  Partition-count invariance is pinned
+    by the determinism tests and DuckDB twins."""
+    return default_partitions()
 
 # --------------------------------------------------------- decontamination
 # Probe derivation is data-deterministic (no external benchmark files in
@@ -177,7 +182,7 @@ def distinct_counts(sf_dir: str) -> pd.DataFrame:
             read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
             .map_batches(tagged_uniques, batch_format="pandas"),
             ["col", "val"],
-            _P,
+            _P(),
         )
         .map_batches(count_block, batch_size=None, batch_format="pandas")
         .to_pandas()  # ≤ 2 rows per partition
@@ -301,7 +306,7 @@ def label_centroids(sf_dir: str):
     partials = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
     ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return keyed_blocks(partials, ["label"], _P).map_batches(
+    return keyed_blocks(partials, ["label"], _P()).map_batches(
         final, batch_size=None, batch_format="pandas"
     )
 
@@ -778,7 +783,7 @@ def ngram_decontaminate(sf_dir: str, bloom_bits: int | None = None, n_hashes: in
         out = hits.groupby("doc_id", sort=False).size().rename("cnt").reset_index()
         return out.astype({"doc_id": np.int64, "cnt": np.int64})
 
-    partials = keyed_blocks(gram_rows, ["g"], _P).map_batches(
+    partials = keyed_blocks(gram_rows, ["g"], _P()).map_batches(
         count_hits, batch_size=None, batch_format="pandas"
     )
 
@@ -808,7 +813,7 @@ def ngram_decontaminate(sf_dir: str, bloom_bits: int | None = None, n_hashes: in
             "contaminated": (agg["cnt"].to_numpy(np.int64) > 0).astype(np.int64),
         })
 
-    return keyed_blocks(partials.union(base), ["doc_id"], _P).map_batches(
+    return keyed_blocks(partials.union(base), ["doc_id"], _P()).map_batches(
         final, batch_size=None, batch_format="pandas"
     )
 
@@ -853,7 +858,7 @@ def ngram_novelty(sf_dir: str):
         out = tot.merge(nov, on="doc_id", how="outer").fillna(0)
         return out.astype({"doc_id": np.int64, "n_grams": np.int64, "n_novel": np.int64})
 
-    partials = keyed_blocks(grams, ["g"], _P).map_batches(
+    partials = keyed_blocks(grams, ["g"], _P()).map_batches(
         per_gram, batch_size=None, batch_format="pandas"
     )
 
@@ -874,7 +879,7 @@ def ngram_novelty(sf_dir: str):
         agg = df.groupby("doc_id", sort=False)[["n_grams", "n_novel"]].sum().reset_index()
         return agg.astype({"doc_id": np.int64, "n_grams": np.int64, "n_novel": np.int64})
 
-    return keyed_blocks(partials.union(base), ["doc_id"], _P).map_batches(
+    return keyed_blocks(partials.union(base), ["doc_id"], _P()).map_batches(
         final, batch_size=None, batch_format="pandas"
     )
 
@@ -912,7 +917,7 @@ def gram_df_histogram(sf_dir: str):
         return pd.DataFrame({"df": vc.index.to_numpy(np.int64),
                              "n_grams": vc.to_numpy(np.int64)})
 
-    partials = keyed_blocks(grams, ["g"], _P).map_batches(
+    partials = keyed_blocks(grams, ["g"], _P()).map_batches(
         df_partial, batch_size=None, batch_format="pandas"
     )
 

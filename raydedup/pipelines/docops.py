@@ -25,9 +25,14 @@ import numpy as np
 import pandas as pd
 
 from raydedup.functions.textstats import md5_fingerprints, token_counts
-from raydedup.ray_utils import ensure_hash_shuffle, keyed_blocks
+from raydedup.ray_utils import default_partitions, ensure_hash_shuffle, keyed_blocks
 
-_P = 8  # hash partitions for sf-scale correctness runs (cluster: ~cores)
+def _P() -> int:
+    """Hash partitions for the sf-scale query surface — resolved at call
+    time from the live Ray session (~1/CPU, floor 8, cap 256; see
+    ray_utils.default_partitions).  Partition-count invariance is pinned
+    by the determinism tests and DuckDB twins."""
+    return default_partitions()
 
 
 def _docs(sf_dir: str, columns=None):
@@ -67,7 +72,7 @@ def exact_dedup(sf_dir: str):
         return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
                              "canonical_id": canonical.to_numpy()})
 
-    return keyed_blocks(_hashed_docs(sf_dir), ["text_md5"], _P).map_batches(
+    return keyed_blocks(_hashed_docs(sf_dir), ["text_md5"], _P()).map_batches(
         block, batch_size=None, batch_format="pandas"
     )
 
@@ -99,7 +104,7 @@ def dup_groups(sf_dir: str):
             schema=schema,
         )
 
-    return keyed_blocks(_hashed_docs(sf_dir), ["text_md5"], _P).map_batches(
+    return keyed_blocks(_hashed_docs(sf_dir), ["text_md5"], _P()).map_batches(
         block, batch_size=None, batch_format="pandas"
     )
 
@@ -154,7 +159,7 @@ def source_dup_profile(sf_dir: str):
     partials = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
         with_source, batch_format="pandas"
     )
-    per = keyed_blocks(partials, ["text_md5"], _P).map_batches(
+    per = keyed_blocks(partials, ["text_md5"], _P()).map_batches(
         per_hash, batch_size=None, batch_format="pandas"
     )
     return keyed_blocks(per, ["source"], 4).map_batches(
@@ -162,7 +167,7 @@ def source_dup_profile(sf_dir: str):
     )
 
 
-def dup_degree_profile(sf_dir: str, num_partitions: int = _P,
+def dup_degree_profile(sf_dir: str, num_partitions: int = 0,
                        df_cap: int | None = None):
     """(doc_id, dup_degree) for EVERY document: how many n-gram-Jaccard
     near-duplicate pairs the doc participates in (0 for clean docs) —
@@ -210,7 +215,8 @@ def dup_degree_profile(sf_dir: str, num_partitions: int = _P,
         sf_dir, df_cap=NGRAM_DF_CAP if df_cap is None else df_cap
     ).map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
     marks = _docs(sf_dir, ["doc_id"]).map_batches(marker, batch_format="pandas")
-    return keyed_blocks(ends.union(marks), ["doc_id"], num_partitions).map_batches(
+    return keyed_blocks(ends.union(marks), ["doc_id"],
+                        num_partitions or _P()).map_batches(
         fold, batch_size=None, batch_format="pandas"
     )
 
@@ -396,7 +402,7 @@ def dup_size_histogram(sf_dir: str):
         out = df.groupby("n_docs", sort=False).agg(n_groups=("n_groups", "sum")).reset_index()
         return out.astype({"n_docs": np.int64, "n_groups": np.int64})
 
-    partial = keyed_blocks(_hashed_docs(sf_dir), ["text_md5"], _P).map_batches(
+    partial = keyed_blocks(_hashed_docs(sf_dir), ["text_md5"], _P()).map_batches(
         block, batch_size=None, batch_format="pandas"
     )
     return keyed_blocks(partial, ["n_docs"], 2).map_batches(
@@ -491,7 +497,7 @@ def ngram_jaccard_pairs(sf_dir: str, tau_num: int = 1, tau_den: int = 2,
             }
         )
 
-    return keyed_blocks(raw, ["a", "b"], _P).map_batches(
+    return keyed_blocks(raw, ["a", "b"], _P()).map_batches(
         count_block, batch_size=None, batch_format="pandas"
     )
 
@@ -532,7 +538,7 @@ def ngram_containment_pairs(sf_dir: str, tau_num: int = 4, tau_den: int = 5,
             }
         )
 
-    return keyed_blocks(raw, ["a", "b"], _P).map_batches(
+    return keyed_blocks(raw, ["a", "b"], _P()).map_batches(
         count_block, batch_size=None, batch_format="pandas"
     )
 
@@ -595,7 +601,7 @@ def _ngram_pair_rows(sf_dir: str, df_cap: int):
             return pd.DataFrame(cols)
         return pd.DataFrame({"a": did[i], "b": did[j], "na": nn[i], "nb": nn[j]})
 
-    return keyed_blocks(toks, ["tok"], _P).map_batches(
+    return keyed_blocks(toks, ["tok"], _P()).map_batches(
         emit, batch_size=None, batch_format="pandas"
     )
 
@@ -646,7 +652,7 @@ def top_tokens(sf_dir: str, k: int = 100):
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     partials = docs.map_batches(partial, batch_format="pandas")
-    cands = keyed_blocks(partials, ["tok"], _P).map_batches(
+    cands = keyed_blocks(partials, ["tok"], _P()).map_batches(
         local_topk, batch_size=None, batch_format="pandas"
     )
     return cands.repartition(1).map_batches(final, batch_size=None, batch_format="pandas")
@@ -1160,10 +1166,10 @@ def tfidf_top_terms(sf_dir: str, k: int = 5, df_cap: int | None = None):
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     tf_rows = docs.map_batches(explode, batch_format="pandas")
-    with_df = keyed_blocks(tf_rows, ["tok"], _P).map_batches(
+    with_df = keyed_blocks(tf_rows, ["tok"], _P()).map_batches(
         attach_df, batch_size=None, batch_format="pandas"
     )
-    return keyed_blocks(with_df, ["doc_id"], _P).map_batches(
+    return keyed_blocks(with_df, ["doc_id"], _P()).map_batches(
         topk, batch_size=None, batch_format="pandas"
     )
 
@@ -1620,7 +1626,7 @@ def curate_corpus(sf_dir: str, min_tokens: int = 5):
 
     docs = _docs(sf_dir, ["doc_id", "text", "source"])
     survivors = docs.map_batches(prep, batch_format="pandas")
-    return keyed_blocks(survivors, ["text_md5"], _P).map_batches(
+    return keyed_blocks(survivors, ["text_md5"], _P()).map_batches(
         dedup_block, batch_size=None, batch_format="pandas"
     )
 
@@ -1804,12 +1810,12 @@ def bigram_collocations(sf_dir: str, min_pair: int = 5):
 
     docs = _docs(sf_dir, ["text"])
     pairs = keyed_blocks(
-        docs.map_batches(pair_partial, batch_format="pandas"), ["w1", "w2"], _P
+        docs.map_batches(pair_partial, batch_format="pandas"), ["w1", "w2"], _P()
     ).map_batches(pair_reduce, batch_size=None, batch_format="pandas")
     # exact unigram counts, materialized once (vocabulary-sized) and
     # co-shuffled into both attach joins
     uni = keyed_blocks(
-        docs.map_batches(uni_partial, batch_format="pandas"), ["tok"], _P
+        docs.map_batches(uni_partial, batch_format="pandas"), ["tok"], _P()
     ).map_batches(uni_reduce, batch_size=None, batch_format="pandas").materialize()
 
     def tag_pairs_w1(df: pd.DataFrame) -> pd.DataFrame:
@@ -1830,7 +1836,7 @@ def bigram_collocations(sf_dir: str, min_pair: int = 5):
     j1 = keyed_blocks(
         pairs.map_batches(tag_pairs_w1, batch_format="pandas")
         .union(uni.map_batches(tag_uni, batch_format="pandas")),
-        ["key"], _P,
+        ["key"], _P(),
     ).map_batches(attach("key", "n_w1"), batch_size=None, batch_format="pandas")
 
     def tag_pairs_w2(df: pd.DataFrame) -> pd.DataFrame:
@@ -1848,7 +1854,7 @@ def bigram_collocations(sf_dir: str, min_pair: int = 5):
     j2 = keyed_blocks(
         j1.map_batches(tag_pairs_w2, batch_format="pandas")
         .union(uni.map_batches(tag_uni2, batch_format="pandas")),
-        ["key"], _P,
+        ["key"], _P(),
     ).map_batches(attach("key", "n_w2"), batch_size=None, batch_format="pandas")
 
     def project(df: pd.DataFrame) -> pd.DataFrame:

@@ -28,9 +28,15 @@ from raydedup.ray_utils import read_parquet_clean
 import numpy as np
 import pandas as pd
 
-from raydedup.ray_utils import ensure_hash_shuffle, keyed_blocks
+from raydedup.ray_utils import default_partitions, ensure_hash_shuffle, keyed_blocks
 
-_P = 8
+
+def _P() -> int:
+    """Hash partitions for the sf-scale query surface — resolved at call
+    time from the live Ray session (~1/CPU, floor 8, cap 256; see
+    ray_utils.default_partitions).  Partition-count invariance is pinned
+    by the determinism tests and DuckDB twins."""
+    return default_partitions()
 
 
 def _cents(x: pd.Series) -> np.ndarray:
@@ -180,7 +186,7 @@ def segment_revenue(sf_dir: str):
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).map_batches(order_rows, batch_format="pandas")
-    joined = keyed_blocks(cust.union(orders), ["custkey"], _P).map_batches(
+    joined = keyed_blocks(cust.union(orders), ["custkey"], _P()).map_batches(
         join_reduce, batch_size=None, batch_format="pandas"
     )
     return keyed_blocks(joined, ["seg"], 4).map_batches(
@@ -294,7 +300,7 @@ def customer_order_distribution(sf_dir: str):
     cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"]
     ).map_batches(cust_rows, batch_format="pandas")
-    per = keyed_blocks(cust.union(orders), ["custkey"], _P).map_batches(
+    per = keyed_blocks(cust.union(orders), ["custkey"], _P()).map_batches(
         per_cust, batch_size=None, batch_format="pandas"
     )
     return keyed_blocks(per, ["n_orders"], 4).map_batches(
@@ -349,7 +355,7 @@ def segment_priority_counts(sf_dir: str):
     joined = orders.join(
         cust,
         join_type="inner",
-        num_partitions=_P,
+        num_partitions=_P(),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -529,7 +535,7 @@ def brand_revenue(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_extendedprice", "l_discount"],
     ).map_batches(line_partial, batch_format="pandas")
-    joined = keyed_blocks(part.union(lines), ["partkey"], _P).map_batches(
+    joined = keyed_blocks(part.union(lines), ["partkey"], _P()).map_batches(
         join_reduce, batch_size=None, batch_format="pandas"
     )
     return keyed_blocks(joined, ["brand"], 2).map_batches(
@@ -657,7 +663,7 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=(pads.field("o_orderdate") < cut),
     ).map_batches(order_rows, batch_format="pandas")
-    seg_orders = keyed_blocks(cust.union(orders), ["custkey"], _P).map_batches(
+    seg_orders = keyed_blocks(cust.union(orders), ["custkey"], _P()).map_batches(
         semi_join, batch_size=None, batch_format="pandas"
     )
     lines = read_parquet_clean(
@@ -665,7 +671,7 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         filter=(pads.field("l_shipdate") > cut),
     ).map_batches(line_partial, batch_format="pandas")
-    per_order = keyed_blocks(seg_orders.union(lines), ["orderkey"], _P).map_batches(
+    per_order = keyed_blocks(seg_orders.union(lines), ["orderkey"], _P()).map_batches(
         join_topk, batch_size=None, batch_format="pandas"
     )
     return per_order.repartition(1).map_batches(final, batch_size=None,
@@ -769,7 +775,7 @@ def region_revenue(sf_dir: str):
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).map_batches(order_rows, batch_format="pandas")
-    joined = keyed_blocks(cust.union(orders), ["custkey"], _P).map_batches(
+    joined = keyed_blocks(cust.union(orders), ["custkey"], _P()).map_batches(
         join_reduce, batch_size=None, batch_format="pandas"
     )
     return keyed_blocks(joined, ["region"], 2).map_batches(

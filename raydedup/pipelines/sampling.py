@@ -44,6 +44,21 @@ def _docs(sf_dir: str, columns):
     return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _md5_keys52(payloads: list) -> np.ndarray:
+    """First 52 bits of md5 over each byte string, as int64 — identical to
+    ``int(md5(p).hexdigest()[:13], 16)`` but ~25% faster at 1M keys: one
+    raw-digest pass, then a single numpy big-endian parse of the
+    concatenated digest buffer instead of per-item hex render + int().
+    The md5 itself stays per-item (required: the DuckDB twins recompute
+    ``md5(CAST(id AS VARCHAR))`` value-for-value)."""
+    if not payloads:
+        return np.empty(0, np.int64)
+    md5 = hashlib.md5
+    buf = b"".join([md5(p).digest() for p in payloads])
+    u8 = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 16)[:, :8]
+    return (u8.copy().view(">u8").ravel() >> np.uint64(12)).astype(np.int64)
+
+
 def _md5_uniform(ids: np.ndarray) -> np.ndarray:
     """Deterministic uniform in (0, 1]: first 52 bits of md5(str(id)).
 
@@ -52,11 +67,7 @@ def _md5_uniform(ids: np.ndarray) -> np.ndarray:
     bit-for-bit (a vectorized integer mixer would be faster but has no
     SQL-side equivalent, which would break the correctness contract).
     """
-    v = np.fromiter(
-        (int(hashlib.md5(str(i).encode()).hexdigest()[:_U_HEX], 16) for i in ids),
-        dtype=np.int64,
-        count=len(ids),
-    )
+    v = _md5_keys52([str(i).encode() for i in ids.tolist()])
     return (v + 1) / _U_DEN
 
 
@@ -183,12 +194,7 @@ def shuffle_rank(sf_dir: str, epoch: int = 1, num_partitions: int = 4):
 
     def keys(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy(dtype=np.int64)
-        v = np.fromiter(
-            (int(hashlib.md5(f"{i}:{epoch}".encode()).hexdigest()[:_U_HEX], 16)
-             for i in ids),
-            dtype=np.int64,
-            count=len(ids),
-        )
+        v = _md5_keys52([f"{i}:{epoch}".encode() for i in ids.tolist()])
         return pd.DataFrame({"doc_id": ids, "skey": v, "bucket": v >> 36})
 
     def hist(df: pd.DataFrame) -> pd.DataFrame:

@@ -29,9 +29,19 @@ import numpy as np
 import pandas as pd
 
 from raydedup.functions.textstats import md5_fingerprints
-from raydedup.ray_utils import ensure_hash_shuffle, keyed_blocks, read_parquet_clean
+from raydedup.ray_utils import (
+    default_partitions,
+    ensure_hash_shuffle,
+    keyed_blocks,
+    read_parquet_clean,
+)
 
-_P = 8  # hash partitions for sf-scale correctness runs (cluster: ~cores)
+def _P() -> int:
+    """Hash partitions for the sf-scale query surface — resolved at call
+    time from the live Ray session (~1/CPU, floor 8, cap 256; see
+    ray_utils.default_partitions).  Partition-count invariance is pinned
+    by the determinism tests and DuckDB twins."""
+    return default_partitions()
 
 # tier codes, strictest first: exact ⊂ bow (order-insensitive equality
 # is implied by equality); prefix is independent of both
@@ -48,7 +58,13 @@ def _bow_keys(texts: pd.Series) -> list:
     """md5 of the sorted-token rendering — matches the DuckDB twin's
     ``md5(array_to_string(list_sort(string_split(text, ' ')), ' '))``
     (binary collation == Python codepoint sort; verified for the ASCII
-    fixture alphabet)."""
+    fixture alphabet).
+
+    Deliberately a plain loop: for short docs the per-row ``sorted`` +
+    ``join`` is ~1 µs/doc, and the measured Arrow alternative
+    (split_pattern → flatten → np.lexsort → binary_join) is ~5× SLOWER
+    at 300k docs — the flat-array rebuild dominates when lists are
+    short.  The md5 itself must stay per-item for twin parity."""
     return [
         hashlib.md5(
             " ".join(sorted(("" if t is None else t).split(" "))).encode("utf-8")
@@ -95,7 +111,7 @@ def bow_dedup(sf_dir: str):
     hashed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         keys, batch_format="pandas"
     )
-    return keyed_blocks(hashed, ["bow_md5"], _P).map_batches(
+    return keyed_blocks(hashed, ["bow_md5"], _P()).map_batches(
         block, batch_size=None, batch_format="pandas"
     )
 
@@ -143,12 +159,12 @@ def prefix_dup_groups(sf_dir: str, k: int = 16):
     hashed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         keys, batch_format="pandas"
     )
-    return keyed_blocks(hashed, ["prefix_md5"], _P).map_batches(
+    return keyed_blocks(hashed, ["prefix_md5"], _P()).map_batches(
         block, batch_size=None, batch_format="pandas"
     )
 
 
-def dedup_tiers(sf_dir: str, k: int = 16, num_partitions: int = _P):
+def dedup_tiers(sf_dir: str, k: int = 16, num_partitions: int = 0):
     """Per-document tier verdict → (doc_id, tier): the STRICTEST rung of
     the exact-family ladder that flags the doc as duplicated —
     ``'exact'`` (verbatim copy exists), else ``'bow'`` (token-multiset
@@ -213,6 +229,7 @@ def dedup_tiers(sf_dir: str, k: int = 16, num_partitions: int = _P):
     melted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         keys, batch_format="pandas"
     )
+    num_partitions = num_partitions or _P()  # 0 → call-time session size
     flagged = keyed_blocks(melted, ["kind", "h"], num_partitions).map_batches(
         flag, batch_size=None, batch_format="pandas"
     )

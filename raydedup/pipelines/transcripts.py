@@ -34,9 +34,19 @@ import numpy as np
 import pandas as pd
 
 from raydedup.functions.textstats import md5_fingerprints
-from raydedup.ray_utils import ensure_hash_shuffle, keyed_blocks, read_parquet_clean
+from raydedup.ray_utils import (
+    default_partitions,
+    ensure_hash_shuffle,
+    keyed_blocks,
+    read_parquet_clean,
+)
 
-_P = 8
+def _P() -> int:
+    """Hash partitions for the sf-scale query surface — resolved at call
+    time from the live Ray session (~1/CPU, floor 8, cap 256; see
+    ray_utils.default_partitions).  Partition-count invariance is pinned
+    by the determinism tests and DuckDB twins."""
+    return default_partitions()
 
 
 def _turns(sf_dir: str, columns=None):
@@ -53,7 +63,7 @@ def _turns(sf_dir: str, columns=None):
 
 
 def boilerplate_turns(sf_dir: str, min_convs: int = 10,
-                      num_partitions: int = _P):
+                      num_partitions: int = 0):
     """(turn_md5, n_convs, n_turns): turn texts appearing verbatim in at
     least ``min_convs`` DISTINCT conversations, with their total turn
     count.  Blocks pre-reduce to distinct (turn_md5, conv_id, cnt) rows;
@@ -88,7 +98,8 @@ def boilerplate_turns(sf_dir: str, min_convs: int = 10,
     pairs = _turns(sf_dir, ["conv_id", "text"]).map_batches(
         pre, batch_format="pandas"
     )
-    return keyed_blocks(pairs, ["turn_md5"], num_partitions).map_batches(
+    return keyed_blocks(pairs, ["turn_md5"],
+                        num_partitions or _P()).map_batches(
         fold, batch_size=None, batch_format="pandas"
     )
 

@@ -141,6 +141,25 @@ def clean_blocks(ds):
     )
 
 
+def default_partitions() -> int:
+    """Hash-partition count for the sf-scale query surface: ~one per CPU
+    slot of the live session (floor 8 so small sessions still exercise
+    real multi-partition shuffles, cap 256 so tiny tables aren't shredded
+    into thousands of blocks on a huge cluster driver).  Every operator
+    that uses this is partition-count invariant (pinned by the
+    determinism tests and the DuckDB twins), so the value only moves wall
+    time — resolve it lazily at call time, never at import (Ray may not
+    be initialized yet, and the session's size can change between runs)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return int(min(256, max(8, ray.cluster_resources().get("CPU", 8))))
+    except Exception:
+        pass
+    return 8
+
+
 def read_parquet_clean(path, *, columns=None, **kwargs):
     """``read_parquet`` with an explicit metadata-free schema.
 
