@@ -21,6 +21,12 @@ class DedupConfig:
     # embedding at duplicate_face.py:44) ---
     shingle_k: int = 5              # tokens per word-shingle
     max_shingles_per_doc: int = 50_000   # cap via smallest-hash sampling; recorded in metrics
+    # Mask shingles of turn texts shared verbatim by at least this many
+    # distinct conversations (0 = off).  System prompts / canned tool
+    # headers are what explode LSH band buckets; dropping their shingles
+    # at the signature stage shrinks hot buckets at the source instead of
+    # leaving it all to the gated salting (stages/boilerplate.py).
+    boilerplate_mask_min_convs: int = 0
 
     # --- MinHash signature ---
     num_perm: int = 128

@@ -71,6 +71,21 @@ def run_pipeline(
             cfg.min_doc_chars,
         ),
     )
+    # optional boilerplate shingle mask (SURVEY §4 skew row): shingles of
+    # turn texts shared by >= N distinct conversations are dropped before
+    # signing, shrinking hot LSH buckets at the source.  The mask is a
+    # deterministic function of the input (one bounded md5-keyed shuffle,
+    # driver collect ∝ turns/min_convs), so resume recomputes it cheaply
+    # instead of checkpointing it.
+    shingle_mask = None
+    if cfg.boilerplate_mask_min_convs > 0:
+        from raydedup.stages.boilerplate import boilerplate_shingle_mask
+
+        shingle_mask = boilerplate_shingle_mask(
+            read_parquet_clean(input_path, columns=["conv_id", "text"]), cfg
+        )
+        metrics.add("signatures", "masked_shingle_hashes", len(shingle_mask))
+
     # the signature stage (the expensive narrow stage) checkpoints with
     # per-partition lineage: a crash mid-stage resumes from the completed
     # part-i/ dirs and recomputes only the missing ones (north rule)
@@ -78,11 +93,16 @@ def run_pipeline(
         sigs = store.partitioned_map_stage(
             "signatures",
             "docs",
-            lambda files: compute_signatures(read_parquet_clean(files), cfg),
+            lambda files: compute_signatures(
+                read_parquet_clean(files), cfg, shingle_mask=shingle_mask
+            ),
             cfg.checkpoint_parts,
         )
     else:
-        sigs = store.stage("signatures", lambda: compute_signatures(docs, cfg))
+        sigs = store.stage(
+            "signatures",
+            lambda: compute_signatures(docs, cfg, shingle_mask=shingle_mask),
+        )
 
     # Each edge source is its own checkpointed sub-DAG (bounded number of
     # concurrent shuffle ops per execution; finer-grained resume), and each

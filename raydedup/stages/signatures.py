@@ -32,9 +32,26 @@ def _cached_minhasher(num_perm: int, seed: int) -> MinHasher:
 
 
 class SignatureActor:
-    def __init__(self, cfg: DedupConfig):
+    def __init__(self, cfg: DedupConfig, shingle_mask: np.ndarray | None = None):
         self.cfg = cfg
         self.mh = _cached_minhasher(cfg.num_perm, cfg.seed)
+        # sorted uint64 hashes to drop before signing (boilerplate turns;
+        # stages/boilerplate.py) — tiny, ships once in the task closure
+        self.shingle_mask = (
+            shingle_mask if shingle_mask is not None and len(shingle_mask) else None
+        )
+
+    def _apply_mask(self, flat: np.ndarray, offsets: np.ndarray) -> tuple:
+        """Drop masked hashes from the flat shingle stream, recomputing the
+        per-doc offsets — vectorized searchsorted against the sorted mask."""
+        mask = self.shingle_mask
+        idx = np.searchsorted(mask, flat)
+        # out-of-range probes (flat > every mask value) re-point to slot 0:
+        # they can never equal mask[0], which is strictly smaller
+        idx[idx == len(mask)] = 0
+        keep = mask[idx] != flat
+        cum = np.concatenate(([0], np.cumsum(keep, dtype=offsets.dtype)))
+        return flat[keep], cum[offsets]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -48,6 +65,8 @@ class SignatureActor:
         flat, offsets, capped = batch_shingles_flat_arrow(
             texts, cfg.shingle_k, cfg.max_shingles_per_doc
         )
+        if self.shingle_mask is not None:
+            flat, offsets = self._apply_mask(flat, offsets)
         n_shingles = np.diff(offsets)
         sigs = self.mh.signature_segments(flat, offsets)
         simhashes = simhash64_segments(flat, offsets)
@@ -80,18 +99,20 @@ class SignatureActor:
         )
 
 
-def compute_signatures(docs_ds, cfg: DedupConfig, use_actors: bool = False):
+def compute_signatures(docs_ds, cfg: DedupConfig, use_actors: bool = False,
+                       shingle_mask: np.ndarray | None = None):
     """``Dataset[DOCS] → Dataset[SIGNATURES]``.
 
     Default: stateless tasks with a per-worker-process permutation-table
     cache (no pool spin-up latency).  ``use_actors=True`` switches to an
     explicit actor pool — the right choice when per-worker state is big
     enough that construction must be strictly bounded (e.g. very large
-    ``num_perm``, model weights)."""
+    ``num_perm``, model weights).  ``shingle_mask`` (sorted uint64) drops
+    boilerplate shingles before signing (``stages/boilerplate.py``)."""
     if use_actors:
         return docs_ds.map_batches(
             SignatureActor,
-            fn_constructor_args=(cfg,),
+            fn_constructor_args=(cfg, shingle_mask),
             batch_format="pyarrow",
             batch_size=cfg.sig_batch_size,
             concurrency=cfg.sig_concurrency,
@@ -99,7 +120,7 @@ def compute_signatures(docs_ds, cfg: DedupConfig, use_actors: bool = False):
             zero_copy_batch=True,
         )
     return docs_ds.map_batches(
-        SignatureActor(cfg),
+        SignatureActor(cfg, shingle_mask),
         batch_format="pyarrow",
         batch_size=cfg.sig_batch_size,
         zero_copy_batch=True,

@@ -212,6 +212,67 @@ def test_capped_bucket_recall(ray_session, tmp_path):
     _ = cands
 
 
+def test_boilerplate_mask_recall_and_bucket_shrink(ray_session, fixture_dir, tmp_path):
+    """SURVEY §4 skew row: masking shingles of verbatim-shared turns
+    (system prompts — every synth conv opens with one of 5) must shrink
+    the unsalted LSH band buckets at the source while planted dup-pair
+    recall vs the (unmasked) oracle holds."""
+    from raydedup.pipelines.dedup import run_pipeline
+    from raydedup.ray_utils import read_parquet_clean
+    from raydedup.stages.boilerplate import boilerplate_shingle_mask
+    from raydedup.stages.lsh import make_band_rows
+    from raydedup.stages.signatures import compute_signatures
+
+    cfg = DedupConfig(num_partitions=4, sig_concurrency=(1, 2),
+                      checkpoint_mode="memory", boilerplate_mask_min_convs=10)
+    res = run_pipeline(f"{fixture_dir}/transcripts.parquet",
+                       str(tmp_path / "out"), cfg)
+    cl = res["clusters"].to_pandas()
+
+    assign = dict(zip(cl.conv_id, cl.cluster_id))
+    # recall vs the MASK-CONSISTENT oracle (boilerplate turns removed
+    # before the sequential greedy scan — the similarity definition the
+    # masked pipeline implements) must be essentially perfect...
+    turns = pq.read_table(f"{fixture_dir}/transcripts.parquet").to_pandas()
+    ok = turns.dropna(subset=["text"]).sort_values(["conv_id", "turn_idx"])
+    nconv = ok.groupby("text")["conv_id"].nunique()
+    boiler_texts = set(nconv[nconv >= cfg.boilerplate_mask_min_convs].index)
+    kept = ok[~ok["text"].isin(boiler_texts)]
+    docs_m = [(cid, "\n".join(g["text"]))
+              for cid, g in kept.groupby("conv_id", sort=True)]
+    orc_m = greedy_star_pairs(docs_m, cfg.shingle_k, cfg.jaccard_threshold)
+    assert len(orc_m.pairs) > 50
+    assert pair_recall(orc_m.pairs, assign) >= 0.99
+    # ...while recall vs the UNMASKED oracle degrades only by the handful
+    # of borderline pairs whose Jaccard was inflated by shared boilerplate
+    # (the pairs the mask exists to stop over-counting)
+    orc_u = _oracle(fixture_dir, cfg)
+    assert pair_recall(orc_u.pairs, assign) >= 0.95
+
+    # the metrics table records a non-trivial mask
+    mt = res["metrics"].table().to_pandas()
+    row = mt[(mt.stage == "signatures") & (mt.counter == "masked_shingle_hashes")]
+    assert len(row) == 1 and int(row.value.iloc[0]) > 0
+
+    # hot-bucket shrink, measured on the same docs with and without mask
+    docs = res["docs"]
+    mask = boilerplate_shingle_mask(
+        read_parquet_clean(f"{fixture_dir}/transcripts.parquet",
+                           columns=["conv_id", "text"]), cfg)
+
+    def bucket_profile(sigs):
+        rows = sigs.map_batches(make_band_rows(cfg, gated=True),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+        vc = rows["bucket"].value_counts()
+        return int(vc.max()), int((vc * (vc - 1) // 2).sum())
+
+    max0, mass0 = bucket_profile(compute_signatures(docs, cfg))
+    max1, mass1 = bucket_profile(compute_signatures(docs, cfg, shingle_mask=mask))
+    assert max1 < max0          # mega-buckets shrink (13 -> 3 on this fixture)
+    assert mass1 < mass0        # total candidate-pair mass drops
+
+
 def test_artifact_sink(ray_session, fixture_dir, tmp_path):
     """S11 analog: emit_artifacts writes a resumable per-doc feature table
     (top shingle hashes + simhash), one row per signature row."""
