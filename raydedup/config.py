@@ -195,6 +195,14 @@ class DedupConfig:
     emit_artifacts: bool = False
     artifact_top_k: int = 8         # smallest shingle hashes kept per doc
 
+    # Map-side combine + zstd compression for the reassembly shuffle
+    # (shuffle 1, the engine's only raw-text shuffle): per-conv partial
+    # rows with compressed payloads replace raw per-turn rows — identical
+    # docs output (parity-pinned), a fraction of the shuffle bytes.  The
+    # docs stage was the worst-scaling stage at 36M turns (BASELINE.md:
+    # 0.38 efficiency, pinned by object-store/spill byte pressure).
+    combine_reassembly: bool = True
+
     # --- quality gates (analog of the blur gate face_recognition_custom.py:73-77) ---
     min_doc_chars: int = 1          # normalized docs shorter than this -> status 'no_content'
 

@@ -69,6 +69,7 @@ def run_pipeline(
             read_parquet_clean(input_path, columns=["conv_id", "turn_idx", "text"]),
             cfg.num_partitions,
             cfg.min_doc_chars,
+            combine=cfg.combine_reassembly,
         ),
     )
     # optional boilerplate shingle mask (SURVEY §4 skew row): shingles of

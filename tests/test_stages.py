@@ -261,3 +261,49 @@ def test_size_gated_salting_recall(ray_session):
         mm = {p for p in pairs if p[0].startswith("M") and p[1].startswith("M")}
         nodes = {x for p in mm for x in p}
         assert len(nodes) == 30, f"mega bucket lost members: {len(nodes)}"
+
+
+def test_reassemble_combine_parity(ray_session):
+    """The map-side-combined, zstd-compressed reassembly path must be
+    bit-identical to the uncombined per-turn shuffle — including null
+    texts, non-dense turn indices, null turn_idx, whitespace-only docs
+    and conversations whose turns span multiple input blocks."""
+    import ray.data as rd
+
+    from raydedup.ray_utils import ensure_hash_shuffle
+    from raydedup.stages.reassemble import reassemble
+
+    ensure_hash_shuffle()
+    rng = np.random.default_rng(7)
+    rows = []
+    for c in range(300):
+        n = int(rng.integers(1, 10))
+        for i in rng.permutation(n):
+            r = rng.random()
+            txt = (
+                None
+                if r < 0.05
+                else ("The  QUICK brown fox. " * int(rng.integers(0, 25)) + f"c{c} t{i}")
+            )
+            ti = int(i) + (1 if rng.random() < 0.04 else 0)  # occasional gap
+            rows.append({"conv_id": f"conv-{c:04d}", "turn_idx": ti, "text": txt})
+    rows.append({"conv_id": "conv-ws", "turn_idx": 0, "text": "   \t "})
+    rows.append({"conv_id": "conv-nullidx", "turn_idx": None, "text": "x"})
+    df = pd.DataFrame(rows).astype({"turn_idx": "Int64"})
+    ds = rd.from_pandas(df).repartition(9)
+
+    for gate in (1, 40):
+        a = (
+            reassemble(ds, 5, gate, combine=False)
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            reassemble(ds, 5, gate, combine=True)
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+    assert set(b["status"]) >= {"ok", "corrupted"}
