@@ -128,7 +128,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from raydedup.pipelines import sampling, tiers, transcripts
 
+    from raydedup.pipelines import incremental
+
     return {
+        # ============ block -1: round-4 additions (need first driver row) ==
+        # cross-run incremental ingest against persisted corpus signature
+        # checkpoints (the durable growing-index analog; corpus batch runs
+        # once and resumes from /tmp across calls — rows-only: iterative CC)
+        "q_incremental_ingest": incremental.incremental_ingest_demo,
         # ============ block 0: round-3 additions (need first driver row) ====
         # Efraimidis–Spirakis weighted sample (two-level top-k, no sort)
         "q_weighted_sample": sampling.weighted_sample,
