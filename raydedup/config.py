@@ -101,6 +101,18 @@ class DedupConfig:
     # propagation rounds when a 4.6M-edge graph missed the old 4M gate
     # (36M-turn run, BASELINE.md).
     cc_driver_finish_edges: int = 12_000_000
+    # Per-partition lineage for the propagation rounds (disk mode, above
+    # the driver gate): each CC round runs as a resumable disk exchange —
+    # parallel per-kpart tasks with atomic part manifests — so a crash
+    # mid-round recomputes only the unfinished parts and completed rounds
+    # resume from their stored checksum (stages/components.py,
+    # _staged_propagation).  Labels are identical to the in-memory path.
+    cc_round_checkpoints: bool = True
+    # Rows per propagation partition: star-edge rows are tiny, so rounds
+    # partition by DATA size, not cluster size (see the cc_parts note in
+    # stages/components.py) — ~500k rows ≈ 30 MB keeps blocks worker-sized
+    # without starving parallelism just above the driver gate.
+    cc_rows_per_part: int = 500_000
     # Companion byte gate: the endgame collects the edge list as Arrow
     # string arrays (never per-row Python objects), but its peak driver
     # transient is ~3-4× the collected Arrow bytes (the two-column concat

@@ -282,7 +282,22 @@ def run_pipeline(
                 lambda t: t.filter(pa.compute.is_in(t["source"], value_set=pa.array(["minhash", "suffix"]))),
                 batch_format="pyarrow",
             )
-        labels, n_iters = connected_components(graph, cfg)
+        # disk mode: propagation rounds (engaged above the CC driver gate)
+        # get per-round, per-partition lineage via a sub-store seeded from
+        # the parent lineage — deterministic across resumes, and invisible
+        # when the clusters checkpoint itself is already valid
+        cc_store = None
+        if cfg.checkpoint_mode == "disk" and cfg.cc_round_checkpoints:
+            cc_store = CheckpointStore(
+                os.path.join(out_dir, "cc_rounds"),
+                cfg.config_hash(),
+                f"{store.lineage}:cc",
+                mode="disk",
+                compression=cfg.checkpoint_compression,
+            )
+        labels, n_iters = connected_components(graph, cfg, store=cc_store)
+        if cc_store is not None:
+            store.events.extend(cc_store.events)
         metrics.add("components", "iterations", abs(n_iters))
         metrics.add("components", "converged", int(n_iters > 0))
         # every doc gets a cluster: component label if present, else itself

@@ -35,6 +35,27 @@ _EMPTY_MSGS = pd.DataFrame(
 )
 
 
+def _checksum_partial(batch: pa.Table) -> tuple:
+    """(xor, wrapping-sum) partial of one state block — the mergeable unit
+    of :func:`_label_checksum`, reused by the staged-round tasks (which
+    checksum their own output in-task, saving the extra per-round pass)."""
+    hn = hash_strings(batch["node"].to_pylist())
+    hl = hash_strings(["" if v is None else v for v in batch["label"].to_pylist()])
+    hb = hash_strings(["" if v is None else v for v in batch["nbr"].to_pylist()])
+    lab_mask = np.asarray(
+        pa.compute.fill_null(batch["is_lab"], False), dtype=bool
+    ).astype(np.uint64)
+    v = (
+        (hn * np.uint64(0x9E3779B97F4A7C15))
+        ^ hl
+        ^ (hb * np.uint64(0xC2B2AE3D27D4EB4F))
+        ^ (lab_mask * np.uint64(0xD6E8FEB86659FD93))
+    )
+    x = np.bitwise_xor.reduce(v)
+    s = v.sum(dtype=np.uint64)  # wrapping mod-2^64 sum
+    return int(x.astype(np.int64)), int(s.astype(np.int64))
+
+
 def _label_checksum(msgs_ds) -> tuple:
     """Order-independent checksum of the FULL propagation state — reduced
     labels, in-flight messages and contracted edges — per-block XOR +
@@ -47,26 +68,8 @@ def _label_checksum(msgs_ds) -> tuple:
     def h(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"x": pa.array([], pa.int64()), "s": pa.array([], pa.int64())})
-        hn = hash_strings(batch["node"].to_pylist())
-        hl = hash_strings(["" if v is None else v for v in batch["label"].to_pylist()])
-        hb = hash_strings(["" if v is None else v for v in batch["nbr"].to_pylist()])
-        lab_mask = np.asarray(
-            pa.compute.fill_null(batch["is_lab"], False), dtype=bool
-        ).astype(np.uint64)
-        v = (
-            (hn * np.uint64(0x9E3779B97F4A7C15))
-            ^ hl
-            ^ (hb * np.uint64(0xC2B2AE3D27D4EB4F))
-            ^ (lab_mask * np.uint64(0xD6E8FEB86659FD93))
-        )
-        x = np.bitwise_xor.reduce(v)
-        s = v.sum(dtype=np.uint64)  # wrapping mod-2^64 sum
-        return pa.table(
-            {
-                "x": pa.array([np.int64(x.astype(np.int64))]),
-                "s": pa.array([np.int64(s.astype(np.int64))]),
-            }
-        )
+        x, s = _checksum_partial(batch)
+        return pa.table({"x": pa.array([x]), "s": pa.array([s])})
 
     parts = msgs_ds.map_batches(h, batch_format="pyarrow").take_all()
     x_all, s_all = np.uint64(0), np.uint64(0)
@@ -236,7 +239,296 @@ def _finish_on_driver(directed, n_directed: int):
     )
 
 
-def connected_components(pairs_ds, cfg: DedupConfig):
+_STATE_SCHEMA = pa.schema(
+    [
+        ("node", pa.string()),
+        ("label", pa.string()),
+        ("is_lab", pa.bool_()),
+        ("nbr", pa.string()),
+    ]
+)
+
+
+def _part_manifest_valid(part_dir: str, config_hash: str, lineage: str,
+                         input_fp: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(part_dir, "_PART_MANIFEST.json")
+    if not os.path.exists(p):
+        return None
+    try:
+        m = json.load(open(p))
+    except (ValueError, OSError):
+        return None
+    if (
+        m.get("config_hash") == config_hash
+        and m.get("lineage") == lineage
+        and m.get("input_fp") == input_fp
+    ):
+        return m
+    return None
+
+
+def _round_part_impl(files: list, round_dir: str, part: int, n_kparts: int,
+                     config_hash: str, lineage: str, input_fp: str,
+                     compression: str) -> tuple:
+    """One staged propagation part: read its key-closed input files (all
+    rows whose node hashes to this kpart), run the in-block-closure kernel
+    on the WHOLE part at once, write the output hive-split by destination
+    kpart plus a part manifest (tmp → rename, atomic), and return
+    ``(rows, xor, sum)`` — the part's state-checksum partial, computed
+    in-task so no separate per-round checksum pass is needed.
+
+    Runs as a plain Ray task: per-part resumable iteration is the one
+    place the Dataset API can't express the semantics (a round's resume
+    granularity must be a durable partition manifest, not a block)."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    tables = [pq.read_table(f) for f in files]
+    df = (
+        pa.concat_tables(tables, promote_options="default")
+        .to_pandas()[["node", "label", "is_lab", "nbr"]]
+    )
+    out = _make_propagate_block()(df)
+    out_t = pa.table(
+        {
+            "node": pa.array(out["node"].to_numpy(dtype=object), pa.string()),
+            "label": pa.array(
+                [None if v is None or v != v else v for v in out["label"]],
+                pa.string(),
+            ),
+            "is_lab": pa.array(out["is_lab"].to_numpy(dtype=bool)),
+            "nbr": pa.array(
+                [None if v is None or v != v else v for v in out["nbr"]],
+                pa.string(),
+            ),
+        },
+        schema=_STATE_SCHEMA,
+    )
+    x, s = _checksum_partial(out_t) if out_t.num_rows else (0, 0)
+    kp = (hash_strings(list(out["node"])) % np.uint64(n_kparts)).astype(np.int64)
+    part_dir = os.path.join(round_dir, f"src-{part}")
+    tmp = f"{part_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    for i in np.unique(kp):
+        d = os.path.join(tmp, f"kpart={int(i)}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            out_t.take(pa.array(np.flatnonzero(kp == i))),
+            os.path.join(d, "data.parquet"),
+            compression=compression,
+        )
+    os.makedirs(tmp, exist_ok=True)
+    manifest = {
+        "part": part,
+        "config_hash": config_hash,
+        "lineage": lineage,
+        "input_fp": input_fp,
+        "rows": int(out_t.num_rows),
+        "x": x,
+        "s": s,
+    }
+    with open(os.path.join(tmp, "_PART_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f)
+    if os.path.exists(part_dir):
+        shutil.rmtree(part_dir)
+    os.rename(tmp, part_dir)
+    return int(out_t.num_rows), x, s
+
+
+def _staged_propagation(directed, cfg: DedupConfig, store, cc_parts: int):
+    """Disk-mode label propagation with per-PARTITION lineage per round
+    (north rule: resume mid-shuffle).  Each round is a disk-based
+    exchange: the previous round's output is hive-partitioned by
+    ``kpart = hash(node) % P`` (the write IS the node shuffle), and P
+    parallel Ray tasks each consume one key-closed kpart, run the
+    unchanged in-block-closure kernel, and write their output hive-split
+    by destination kpart with an atomic per-part manifest.  A crash
+    mid-round redispatches only the parts whose manifests are missing or
+    stale; completed rounds resume from their round manifest without
+    dispatching anything (the stored checksum replaces the per-round
+    checksum pass).  Labels are identical to the in-memory path — the
+    kernel, the partitioning invariant (node-complete parts) and the
+    checksum convergence rule are the same.
+
+    File-count note: a round writes ≤ P² files (each part splits by
+    destination kpart).  P targets ~500k rows/part, so this is ~600 files
+    per round at the 12M-edge gate boundary; at far larger graphs raise
+    rows-per-part before raising P.
+    """
+    import glob
+    import hashlib
+    import json
+    import os
+    import shutil
+    import time
+    import uuid
+
+    import ray
+
+    from raydedup.state.checkpoint import _files_fingerprint
+
+    P = cc_parts
+    root = store.path("rounds")
+    os.makedirs(root, exist_ok=True)
+    seed = store.lineage
+    cfgh = store.config_hash
+    compression = store.compression
+
+    def round_lineage(k: int) -> str:
+        return hashlib.sha256(f"{seed}|round-{k}|{cfgh}".encode()).hexdigest()[:16]
+
+    def round_manifest_valid(round_dir: str, lineage: str) -> dict | None:
+        p = os.path.join(round_dir, "_MANIFEST.json")
+        if not os.path.exists(p):
+            return None
+        try:
+            m = json.load(open(p))
+        except (ValueError, OSError):
+            return None
+        if m.get("config_hash") == cfgh and m.get("lineage") == lineage:
+            return m
+        return None
+
+    # ---- round 0: initial state (edges + self-labels), hive-written ----
+    r0_dir = os.path.join(root, "round-0")
+    r0_lineage = round_lineage(0)
+    if round_manifest_valid(r0_dir, r0_lineage) is None:
+        def state0_block(df: pd.DataFrame):
+            if len(df) == 0:
+                return _STATE_SCHEMA.empty_table().append_column(
+                    "kpart", pa.array([], pa.int32())
+                )
+            nodes = pd.unique(df["node"])
+            node_col = np.concatenate(
+                [df["node"].to_numpy(dtype=object), nodes.astype(object)]
+            )
+            n_e, n_l = len(df), len(nodes)
+            t = pa.table(
+                {
+                    "node": pa.array(node_col, pa.string()),
+                    "label": pa.array(
+                        np.concatenate([np.full(n_e, None, object), nodes.astype(object)]),
+                        pa.string(),
+                    ),
+                    "is_lab": pa.array(
+                        np.concatenate([np.zeros(n_e, bool), np.ones(n_l, bool)])
+                    ),
+                    "nbr": pa.array(
+                        np.concatenate(
+                            [df["nbr"].to_numpy(dtype=object), np.full(n_l, None, object)]
+                        ),
+                        pa.string(),
+                    ),
+                }
+            )
+            kp = (hash_strings(list(node_col)) % np.uint64(P)).astype(np.int32)
+            return t.append_column("kpart", pa.array(kp, pa.int32()))
+
+        t0 = time.time()
+        tmp = f"{r0_dir}.tmp-{uuid.uuid4().hex[:8]}"
+        directed.map_batches(
+            state0_block, batch_size=None, batch_format="pandas"
+        ).write_parquet(
+            os.path.join(tmp, "src-init"), compression=compression,
+            partition_cols=["kpart"],
+        )
+        with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+            json.dump({"config_hash": cfgh, "lineage": r0_lineage, "round": 0}, f)
+        if os.path.exists(r0_dir):
+            shutil.rmtree(r0_dir)
+        os.rename(tmp, r0_dir)
+        store.events.append(
+            {"stage": "cc_round_0", "action": "computed", "rows": -1,
+             "sec": round(time.time() - t0, 2)}
+        )
+    else:
+        store.events.append(
+            {"stage": "cc_round_0", "action": "resumed", "rows": -1, "sec": 0.0}
+        )
+
+    run_part = ray.remote(num_cpus=1)(_round_part_impl)
+
+    prev_sum = None
+    n_iters = 0
+    converged = False
+    final_dir = r0_dir
+    for k in range(1, cfg.max_cc_iters + 1):
+        n_iters += 1
+        prev_dir = os.path.join(root, f"round-{k - 1}")
+        round_dir = os.path.join(root, f"round-{k}")
+        lineage_k = round_lineage(k)
+        t0 = time.time()
+        m = round_manifest_valid(round_dir, lineage_k)
+        if m is not None:
+            cur = (m["x"], m["s"])
+            store.events.append(
+                {"stage": f"cc_round_{k}", "action": "resumed",
+                 "rows": m.get("rows", -1), "sec": 0.0}
+            )
+        else:
+            os.makedirs(round_dir, exist_ok=True)
+            part_inputs = {
+                i: sorted(
+                    glob.glob(os.path.join(prev_dir, "*", f"kpart={i}", "*.parquet"))
+                )
+                for i in range(P)
+            }
+            refs, done = [], []
+            for i, files in part_inputs.items():
+                if not files:
+                    continue
+                fp = _files_fingerprint(files)
+                part_dir = os.path.join(round_dir, f"src-{i}")
+                pm = _part_manifest_valid(part_dir, cfgh, lineage_k, fp)
+                if pm is not None:
+                    done.append((pm["rows"], pm["x"], pm["s"]))
+                else:
+                    refs.append(
+                        run_part.remote(
+                            files, round_dir, i, P, cfgh, lineage_k, fp, compression
+                        )
+                    )
+            results = done + list(ray.get(refs))
+            rows = sum(r[0] for r in results)
+            x_all, s_all = np.uint64(0), np.uint64(0)
+            for _r, x, s in results:
+                x_all ^= np.uint64(np.int64(x).astype(np.uint64))
+                s_all += np.uint64(np.int64(s).astype(np.uint64))
+            cur = (int(np.int64(x_all.astype(np.int64))), int(np.int64(s_all.astype(np.int64))))
+            with open(os.path.join(round_dir, "_MANIFEST.json"), "w") as f:
+                json.dump(
+                    {"config_hash": cfgh, "lineage": lineage_k, "round": k,
+                     "rows": rows, "x": cur[0], "s": cur[1]}, f,
+                )
+            store.events.append(
+                {"stage": f"cc_round_{k}", "action": "computed", "rows": rows,
+                 "sec": round(time.time() - t0, 2),
+                 "parts_computed": len(refs), "parts_resumed": len(done)}
+            )
+        final_dir = round_dir
+        if prev_sum is not None and cur == prev_sum:
+            converged = True
+            break
+        prev_sum = cur
+
+    from raydedup.ray_utils import read_parquet_clean
+
+    labels = read_parquet_clean(final_dir).map_batches(
+        lambda t: t.filter(pa.compute.fill_null(t["is_lab"], False)).select(
+            ["node", "label"]
+        ),
+        batch_format="pyarrow",
+    )
+    return labels, n_iters, converged
+
+
+def connected_components(pairs_ds, cfg: DedupConfig, store=None):
     """pairs(a,b,...) → (labels_ds(node,label), n_iters).
 
     Only nodes incident to an edge appear; callers default absent nodes to
@@ -251,6 +543,10 @@ def connected_components(pairs_ds, cfg: DedupConfig):
     component's labels may still be split, which is never silent: a
     ``RuntimeWarning`` is emitted and ``n_iters`` is returned negative
     (callers record ``converged = n_iters > 0`` in metrics).
+
+    ``store`` (a disk-mode CheckpointStore): above the driver gate, the
+    propagation rounds run via :func:`_staged_propagation` — per-round,
+    per-PARTITION resumable disk exchanges with identical labels.
     """
     edges = pairs_ds.select_columns(["a", "b"])
 
@@ -371,7 +667,20 @@ def connected_components(pairs_ds, cfg: DedupConfig):
     # keeps blocks worker-sized without starving parallelism just above
     # the driver gate; huge edge sets still fan out to the full
     # cfg.num_partitions.
-    cc_parts = max(2, min(cfg.num_partitions, -(-n_directed // 500_000)))
+    cc_parts = max(2, min(cfg.num_partitions, -(-n_directed // cfg.cc_rows_per_part)))
+
+    if store is not None and getattr(store, "mode", "") == "disk":
+        labels, n_iters, converged = _staged_propagation(directed, cfg, store, cc_parts)
+        if not converged:
+            import warnings
+
+            warnings.warn(
+                f"connected_components: label propagation did not converge within "
+                f"max_cc_iters={cfg.max_cc_iters}; some clusters may be split. "
+                f"Raise max_cc_iters (diameter after contraction exceeds the budget).",
+                RuntimeWarning,
+            )
+        return labels, (n_iters if converged else -n_iters)
 
     # initial messages: every node labels itself (nodes are complete per
     # block after the keyed repartition, so one reduced row per node)
