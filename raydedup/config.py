@@ -210,10 +210,16 @@ class DedupConfig:
     # Map-side combine + zstd compression for the reassembly shuffle
     # (shuffle 1, the engine's only raw-text shuffle): per-conv partial
     # rows with compressed payloads replace raw per-turn rows — identical
-    # docs output (parity-pinned), a fraction of the shuffle bytes.  The
-    # docs stage was the worst-scaling stage at 36M turns (BASELINE.md:
-    # 0.38 efficiency, pinned by object-store/spill byte pressure).
-    combine_reassembly: bool = True
+    # docs output (parity-pinned), 1.64× fewer shuffle bytes and 8.5×
+    # fewer shuffle rows (measured, 12M turns).  DISABLED by default
+    # after a clean 36M-turn A/B measured it a loss on this single-node
+    # proxy: docs stage 67.7 s plain vs 166.6 s combined — the extra
+    # map-side sort + per-group codec calls cost more than the
+    # shared-memory object-store exchange saves (BASELINE.md round-4
+    # notes).  Enable on genuinely network-bound multi-node shuffles,
+    # where bytes-on-the-wire dominate and the combine's CPU is idle
+    # map-side headroom.
+    combine_reassembly: bool = False
 
     # --- quality gates (analog of the blur gate face_recognition_custom.py:73-77) ---
     min_doc_chars: int = 1          # normalized docs shorter than this -> status 'no_content'

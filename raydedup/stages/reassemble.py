@@ -252,7 +252,7 @@ def _assemble_partials_block(t) -> "pa.Table":
 
 
 def reassemble(
-    turns_ds, num_partitions: int = 32, min_doc_chars: int = 1, combine: bool = True
+    turns_ds, num_partitions: int = 32, min_doc_chars: int = 1, combine: bool = False
 ):
     """``Dataset[TRANSCRIPTS] → Dataset[DOCS]``.
 
@@ -260,10 +260,13 @@ def reassemble(
     filter (``face_recognition_custom.py:73-77``): normalized docs shorter
     than it are flagged ``no_content`` instead of silently dropped.
 
-    ``combine`` (default) inserts the map-side combiner: per-conv partial
-    rows with zstd-compressed text payloads enter the conv_id shuffle
-    instead of raw per-turn rows (see ``_partial_block``) — same output,
-    a fraction of the shuffle bytes."""
+    ``combine`` inserts the map-side combiner: per-conv partial rows with
+    zstd-compressed text payloads enter the conv_id shuffle instead of
+    raw per-turn rows (see ``_partial_block``) — same output, 1.64× fewer
+    bytes / 8.5× fewer rows (measured at 12M turns).  Off by default:
+    on a single node the object-store exchange is shared-memory-cheap
+    and the combine's sort+codec CPU is a measured net loss
+    (BASELINE.md); enable for network-bound multi-node shuffles."""
     slim = turns_ds.select_columns(["conv_id", "turn_idx", "text"])
     if combine:
         parts = clean_blocks(slim).map_batches(
