@@ -130,8 +130,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from raydedup.pipelines import incremental
 
+    from raydedup.pipelines import vocab
+
     return {
         # ============ block -1: round-4 additions (need first driver row) ==
+        # corpus-vocabulary family: df-based rare-token pruning and
+        # corpus-derived stopword density (two-pass broadcast of the
+        # Zipf-head vocabulary), per-doc type-token ratio (pure map),
+        # and count-min-sketch heavy hitters (mergeable fixed-size
+        # sketch; no SQL twin — pytest pins the one-sided error bound)
+        "q_vocab_prune": vocab.vocab_prune,
+        "q_stopword_ratio": vocab.stopword_ratio,
+        "q_doc_ttr": vocab.doc_ttr,
+        "q_cms_top_tokens": vocab.cms_top_tokens,
+        # proportional per-stratum sample with integer-exact quotas
+        "q_stratified_sample": sampling.stratified_sample,
         # cross-run incremental ingest against persisted corpus signature
         # checkpoints (the durable growing-index analog; corpus batch runs
         # once and resumes from /tmp across calls — rows-only: iterative CC)
@@ -383,6 +396,83 @@ def oracle_sql() -> dict[str, str]:
     from raydedup.pipelines import docops as _DOC
 
     return {
+        # corpus-vocabulary family: the twins recompute the identical
+        # tokenization (regexp_split_to_array(lower(trim(text)), '\s+'),
+        # empty text → zero tokens via the WHERE + LEFT JOIN + COALESCE)
+        # and the identical df-derived vocabularies
+        "q_vocab_prune": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(COALESCE(text,''))), '\s+')) AS tok
+              FROM documents WHERE len(trim(COALESCE(text,''))) > 0
+            ),
+            d AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+            agg AS (
+              SELECT t.doc_id, COUNT(*) AS n_tokens,
+                     CAST(SUM(CASE WHEN d.df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+              FROM t JOIN d USING (tok) GROUP BY t.doc_id
+            )
+            SELECT documents.doc_id,
+                   COALESCE(agg.n_tokens, 0) AS n_tokens,
+                   COALESCE(agg.n_kept, 0) AS n_kept,
+                   COALESCE(agg.n_tokens, 0) - COALESCE(agg.n_kept, 0) AS n_pruned
+            FROM documents LEFT JOIN agg ON documents.doc_id = agg.doc_id
+        """,
+        "q_stopword_ratio": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(COALESCE(text,''))), '\s+')) AS tok
+              FROM documents WHERE len(trim(COALESCE(text,''))) > 0
+            ),
+            d AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+            s AS (SELECT tok FROM d ORDER BY df DESC, tok LIMIT 32),
+            agg AS (
+              SELECT doc_id, COUNT(*) AS n_tokens,
+                     CAST(SUM(CASE WHEN tok IN (SELECT tok FROM s)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+              FROM t GROUP BY doc_id
+            )
+            SELECT documents.doc_id,
+                   COALESCE(agg.n_tokens, 0) AS n_tokens,
+                   COALESCE(agg.n_stop, 0) AS n_stop,
+                   CASE WHEN COALESCE(agg.n_tokens, 0) = 0 THEN 0.0
+                        ELSE ROUND(agg.n_stop * 1.0 / agg.n_tokens, 12)
+                   END AS stop_ratio
+            FROM documents LEFT JOIN agg ON documents.doc_id = agg.doc_id
+        """,
+        "q_doc_ttr": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(COALESCE(text,''))), '\s+')) AS tok
+              FROM documents WHERE len(trim(COALESCE(text,''))) > 0
+            ),
+            agg AS (
+              SELECT doc_id, COUNT(*) AS n_tokens,
+                     COUNT(DISTINCT tok) AS n_distinct
+              FROM t GROUP BY doc_id
+            )
+            SELECT documents.doc_id,
+                   COALESCE(agg.n_tokens, 0) AS n_tokens,
+                   COALESCE(agg.n_distinct, 0) AS n_distinct,
+                   CASE WHEN COALESCE(agg.n_tokens, 0) = 0 THEN 0.0
+                        ELSE ROUND(agg.n_distinct * 1.0 / agg.n_tokens, 12)
+                   END AS ttr
+            FROM documents LEFT JOIN agg ON documents.doc_id = agg.doc_id
+        """,
+        # stratified sample: quota (n+9)//10 = ceil(n/10), integer-exact;
+        # the twin recomputes the identical md5(doc_id) ordering key
+        "q_stratified_sample": """
+            WITH keyed AS (
+              SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS sk
+              FROM documents
+            ), r AS (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY sk, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM keyed
+            )
+            SELECT doc_id, source FROM r WHERE rn <= (n + 9) // 10
+        """,
         # A-Res weighted sampling: the twin recomputes the identical
         # md5-derived uniform (13 hex chars = 52 bits, exact in float64)
         # and key ROUND(ln(u)/w, 12) — the 12-decimal grid absorbs the

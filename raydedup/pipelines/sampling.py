@@ -316,3 +316,62 @@ def sequence_pack(sf_dir: str, budget: int = 128, num_buckets: int = 8,
     return keyed_blocks(cts, ["bucket"], num_partitions).map_batches(
         pack, batch_size=None, batch_format="pandas"
     )
+
+
+def stratified_sample(sf_dir: str, group: str = "source",
+                      num: int = 1, den: int = 10):
+    """Proportional stratified sample → (doc_id, source): every stratum
+    keeps exactly ``ceil(n_g · num/den)`` documents (integer-exact quota
+    ``(n_g·num + den − 1) // den``), chosen as the stratum's
+    lowest-``md5(doc_id)`` rows — deterministic, content-free, and
+    reproducible across runs/partitionings/cluster sizes.
+
+    Same two-pass broadcast shape as ``mixture_sample``: pass 1 folds the
+    per-group cardinalities (≤ blocks × groups rows), the per-group quota
+    dict rides into pass 2 as a closure constant, and each block prunes to
+    its local per-group quota-head BEFORE the group-keyed shuffle, so the
+    exchange moves ≤ blocks × groups × quota rows.  For large sampling
+    fractions over a 100-TB corpus prefer a hash-threshold sample
+    (``docops.sample_docs``) — rank-exact quotas are for the small
+    held-out / eval slices where exact stratum proportions matter.
+    """
+    counts_partial = _docs(sf_dir, [group]).map_batches(
+        lambda df: df[group].value_counts().rename_axis(group).reset_index(name="n"),
+        batch_format="pandas",
+    )
+    counts = counts_partial.to_pandas().groupby(group)["n"].sum()  # tiny
+    if len(counts) == 0:
+        return _docs(sf_dir, ["doc_id", group]).limit(0)
+    quotas = {g: (int(n) * num + den - 1) // den for g, n in counts.items()}
+
+    def _key(ids: np.ndarray) -> pd.Series:
+        return pd.Series(
+            [hashlib.md5(str(i).encode()).hexdigest() for i in ids], dtype=object
+        )
+
+    def _head_by_quota(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group, "sk", "doc_id"], kind="stable")
+        keep = df.groupby(group, sort=False).cumcount() < df[group].map(quotas)
+        return df[keep]
+
+    def local_prune(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 group: pd.Series([], dtype=object),
+                                 "sk": pd.Series([], dtype=object)})
+        df = df.assign(sk=_key(df["doc_id"].to_numpy(dtype=np.int64)))
+        return _head_by_quota(df)[["doc_id", group, "sk"]]
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 group: pd.Series([], dtype=object)})
+        out = _head_by_quota(df).reset_index(drop=True)
+        return out[["doc_id", group]].astype({"doc_id": np.int64})
+
+    pruned = _docs(sf_dir, ["doc_id", group]).map_batches(
+        local_prune, batch_format="pandas"
+    )
+    return keyed_blocks(pruned, [group], 4).map_batches(
+        final, batch_size=None, batch_format="pandas"
+    )

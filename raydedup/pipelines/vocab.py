@@ -1,0 +1,285 @@
+"""Corpus-vocabulary operators over the ``documents`` table: the
+df-driven text-quality family an LLM-corpus pipeline runs before
+training (vocabulary pruning, corpus-derived stopword scoring,
+lexical-diversity stats, sketched heavy hitters).
+
+All four share one tokenization contract with the existing token ops
+(``docops.top_tokens``): lower → trim → whitespace split, empty text →
+zero tokens — mirrored in the DuckDB twins as
+``regexp_split_to_array(lower(trim(text)), '\\s+')``.
+
+Scale shapes:
+
+* ``vocab_prune`` / ``stopword_ratio`` are the two-pass broadcast
+  pattern: pass 1 folds per-block distinct (tok, partial-df) rows
+  through ONE tok-keyed shuffle (volume ∝ vocabulary × blocks, never
+  corpus bytes) into the small head vocabulary (df ≥ min_df, or the
+  top-k stopword list), which is ``ray.put`` ONCE and read by every
+  pass-2 map task — never re-shipped per batch, never a join shuffle.
+  The head vocabulary is Heaps/Zipf-bounded: raising the corpus 1000×
+  grows df ≥ min_df vocab sublinearly, and top-k is k rows by
+  construction.
+* ``doc_ttr`` is a pure vectorized map — zero shuffles.
+* ``cms_top_tokens`` is the mergeable-sketch pattern: each block folds
+  its token counts into a fixed d×w count-min sketch (one flat buffer,
+  ~d·w·8 bytes regardless of corpus size) plus its local candidate
+  top-k'; one tiny repartition(1) merges sketches by elementwise sum
+  and reads off estimates — driver/merge traffic is blocks × (sketch +
+  k') rows, independent of corpus size.
+
+Reference parity note: the reference has no text-statistics surface at
+all (it is a sequential face-image matcher, ``duplicate_face.py``);
+this module is beyond-parity engine capability for training-data
+curation (C4/Gopher-style quality signals; CMS per Cormode &
+Muthukrishnan, J. Algorithms 2005).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from raydedup.ray_utils import (
+    default_partitions,
+    ensure_hash_shuffle,
+    keyed_blocks,
+    read_parquet_clean,
+)
+
+
+def _docs(sf_dir: str, columns):
+    ensure_hash_shuffle()
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _tokens(texts: pd.Series) -> pd.Series:
+    """lower → trim → whitespace split; empty → [].  Python ``str.split()``
+    with no args collapses runs and drops edge whitespace, matching the
+    twins' ``regexp_split_to_array(lower(trim(text)), '\\s+')`` on the
+    ASCII fixture corpus (same contract as ``docops.top_tokens``)."""
+    return texts.fillna("").str.lower().str.strip().str.split()
+
+
+def _df_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-block partial document frequencies: distinct (doc, tok) → per-tok
+    counts.  One C-level dedup + groupby; output rows ∝ block vocabulary."""
+    flat = (
+        pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                      "tok": _tokens(df["text"])})
+        .explode("tok")
+        .dropna(subset=["tok"])
+    )
+    out = (flat.drop_duplicates()
+           .groupby("tok", sort=False).size().rename("df").reset_index())
+    return out.astype({"df": np.int64})
+
+
+def _token_df(sf_dir: str):
+    """Corpus document frequencies as a Dataset of (tok, df) rows: block
+    partials → one tok-keyed hash shuffle → exact sums per token."""
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype=np.int64)})
+        out = df.groupby("tok", sort=False).agg(df=("df", "sum")).reset_index()
+        return out.astype({"df": np.int64})
+
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _df_partial, batch_format="pandas"
+    )
+    return keyed_blocks(partials, ["tok"], default_partitions()).map_batches(
+        fold, batch_size=None, batch_format="pandas"
+    )
+
+
+def vocab_prune(sf_dir: str, min_df: int = 5):
+    """Rare-token vocabulary pruning → (doc_id, n_tokens, n_kept, n_pruned).
+
+    The standard pre-tokenizer vocabulary cut: a token survives iff its
+    corpus document frequency is ≥ ``min_df``; per document we report the
+    total token count, how many occurrences survive the cut, and how many
+    are pruned.  The kept vocabulary (the *head* of the Zipf curve) is the
+    broadcast small side — the long tail being pruned never leaves the
+    map tasks.
+    """
+    import ray
+
+    kept = _token_df(sf_dir).map_batches(
+        lambda df: df[df["df"] >= min_df][["tok"]], batch_format="pandas"
+    ).to_pandas()  # head vocabulary: Heaps-bounded, driver-safe
+    kept_ref = ray.put(frozenset(kept["tok"].tolist()))
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        vocab = ray.get(kept_ref)
+        ids = df["doc_id"].to_numpy(np.int64)
+        toks = _tokens(df["text"])
+        n_tok = toks.str.len().to_numpy(np.int64)
+        flat = (pd.DataFrame({"doc_id": ids, "tok": toks})
+                .explode("tok").dropna(subset=["tok"]))
+        if len(flat):
+            kept_cnt = (flat.assign(k=flat["tok"].isin(vocab).astype(np.int64))
+                        .groupby("doc_id", sort=False)["k"].sum())
+            n_kept = kept_cnt.reindex(ids, fill_value=0).to_numpy(np.int64)
+        else:
+            n_kept = np.zeros(len(ids), np.int64)
+        return pd.DataFrame({"doc_id": ids, "n_tokens": n_tok,
+                             "n_kept": n_kept, "n_pruned": n_tok - n_kept})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        per_doc, batch_format="pandas"
+    )
+
+
+def stopword_ratio(sf_dir: str, k: int = 32):
+    """Corpus-derived stopword density → (doc_id, n_tokens, n_stop,
+    stop_ratio).
+
+    The C4/Gopher-style quality signal, with the stopword list *derived
+    from the corpus itself*: the top-``k`` tokens by document frequency
+    (ties broken by token text ascending — the exact ranking
+    ``docops.top_tokens`` emits).  ``stop_ratio`` is round(n_stop /
+    n_tokens, 12), 0.0 for empty documents.  The k-row stopword list is a
+    ``ray.put`` broadcast; the df pass is the same single tok-keyed
+    shuffle as ``vocab_prune``.
+    """
+    import ray
+
+    dfs = _token_df(sf_dir).to_pandas()  # vocabulary rows — small side
+    top = (dfs.sort_values(["df", "tok"], ascending=[False, True], kind="stable")
+           .head(k))
+    stop_ref = ray.put(frozenset(top["tok"].tolist()))
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        stops = ray.get(stop_ref)
+        ids = df["doc_id"].to_numpy(np.int64)
+        toks = _tokens(df["text"])
+        n_tok = toks.str.len().to_numpy(np.int64)
+        flat = pd.DataFrame({"doc_id": ids, "tok": toks}).explode("tok")
+        if len(flat):
+            hit = (flat.assign(s=flat["tok"].isin(stops).astype(np.int64))
+                   .groupby("doc_id", sort=False)["s"].sum())
+            n_stop = hit.reindex(ids, fill_value=0).to_numpy(np.int64)
+        else:
+            n_stop = np.zeros(len(ids), np.int64)
+        ratio = np.round(
+            np.divide(n_stop, n_tok, out=np.zeros(len(ids)), where=n_tok > 0), 12
+        )
+        return pd.DataFrame({"doc_id": ids, "n_tokens": n_tok,
+                             "n_stop": n_stop, "stop_ratio": ratio})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        per_doc, batch_format="pandas"
+    )
+
+
+def doc_ttr(sf_dir: str):
+    """Lexical diversity → (doc_id, n_tokens, n_distinct, ttr): per-doc
+    type-token ratio round(distinct/total, 12), 0.0 for empty docs.  Pure
+    vectorized map — zero shuffles, streams at any corpus size."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        toks = _tokens(df["text"])
+        n_tok = toks.str.len().to_numpy(np.int64)
+        flat = (pd.DataFrame({"doc_id": ids, "tok": toks})
+                .explode("tok").dropna(subset=["tok"]))
+        if len(flat):
+            dis = flat.drop_duplicates().groupby("doc_id", sort=False).size()
+            n_dis = dis.reindex(ids, fill_value=0).to_numpy(np.int64)
+        else:
+            n_dis = np.zeros(len(ids), np.int64)
+        ttr = np.round(
+            np.divide(n_dis, n_tok, out=np.zeros(len(ids)), where=n_tok > 0), 12
+        )
+        return pd.DataFrame({"doc_id": ids, "n_tokens": n_tok,
+                             "n_distinct": n_dis, "ttr": ttr})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+# ------------------------------------------------------------- count-min
+_CMS_W = 8192   # columns per row (ε ≈ e/w)
+_CMS_D = 4      # independent rows (δ ≈ e^-d)
+
+
+def _cms_cols(toks: list) -> np.ndarray:
+    """d column indices per token from one md5 digest each (bytes [0:4),
+    [4:8), [8:12), [12:16) as big-endian uint32 mod w) — deterministic
+    across processes/partitionings, no RNG or salted builtin hash()."""
+    if not toks:
+        return np.empty((0, _CMS_D), np.int64)
+    md5 = hashlib.md5
+    buf = b"".join([md5(t.encode("utf-8", "surrogatepass")).digest() for t in toks])
+    u32 = np.frombuffer(buf, dtype=">u4").reshape(-1, 4).astype(np.int64)
+    return u32[:, :_CMS_D] % _CMS_W
+
+
+def cms_top_tokens(sf_dir: str, k: int = 50, cand_per_block: int = 200):
+    """Sketched heavy hitters → (tok, est, rnk): top-``k`` tokens by
+    *total occurrence count*, estimated from a merged count-min sketch.
+
+    Per block: fold local token counts into a d×w CMS (np.add.at over
+    md5-derived columns) and nominate the block's local top
+    ``cand_per_block`` tokens; the merge stage element-wise sums the
+    fixed-size sketches and reads each candidate's estimate as the min
+    over d rows.  Estimates never undercount (CMS one-sided error); the
+    candidate union misses a global heavy hitter only if it is outside
+    the local top-k' of EVERY block — vanishingly unlikely under Zipf
+    with k' ≫ k (documented sketch-candidate heuristic, not exact).
+    No SQL twin (the sketch state is not SQL-expressible); pytest pins
+    est ≥ true, the ε·N overcount bound, and partitioning determinism.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(df["text"])
+        flat = toks.explode().dropna()
+        sketch = np.zeros((_CMS_D, _CMS_W), np.int64)
+        if len(flat):
+            counts = flat.value_counts()
+            cols = _cms_cols(counts.index.tolist())
+            vals = counts.to_numpy(np.int64)
+            for r in range(_CMS_D):
+                np.add.at(sketch[r], cols[:, r], vals)
+            cand = counts.head(cand_per_block)
+            cand_rows = pd.DataFrame({"kind": "cand",
+                                      "tok": cand.index.to_numpy(dtype=object),
+                                      "cnt": cand.to_numpy(np.int64),
+                                      "payload": None})
+        else:
+            cand_rows = pd.DataFrame({"kind": pd.Series([], dtype=object),
+                                      "tok": pd.Series([], dtype=object),
+                                      "cnt": pd.Series([], dtype=np.int64),
+                                      "payload": pd.Series([], dtype=object)})
+        sk_row = pd.DataFrame({"kind": ["sketch"], "tok": [""],
+                               "cnt": [np.int64(0)],
+                               "payload": [sketch.tobytes()]})
+        return pd.concat([sk_row, cand_rows], ignore_index=True)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                                 "est": pd.Series([], dtype=np.int64),
+                                 "rnk": pd.Series([], dtype=np.int64)})
+        sketch = np.zeros((_CMS_D, _CMS_W), np.int64)
+        for p in df.loc[df["kind"] == "sketch", "payload"]:
+            sketch += np.frombuffer(p, dtype=np.int64).reshape(_CMS_D, _CMS_W)
+        cands = sorted(set(df.loc[df["kind"] == "cand", "tok"].tolist()))
+        if not cands:
+            return merge(df.iloc[0:0])
+        cols = _cms_cols(cands)
+        est = sketch[np.arange(_CMS_D)[None, :], cols].min(axis=1)
+        out = pd.DataFrame({"tok": np.asarray(cands, dtype=object), "est": est})
+        out = (out.sort_values(["est", "tok"], ascending=[False, True],
+                               kind="stable").head(k).reset_index(drop=True))
+        out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out.astype({"est": np.int64, "rnk": np.int64})
+
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return partials.repartition(1).map_batches(
+        merge, batch_size=None, batch_format="pandas"
+    )
