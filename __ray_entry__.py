@@ -145,6 +145,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cms_top_tokens": vocab.cms_top_tokens,
         # proportional per-stratum sample with integer-exact quotas
         "q_stratified_sample": sampling.stratified_sample,
+        # trailing n-event sliding mean per user (ROWS BETWEEN window)
+        "q_user_rolling_value": docops.user_rolling_value,
+        # per-source z-score normalization (two-pass moment broadcast)
+        "q_source_zscore": docops.source_zscore,
         # cross-run incremental ingest against persisted corpus signature
         # checkpoints (the durable growing-index analog; corpus batch runs
         # once and resumes from /tmp across calls — rows-only: iterative CC)
@@ -458,6 +462,24 @@ def oracle_sql() -> dict[str, str]:
                         ELSE ROUND(agg.n_distinct * 1.0 / agg.n_tokens, 12)
                    END AS ttr
             FROM documents LEFT JOIN agg ON documents.doc_id = agg.doc_id
+        """,
+        # trailing-window mean: ROWS frame, deterministic (ts, event_id)
+        # order; ROUND 6 absorbs summation-order ulp variance
+        "q_user_rolling_value": """
+            SELECT event_id, user_id,
+                   ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_avg
+            FROM events
+        """,
+        # per-source population z-score; degenerate strata (std=0) → 0.0
+        "q_source_zscore": """
+            SELECT doc_id, source,
+                   CASE WHEN STDDEV_POP(n_chars) OVER (PARTITION BY source) = 0
+                        THEN 0.0
+                        ELSE ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY source))
+                                   / STDDEV_POP(n_chars) OVER (PARTITION BY source), 6)
+                   END AS z
+            FROM documents
         """,
         # stratified sample: quota (n+9)//10 = ceil(n/10), integer-exact;
         # the twin recomputes the identical md5(doc_id) ordering key

@@ -1398,6 +1398,105 @@ def user_cumulative_value(sf_dir: str):
         block, batch_size=None, batch_format="pandas"
     )
 
+def user_rolling_value(sf_dir: str, n: int = 5):
+    """Sliding-window aggregate: each event with its user's trailing
+    ``n``-event mean ``value`` → (event_id, user_id, roll_avg) — the
+    distributed ``AVG(value) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id ROWS BETWEEN n−1 PRECEDING AND CURRENT ROW)``.
+
+    Same shape as ``user_cumulative_value``: ONE ``user_id`` hash shuffle
+    co-locates each user's rows, then the block function is a sort plus a
+    C-level per-group cumsum read off as window sums (``c_i − c_{i−n}``)
+    over counts ``min(i+1, n)`` — no per-user Python, shuffle volume ∝
+    pruned event rows.  Emitted rounded to 6 decimals (absorbs the
+    summation-order ulp variance vs the twin's windowed AVG).
+    """
+    ensure_hash_shuffle()
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "roll_avg": pd.Series([], dtype=np.float64),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = df.groupby("user_id", sort=False)["value"]
+        cum = g.cumsum().to_numpy(np.float64)
+        pos = g.cumcount().to_numpy(np.int64)  # 0-based index within user
+        # trailing-window sum: cum[i] - cum[i-n] of the SAME user (the
+        # shifted value is valid only where the window is full)
+        shifted = np.concatenate([np.full(min(n, len(cum)), np.nan),
+                                  cum[:-n] if len(cum) > n else np.empty(0)])
+        full = pos >= n
+        wsum = np.where(full, cum - np.where(np.isnan(shifted), 0.0, shifted), cum)
+        cnt = np.minimum(pos + 1, n).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(dtype=np.int64),
+                "user_id": df["user_id"].to_numpy(dtype=np.int64),
+                "roll_avg": np.round(wsum / cnt, 6),
+            }
+        )
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return keyed_blocks(ds, ["user_id"], _P()).map_batches(
+        block, batch_size=None, batch_format="pandas"
+    )
+
+
+def source_zscore(sf_dir: str):
+    """Group-wise normalization → (doc_id, source, z): each document's
+    length z-scored against its source's population mean/stddev — the
+    distributed ``(n_chars − AVG(..) OVER (PARTITION BY source)) /
+    STDDEV_POP(..) OVER (PARTITION BY source)``, the standard per-domain
+    feature-normalization step before mixing sources.
+
+    Two-pass broadcast: pass 1 folds per-block (source, count, Σx, Σx²)
+    moment partials (≤ blocks × sources rows — driver-safe), the derived
+    mean/std dict broadcasts into pass 2 as a closure constant, and the
+    z-score itself is a pure vectorized map — zero shuffles of the big
+    side.  Degenerate strata (std = 0) emit z = 0.0.  Rounded to 6
+    decimals (absorbs Welford-vs-moments ulp variance vs the twin).
+    """
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].to_numpy(np.float64)
+        g = pd.DataFrame({"source": df["source"].to_numpy(dtype=object),
+                          "cnt": 1, "s1": x, "s2": x * x})
+        out = g.groupby("source", sort=False).sum().reset_index()
+        return out.astype({"cnt": np.int64})
+
+    parts = (
+        _docs(sf_dir, ["source", "n_chars"])
+        .map_batches(moments, batch_format="pandas")
+        .to_pandas()  # ≤ blocks × sources rows — tiny
+    )
+    if len(parts) == 0:
+        return _docs(sf_dir, ["doc_id", "source"]).limit(0)
+    agg = parts.groupby("source").sum()
+    mean = agg["s1"] / agg["cnt"]
+    var = np.maximum(agg["s2"] / agg["cnt"] - mean * mean, 0.0)
+    stats = {s: (float(mean[s]), float(np.sqrt(var[s]))) for s in agg.index}
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["source"].to_numpy(dtype=object)
+        mu = np.array([stats[s][0] for s in src])
+        sd = np.array([stats[s][1] for s in src])
+        x = df["n_chars"].to_numpy(np.float64)
+        z = np.round(np.divide(x - mu, sd, out=np.zeros(len(x)), where=sd > 0), 6)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "source": src, "z": z})
+
+    return _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
 def event_interarrival(sf_dir: str):
     """LAG window: each event with the microsecond gap to the SAME user's
     previous event → (event_id, user_id, gap_us; first event per user →

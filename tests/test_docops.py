@@ -1265,3 +1265,40 @@ def test_dup_degree_profile_matches_brute_force(ray_session):
     }).sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert (got["dup_degree"] == 0).any()  # clean docs keep rows
+
+
+def test_user_rolling_value_matches_pandas(ray_session):
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import user_rolling_value
+
+    got = (user_rolling_value(SF, n=5).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts", "value"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    want = (ev.groupby("user_id", sort=False)["value"]
+            .rolling(5, min_periods=1).mean().reset_index(level=0, drop=True))
+    ev["roll_avg"] = want.round(6)
+    ev = ev.sort_values("event_id").reset_index(drop=True)
+    assert list(got["event_id"]) == list(ev["event_id"])
+    assert np.allclose(got["roll_avg"], ev["roll_avg"], rtol=0, atol=1e-9)
+
+
+def test_source_zscore_matches_pandas(ray_session):
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.docops import source_zscore
+
+    got = (source_zscore(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"]).to_pandas()
+    mu = docs.groupby("source")["n_chars"].transform("mean")
+    sd = docs.groupby("source")["n_chars"].transform(lambda s: s.std(ddof=0))
+    docs["z"] = np.where(sd > 0, ((docs["n_chars"] - mu) / sd).round(6), 0.0)
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(docs["doc_id"])
+    assert np.allclose(got["z"], docs["z"], rtol=0, atol=1e-9)
+    # z-scores within each stratum are mean-0 (population normalization)
+    assert got.groupby("source")["z"].mean().abs().max() < 1e-6
