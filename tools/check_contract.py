@@ -47,8 +47,14 @@ def value_hash(df) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     # the transcript-fixture twins size their fixture from sf (the driver
     # gate runs at 0.01, the default); tell oracle_sql() which scale this
@@ -78,6 +84,7 @@ def main():
 
     qs, osql = e.queries(), e.oracle_sql()
     fails = []
+    record = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -87,16 +94,19 @@ def main():
         except Exception as ex:
             print(f"{name:28s} RAY-ERROR {type(ex).__name__}: {ex}")
             fails.append(name)
+            record[name] = {"status": "ray_error", "err": f"{type(ex).__name__}: {ex}"}
             continue
         dt = time.time() - t0
         if name not in osql:
             print(f"{name:28s} rows-only rows={len(res):7d}  {dt:6.1f}s")
+            record[name] = {"status": "rows_only", "rows": len(res), "sec": round(dt, 1)}
             continue
         try:
             odf = con.sql(osql[name]).df()
         except Exception as ex:
             print(f"{name:28s} SQL-ERROR {ex}")
             fails.append(name)
+            record[name] = {"status": "sql_error", "err": str(ex)}
             continue
         hr, ho = value_hash(res), value_hash(odf)
         ok = len(res) == len(odf) and hr == ho
@@ -104,9 +114,35 @@ def main():
             f"{name:28s} {'OK ' if ok else 'MISMATCH'} rows={len(res):7d}/{len(odf):7d} "
             f"hash={hr}/{ho}  {dt:6.1f}s"
         )
+        record[name] = {
+            "status": "hash_match" if ok else "mismatch",
+            "rows": len(res),
+            "oracle_rows": len(odf),
+            "hash": hr,
+            "sec": round(dt, 1),
+        }
         if not ok:
             fails.append(name)
     ray.shutdown()
+    if json_out:
+        import datetime
+        import json
+
+        n_cpus = 8
+        summary = {
+            "sweep": f"tools/check_contract.py {sf_dir}"
+            + (" (full queries() surface)" if not only else " (subset)"),
+            "date": datetime.date.today().isoformat(),
+            "num_cpus": n_cpus,
+            "entries": len(record),
+            "hash_match": sum(1 for v in record.values() if v["status"] == "hash_match"),
+            "rows_only": sum(1 for v in record.values() if v["status"] == "rows_only"),
+            "failures": len(fails),
+            "results": record,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {json_out}")
     if fails:
         print("FAILED:", fails)
         sys.exit(1)
