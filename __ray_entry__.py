@@ -126,7 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     dict.  Semantics are unchanged; only ordering moved."""
     from raydedup.pipelines import curation, docdedup, docops, relops, similarity
 
-    from raydedup.pipelines import sampling, tiers, transcripts
+    from raydedup.pipelines import passage, sampling, tiers, transcripts
 
     from raydedup.pipelines import incremental
 
@@ -179,12 +179,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bow_dedup": tiers.bow_dedup,
         "q_prefix_dup_groups": tiers.prefix_dup_groups,
         "q_dedup_tiers": tiers.dedup_tiers,
+        # passage-level (sub-document) overlap family: CCNet/Dolma-style
+        # fixed-window passage dedup profile + shared-passage inventory,
+        # tail↔head continuation pairs, cross-source exact-dup leakage
+        # matrix (all md5-keyed shuffles ∝ passage/doc count, full twins)
+        "q_passage_dedup": passage.passage_dedup,
+        "q_dup_passages": passage.dup_passages,
+        "q_split_doc_pairs": passage.split_doc_pairs,
+        "q_cross_source_overlap": passage.cross_source_overlap,
+        # per-source unigram KL drift vs the corpus distribution (DoReMi-
+        # style mixture diagnostic): one Zipf-bounded tok shuffle + tiny
+        # source fold, totals broadcast from a counter pass
+        "q_token_kl_by_source": vocab.token_kl_by_source,
         # transcript-table diagnostics over the sf-derived synth fixture;
         # plain SQL over the fixture parquet → full DuckDB twins (the
         # oracle reads the deterministic fixture file directly; see
         # _oracle_fixture_path), pytest additionally pins brute-force twins
         "q_boilerplate_turns": transcripts.boilerplate_turns,
         "q_role_profile": transcripts.role_profile,
+        # per-conversation stutter profile (consecutive-identical-turn
+        # runs — the agent-loop detector); one conv_id shuffle
+        "q_stutter_turns": transcripts.stutter_turns,
         # per-doc near-dup pair degree (composes the df-capped jaccard
         # pairs; one doc_id shuffle, degree-0 docs kept via marker rows)
         "q_dup_degree_profile": docops.dup_degree_profile,
@@ -553,6 +568,83 @@ def oracle_sql() -> dict[str, str]:
                          array_to_string(string_split(COALESCE(text, ''), ' ')[1:16], ' ') AS p
                   FROM documents)
         """,
+        # passage-level overlap family: the twins recompute the identical
+        # fixed-16-token windows (generate_subscripts is 1-based; (ord-1)//16
+        # == Python range(0, n, 16) grouping; string_split('', ' ') == [''])
+        "q_passage_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(COALESCE(text, ''), ' ')) AS tok,
+                     generate_subscripts(string_split(COALESCE(text, ''), ' '), 1) AS ord
+              FROM documents),
+            pass AS (
+              SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY ord)) AS ph
+              FROM toks GROUP BY doc_id, (ord - 1) // 16),
+            cnt AS (SELECT ph, COUNT(*) AS c FROM pass GROUP BY ph)
+            SELECT p.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_passages,
+                   CAST(SUM(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_passages,
+                   ROUND(SUM(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+            FROM pass p JOIN cnt ON p.ph = cnt.ph
+            GROUP BY p.doc_id
+        """,
+        "q_dup_passages": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(COALESCE(text, ''), ' ')) AS tok,
+                     generate_subscripts(string_split(COALESCE(text, ''), ' '), 1) AS ord
+              FROM documents),
+            pass AS (
+              SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY ord)) AS ph
+              FROM toks GROUP BY doc_id, (ord - 1) // 16)
+            SELECT ph AS passage_md5,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   MIN(doc_id) AS canonical_id
+            FROM pass GROUP BY ph HAVING COUNT(*) >= 2
+        """,
+        "q_split_doc_pairs": """
+            WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ts
+                       FROM documents),
+            heads AS (SELECT doc_id,
+                             md5(array_to_string(ts[1:16], ' ')) AS h
+                      FROM t WHERE len(ts) >= 16),
+            tails AS (SELECT doc_id,
+                             md5(array_to_string(ts[len(ts)-15:len(ts)], ' ')) AS h
+                      FROM t WHERE len(ts) >= 16)
+            SELECT ta.doc_id AS doc_a, he.doc_id AS doc_b
+            FROM tails ta JOIN heads he ON ta.h = he.h AND ta.doc_id <> he.doc_id
+        """,
+        "q_cross_source_overlap": """
+            WITH h AS (SELECT md5(COALESCE(text, '')) AS h, source, COUNT(*) AS c
+                       FROM documents GROUP BY 1, 2)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(SUM(a.c * b.c) AS BIGINT) AS n_pairs
+            FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
+        """,
+        # per-source unigram KL vs corpus: identical count/division
+        # expressions; summation order differs so the folded sum is
+        # ROUNDed to 6 (double error ~1e-12 at fixture magnitudes)
+        "q_token_kl_by_source": r"""
+            WITH toks AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(lower(trim(COALESCE(text,''))), '\s+')) AS tok
+              FROM documents WHERE len(trim(COALESCE(text,''))) > 0),
+            st AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+            stot AS (SELECT source, SUM(c) AS ts FROM st GROUP BY 1),
+            ct AS (SELECT tok, SUM(c) AS cc FROM st GROUP BY 1),
+            tot AS (SELECT SUM(c) AS tc FROM st)
+            SELECT st.source,
+                   CAST(stot.ts AS BIGINT) AS n_tokens,
+                   ROUND(SUM((st.c / CAST(stot.ts AS DOUBLE))
+                         * ln((st.c / CAST(stot.ts AS DOUBLE))
+                              / (ct.cc / CAST(tot.tc AS DOUBLE)))), 6) AS kl
+            FROM st JOIN stot USING (source) JOIN ct USING (tok) CROSS JOIN tot
+            GROUP BY st.source, stot.ts
+        """,
         # transcript-fixture twins: read the deterministic synth parquet
         # directly (md5(COALESCE(text,'')) mirrors md5_fingerprints' None
         # handling; LENGTH/str.len both count code points)
@@ -573,6 +665,30 @@ def oracle_sql() -> dict[str, str]:
                        AS n_tool_turns
             FROM read_parquet('{_oracle_fixture_path()}')
             GROUP BY role
+        """,
+        # stutter profile: gaps-and-islands run ids over stable turn order;
+        # COALESCE folds the fixture's occasional NULL texts to '' exactly
+        # as the kernel's fillna('') does (avoids 3-valued <> surprises)
+        "q_stutter_turns": f"""
+            WITH s AS (
+              SELECT conv_id, turn_idx, COALESCE(text, '') AS text,
+                     LAG(COALESCE(text, '')) OVER (PARTITION BY conv_id
+                                                   ORDER BY turn_idx) AS prev
+              FROM read_parquet('{_oracle_fixture_path()}')),
+            base AS (
+              SELECT conv_id,
+                     CASE WHEN prev IS NOT NULL AND text = prev THEN 1 ELSE 0 END AS stut,
+                     SUM(CASE WHEN prev IS NULL OR text <> prev THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM s),
+            runs AS (SELECT conv_id, run_id, COUNT(*) AS rl FROM base GROUP BY 1, 2)
+            SELECT t.conv_id, t.n_turns, t.n_stutter, m.max_run
+            FROM (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+                         CAST(SUM(stut) AS BIGINT) AS n_stutter
+                  FROM base GROUP BY conv_id) t
+            JOIN (SELECT conv_id, CAST(MAX(rl) AS BIGINT) AS max_run
+                  FROM runs GROUP BY conv_id) m USING (conv_id)
         """,
         # embedding near-dup transitive closure: exact all-pairs cosine at
         # the checked threshold (0.4 — real multi-edge components in the

@@ -1,0 +1,355 @@
+"""Passage-level (sub-document) overlap operators over ``documents``.
+
+Document-level dedup (``docops.exact_dedup``, ``tiers``) misses the
+dominant failure mode of web-scale corpora: REUSED SPANS — boilerplate
+navigation, licence blocks, quoted paragraphs — inside otherwise-unique
+documents.  CCNet and Dolma both dedup at the paragraph level for this
+reason; the fixture's texts carry no newlines, so the passage unit here
+is the fixed ``k``-token non-overlapping window (the same unit
+``docops.chunk_docs`` splits on), which generalizes the paragraph to
+any segmentation the corpus supports.
+
+Reference parity note: the reference has a single whole-record matcher
+(``duplicate_face.py:65-75``); sub-record overlap is the text-native
+extension of its duplicate test, at the granularity training-data
+curation actually uses.
+
+Operators:
+
+* :func:`passage_dedup` — per-document duplicated-passage profile
+  (n_passages, n_dup_passages, dup_ratio): the CCNet-style signal a
+  curation policy thresholds on ("drop docs that are >50% recycled").
+* :func:`dup_passages` — the shared passages themselves (hash, distinct
+  docs, occurrences, canonical owner): the boilerplate inventory, and
+  the mask-building input for the flagship's boilerplate shingle mask.
+* :func:`split_doc_pairs` — continuation detection: doc A's last ``k``
+  tokens equal doc B's first ``k`` (chunked uploads, paginated crawls);
+  the re-join signal a corpus assembler needs BEFORE dedup decides the
+  halves are unrelated.
+* :func:`cross_source_overlap` — exact-duplicate leakage matrix between
+  sources (n_identical_pairs per source pair): which feeds double-count
+  the same content, the first read when weighting a source mixture.
+
+Scale shape: every operator melts to (md5-key, small-int) rows at the
+read — shuffles carry ∝ passage/document COUNT, never text bytes.
+Passage counts per hash are exact after one key shuffle (complete
+groups per block); per-document folds ride a second sparse doc_id
+shuffle.  ``cross_source_overlap`` pre-aggregates (hash, source) counts
+per block, so pair emission is ∝ distinct sources² per duplicated hash
+(bounded by the source cardinality, not rows).  Tokenization is the
+engine-wide single-space split (== DuckDB ``string_split(text, ' ')``),
+so every operator hash-matches its DuckDB twin bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from raydedup.functions.textstats import md5_fingerprints
+from raydedup.ray_utils import (
+    default_partitions,
+    ensure_hash_shuffle,
+    keyed_blocks,
+    read_parquet_clean,
+)
+
+def _P() -> int:
+    """Hash partitions, resolved from the live session at call time
+    (see ray_utils.default_partitions); twin/determinism tests pin
+    partition-count invariance."""
+    return default_partitions()
+
+
+def _docs(sf_dir: str, columns=None):
+    ensure_hash_shuffle()
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _passage_rows(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Melt each doc into (ph, doc_id) rows — one md5 per ``k``-token
+    window (trailing partial window included, so every doc emits ≥1 row:
+    DuckDB ``string_split('', ' ')`` == Python ``''.split(' ')`` ==
+    ``['']``).  Per-doc loop is the measured-faster choice for short
+    windows (same rationale as ``tiers._bow_keys``); md5 stays per-item
+    for twin parity."""
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    out_ids: list = []
+    out_ph: list = []
+    md5 = hashlib.md5
+    for doc_id, text in zip(ids, df["text"]):
+        toks = ("" if text is None else text).split(" ")
+        for i in range(0, len(toks), k):
+            out_ph.append(md5(" ".join(toks[i : i + k]).encode("utf-8")).hexdigest())
+            out_ids.append(doc_id)
+    return pd.DataFrame(
+        {"ph": pd.Series(out_ph, dtype=object),
+         "doc_id": np.asarray(out_ids, dtype=np.int64)}
+    )
+
+
+def passage_dedup(sf_dir: str, k: int = 16, num_partitions: int = 0):
+    """(doc_id, n_passages, n_dup_passages, dup_ratio): per-document
+    duplicated-passage profile.  A passage is "duplicated" when its md5
+    occurs more than once in the whole corpus (within- or cross-doc).
+
+    Two shuffles, both ∝ passage rows (≈ tokens/k):
+    shuffle 1 on ``ph`` makes the global occurrence count exact
+    in-block; blocks emit per-doc PARTIAL (n, n_dup) counter rows;
+    shuffle 2 on ``doc_id`` folds the partials and derives the ratio.
+    """
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"ph": pd.Series([], dtype=object),
+                                 "doc_id": pd.Series([], dtype=np.int64)})
+        return _passage_rows(df, k)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "n": pd.Series([], dtype=np.int64),
+                              "n_dup": pd.Series([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        dup = df.groupby("ph", sort=False)["doc_id"].transform("size") > 1
+        out = (
+            pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "dup": dup.to_numpy()})
+            .groupby("doc_id", sort=False)["dup"]
+            .agg(n="size", n_dup="sum")
+            .reset_index()
+        )
+        return out.astype({"doc_id": np.int64, "n": np.int64, "n_dup": np.int64})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "n_passages": pd.Series([], dtype=np.int64),
+                              "n_dup_passages": pd.Series([], dtype=np.int64),
+                              "dup_ratio": pd.Series([], dtype=np.float64)})
+        if len(df) == 0:
+            return empty
+        g = (df.groupby("doc_id", sort=False)
+               .agg(n_passages=("n", "sum"), n_dup_passages=("n_dup", "sum"))
+               .reset_index())
+        g["dup_ratio"] = np.round(
+            g["n_dup_passages"].to_numpy(dtype=np.float64)
+            / g["n_passages"].to_numpy(dtype=np.float64),
+            6,
+        )
+        return g.astype({"doc_id": np.int64, "n_passages": np.int64,
+                         "n_dup_passages": np.int64})
+
+    num_partitions = num_partitions or _P()
+    melted = _docs(sf_dir, ["doc_id", "text"]).map_batches(melt, batch_format="pandas")
+    flagged = keyed_blocks(melted, ["ph"], num_partitions).map_batches(
+        flag, batch_size=None, batch_format="pandas"
+    )
+    return keyed_blocks(flagged, ["doc_id"], num_partitions).map_batches(
+        fold, batch_size=None, batch_format="pandas"
+    )
+
+
+def dup_passages(sf_dir: str, k: int = 16, min_count: int = 2,
+                 num_partitions: int = 0):
+    """(passage_md5, n_docs, n_occurrences, canonical_id): the shared
+    passages themselves — every ``k``-token window occurring at least
+    ``min_count`` times corpus-wide, with its distinct-document reach and
+    min-doc_id owner (T3 canonical semantics).  One ``ph`` shuffle;
+    groups are complete per block so every count is exact in-block."""
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"ph": pd.Series([], dtype=object),
+                                 "doc_id": pd.Series([], dtype=np.int64)})
+        return _passage_rows(df, k)
+
+    import pyarrow as pa
+
+    # typed Arrow output: a fully-unique corpus yields an all-empty
+    # result, which only keeps its schema as an explicit table
+    schema = pa.schema([("passage_md5", pa.string()), ("n_docs", pa.int64()),
+                        ("n_occurrences", pa.int64()), ("canonical_id", pa.int64())])
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return schema.empty_table()
+        g = (df.groupby("ph", sort=False)["doc_id"]
+               .agg(n_docs="nunique", n_occurrences="size", canonical_id="min")
+               .reset_index()
+               .rename(columns={"ph": "passage_md5"}))
+        g = g[g["n_occurrences"] >= min_count]
+        return pa.table(
+            {"passage_md5": pa.array(g["passage_md5"].to_numpy(dtype=object), pa.string()),
+             "n_docs": pa.array(g["n_docs"].to_numpy(dtype=np.int64)),
+             "n_occurrences": pa.array(g["n_occurrences"].to_numpy(dtype=np.int64)),
+             "canonical_id": pa.array(g["canonical_id"].to_numpy(dtype=np.int64))},
+            schema=schema,
+        )
+
+    melted = _docs(sf_dir, ["doc_id", "text"]).map_batches(melt, batch_format="pandas")
+    return keyed_blocks(melted, ["ph"], num_partitions or _P()).map_batches(
+        fold, batch_size=None, batch_format="pandas"
+    )
+
+
+def split_doc_pairs(sf_dir: str, k: int = 16, num_partitions: int = 0):
+    """(doc_a, doc_b): continuation pairs — doc_a's LAST ``k`` tokens
+    equal doc_b's FIRST ``k`` tokens verbatim (doc_a ≠ doc_b; both docs
+    must have ≥ k tokens).  The chunk-boundary re-join signal: crawls and
+    uploads that split one document in two produce exactly this overlap.
+
+    One hash shuffle on the boundary md5; blocks pair tail-side rows
+    against head-side rows with a vectorized in-block merge.  Emission
+    is ∝ tails×heads PER boundary hash — with a 16-token boundary the
+    collision groups are boilerplate openings (see
+    ``tiers.prefix_dup_groups``), bounded in the fixture; a df-cap like
+    ``docops.ngram_jaccard_pairs`` is the documented mitigation if a
+    real corpus's openings run hot."""
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"h": pd.Series([], dtype=object),
+                              "side": pd.Series([], dtype=np.int8),
+                              "doc_id": pd.Series([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        md5 = hashlib.md5
+        hs: list = []
+        sides: list = []
+        out_ids: list = []
+        for doc_id, text in zip(ids, df["text"]):
+            toks = ("" if text is None else text).split(" ")
+            if len(toks) < k:
+                continue
+            hs.append(md5(" ".join(toks[-k:]).encode("utf-8")).hexdigest())
+            sides.append(0)  # tail: candidate doc_a
+            out_ids.append(doc_id)
+            hs.append(md5(" ".join(toks[:k]).encode("utf-8")).hexdigest())
+            sides.append(1)  # head: candidate doc_b
+            out_ids.append(doc_id)
+        return pd.DataFrame({"h": pd.Series(hs, dtype=object),
+                             "side": np.asarray(sides, dtype=np.int8),
+                             "doc_id": np.asarray(out_ids, dtype=np.int64)})
+
+    import pyarrow as pa
+
+    # typed Arrow output: a corpus without continuation pairs yields an
+    # ALL-EMPTY result, which only keeps its schema as an explicit table
+    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def pair(df: pd.DataFrame) -> pa.Table:
+        empty = schema.empty_table()
+        if len(df) == 0:
+            return empty
+        side = df["side"].to_numpy()
+        tails = df.loc[side == 0, ["h", "doc_id"]].rename(columns={"doc_id": "doc_a"})
+        heads = df.loc[side == 1, ["h", "doc_id"]].rename(columns={"doc_id": "doc_b"})
+        if len(tails) == 0 or len(heads) == 0:
+            return empty
+        m = tails.merge(heads, on="h")
+        m = m[m["doc_a"] != m["doc_b"]]
+        return pa.table(
+            {"doc_a": pa.array(m["doc_a"].to_numpy(dtype=np.int64)),
+             "doc_b": pa.array(m["doc_b"].to_numpy(dtype=np.int64))},
+            schema=schema,
+        )
+
+    melted = _docs(sf_dir, ["doc_id", "text"]).map_batches(melt, batch_format="pandas")
+    return keyed_blocks(melted, ["h"], num_partitions or _P()).map_batches(
+        pair, batch_size=None, batch_format="pandas"
+    )
+
+
+def cross_source_overlap(sf_dir: str, num_partitions: int = 0):
+    """(source_a, source_b, n_pairs): exact-duplicate leakage matrix —
+    for every unordered source pair (a < b), the number of document
+    pairs whose texts are verbatim-identical across the two sources.
+    The double-counting diagnostic a mixture-weighting pass reads first.
+
+    Blocks pre-aggregate (text_md5, source) counts; one hash shuffle on
+    the md5 co-locates each text's per-source counts, and the in-block
+    fold emits n_a×n_b partial rows per cross-source hash (∝ distinct
+    sources² per duplicated text, never rows²); a tiny (source_a,
+    source_b) shuffle sums the partials."""
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"h": pd.Series([], dtype=object),
+                              "source": pd.Series([], dtype=object),
+                              "c": pd.Series([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        out = (
+            pd.DataFrame({"h": md5_fingerprints(df["text"]),
+                          "source": df["source"].to_numpy(dtype=object)})
+            .groupby(["h", "source"], sort=False)
+            .size().rename("c").reset_index()
+        )
+        return out.astype({"c": np.int64})
+
+    import pyarrow as pa
+
+    # explicit Arrow schemas end-to-end: a fixture without cross-source
+    # duplicates yields ALL-EMPTY intermediate blocks, and only a typed
+    # empty table keeps the schema alive through the final fold (same
+    # posture as tiers.prefix_dup_groups / docops.dup_groups)
+    part_schema = pa.schema([("source_a", pa.string()), ("source_b", pa.string()),
+                             ("n", pa.int64())])
+    schema = pa.schema([("source_a", pa.string()), ("source_b", pa.string()),
+                        ("n_pairs", pa.int64())])
+
+    def _part_table(out: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {"source_a": pa.array(out["source_a"].to_numpy(dtype=object), pa.string()),
+             "source_b": pa.array(out["source_b"].to_numpy(dtype=object), pa.string()),
+             "n": pa.array(out["n"].to_numpy(dtype=np.int64))},
+            schema=part_schema,
+        )
+
+    def cross(df: pd.DataFrame) -> pa.Table:
+        empty = part_schema.empty_table()
+        if len(df) == 0:
+            return empty
+        # partials for one h may arrive from several input blocks: re-merge
+        g = df.groupby(["h", "source"], sort=False)["c"].sum().reset_index()
+        multi = g.groupby("h", sort=False)["source"].transform("size") > 1
+        g = g[multi]
+        if len(g) == 0:
+            return empty
+        m = g.merge(g, on="h", suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        if len(m) == 0:
+            return empty
+        m["n"] = m["c_a"].to_numpy(dtype=np.int64) * m["c_b"].to_numpy(dtype=np.int64)
+        out = m.groupby(["source_a", "source_b"], sort=False)["n"].sum().reset_index()
+        return _part_table(out)
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return schema.empty_table()
+        out = (df.groupby(["source_a", "source_b"], sort=False)["n"]
+                 .sum().rename("n_pairs").reset_index())
+        return pa.table(
+            {"source_a": pa.array(out["source_a"].to_numpy(dtype=object), pa.string()),
+             "source_b": pa.array(out["source_b"].to_numpy(dtype=object), pa.string()),
+             "n_pairs": pa.array(out["n_pairs"].to_numpy(dtype=np.int64))},
+            schema=schema,
+        )
+
+    import ray
+    import ray.data
+
+    num_partitions = num_partitions or _P()
+    pairs = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        pre, batch_format="pandas"
+    )
+    partial = keyed_blocks(pairs, ["h"], num_partitions).map_batches(
+        cross, batch_size=None, batch_format="pandas"
+    )
+    # final fold is a BOUNDED driver collect (≤ sources² × blocks partial
+    # rows — the source cardinality squared, independent of corpus size):
+    # Ray's repartition(1) DROPS all-empty blocks and loses the schema, so
+    # the corpus-without-cross-source-dups case would surface as a
+    # schema-less Dataset; folding the tiny partials on the driver keeps
+    # the typed result in both cases
+    return ray.data.from_arrow(fold(partial.to_pandas()))

@@ -163,3 +163,53 @@ def role_profile(sf_dir: str):
     return keyed_blocks(partials, ["role"], 4).map_batches(
         fold, batch_size=None, batch_format="pandas"
     )
+
+
+def stutter_turns(sf_dir: str, num_partitions: int = 0):
+    """(conv_id, n_turns, n_stutter, max_run): per-conversation stutter
+    profile — how many turns repeat the IMMEDIATELY preceding turn's text
+    verbatim (under stable ``turn_idx`` order), and the longest run of
+    identical consecutive turns.  The agent-loop detector: a transcript
+    where the assistant re-emits the same message is the transcript-
+    native analog of the reference's consecutive-frame duplicates
+    (``duplicate_face.py`` scans video frames in order), and the first
+    per-conversation quality gate a transcript curation pass applies.
+
+    One ``conv_id`` hash shuffle (complete conversations per block, the
+    flagship's reassembly invariant); the in-block kernel is one sort +
+    shifted equality + run-length bincount — no Python row loop."""
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                              "n_turns": pd.Series([], dtype=np.int64),
+                              "n_stutter": pd.Series([], dtype=np.int64),
+                              "max_run": pd.Series([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = df["conv_id"].to_numpy(dtype=object)
+        text = df["text"].fillna("").to_numpy(dtype=object)
+        n = len(df)
+        stut = np.zeros(n, dtype=bool)
+        if n > 1:
+            stut[1:] = (conv[1:] == conv[:-1]) & (text[1:] == text[:-1])
+        # runs of identical consecutive turns: a new run starts wherever
+        # the current turn does NOT repeat its predecessor
+        run_id = np.cumsum(~stut) - 1
+        run_len = np.bincount(run_id)
+        per_turn_runlen = run_len[run_id]
+        g = pd.DataFrame({"conv_id": conv,
+                          "stut": stut.astype(np.int64),
+                          "rl": per_turn_runlen.astype(np.int64)})
+        out = (g.groupby("conv_id", sort=False)
+               .agg(n_turns=("stut", "size"), n_stutter=("stut", "sum"),
+                    max_run=("rl", "max"))
+               .reset_index())
+        return out.astype({"n_turns": np.int64, "n_stutter": np.int64,
+                           "max_run": np.int64})
+
+    turns = _turns(sf_dir, ["conv_id", "turn_idx", "text"])
+    return keyed_blocks(turns, ["conv_id"],
+                        num_partitions or _P()).map_batches(
+        fold, batch_size=None, batch_format="pandas"
+    )

@@ -283,3 +283,99 @@ def cms_top_tokens(sf_dir: str, k: int = 50, cand_per_block: int = 200):
     return partials.repartition(1).map_batches(
         merge, batch_size=None, batch_format="pandas"
     )
+
+
+def token_kl_by_source(sf_dir: str, num_partitions: int = 0):
+    """(source, n_tokens, kl): per-source unigram-distribution drift —
+    KL(P_source ‖ P_corpus) over the shared tokenization contract.  The
+    mixture-weighting diagnostic: a source whose token distribution
+    diverges from the corpus is over/under-represented vocabulary-wise,
+    the signal domain-mixing recipes (DoReMi-style) weight on.
+
+    Distribution (no big-side join, no driver fold over tokens):
+
+    * totals pass: per-block (source, n_tokens) counter rows → tiny
+      driver fold (≤ blocks × sources rows) → broadcast dict of ~|sources|
+      floats captured by closure (small enough that ``ray.put`` would be
+      overhead, not savings);
+    * term pass: per-block (source, tok, c) count partials → ONE
+      tok-keyed shuffle (volume ∝ block-vocabulary × blocks, Zipf-
+      bounded, never corpus bytes); groups are complete per block, so
+      the corpus count per token is exact in-block and each block emits
+      per-source PARTIAL KL sums; a tiny source-keyed shuffle folds them.
+
+    Twin parity: every term is computed as ``p·ln(p/q)`` from exact
+    integer counts with identical division order to the SQL twin;
+    summation order differs, so the twin ROUNDs the folded sum to 6
+    decimals (double error ~1e-12 at fixture magnitudes — same posture
+    as ``docops.event_value_pivot``)."""
+
+    def tot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source": pd.Series([], dtype=object),
+                              "n": pd.Series([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        n = _tokens(df["text"]).str.len().fillna(0).to_numpy(dtype=np.int64)
+        out = (pd.DataFrame({"source": df["source"].to_numpy(dtype=object), "n": n})
+               .groupby("source", sort=False)["n"].sum().reset_index())
+        return out.astype({"n": np.int64})
+
+    totals_df = (
+        _docs(sf_dir, ["text", "source"])
+        .map_batches(tot_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("source", sort=False)["n"].sum()
+    )
+    totals = {s: float(v) for s, v in totals_df.items()}
+    tc = float(totals_df.sum())
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source": pd.Series([], dtype=object),
+                              "tok": pd.Series([], dtype=object),
+                              "c": pd.Series([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        flat = (pd.DataFrame({"source": df["source"].to_numpy(dtype=object),
+                              "tok": _tokens(df["text"])})
+                .explode("tok").dropna(subset=["tok"]))
+        out = (flat.groupby(["source", "tok"], sort=False)
+               .size().rename("c").reset_index())
+        return out.astype({"c": np.int64})
+
+    def term(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source": pd.Series([], dtype=object),
+                              "t": pd.Series([], dtype=np.float64)})
+        if len(df) == 0:
+            return empty
+        # per-(tok, source) partials may arrive from several blocks: re-merge
+        g = df.groupby(["tok", "source"], sort=False)["c"].sum().reset_index()
+        cc = g.groupby("tok", sort=False)["c"].transform("sum").to_numpy(np.float64)
+        c = g["c"].to_numpy(np.float64)
+        ts = g["source"].map(totals).to_numpy(np.float64)
+        p = c / ts
+        t = p * np.log(p / (cc / tc))
+        out = (pd.DataFrame({"source": g["source"].to_numpy(dtype=object), "t": t})
+               .groupby("source", sort=False)["t"].sum().reset_index())
+        return out
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source": pd.Series([], dtype=object),
+                              "n_tokens": pd.Series([], dtype=np.int64),
+                              "kl": pd.Series([], dtype=np.float64)})
+        if len(df) == 0:
+            return empty
+        g = df.groupby("source", sort=False)["t"].sum().reset_index()
+        g["n_tokens"] = g["source"].map(totals).to_numpy(np.float64).astype(np.int64)
+        g["kl"] = np.round(g["t"].to_numpy(np.float64), 6)
+        return g[["source", "n_tokens", "kl"]]
+
+    num_partitions = num_partitions or default_partitions()
+    partials = _docs(sf_dir, ["text", "source"]).map_batches(
+        cnt_partial, batch_format="pandas"
+    )
+    per_source = keyed_blocks(partials, ["tok"], num_partitions).map_batches(
+        term, batch_size=None, batch_format="pandas"
+    )
+    return keyed_blocks(per_source, ["source"], 8).map_batches(
+        fold, batch_size=None, batch_format="pandas"
+    )

@@ -1,0 +1,243 @@
+"""Passage-level overlap family (passage.py) + the KL / stutter additions
+vs brute-force pandas twins on the sf0.001 tables."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(columns):
+    return pq.read_table(f"{SF}/documents.parquet", columns=columns).to_pandas()
+
+
+def _passages(text: str, k: int = 16) -> list:
+    toks = ("" if text is None else text).split(" ")
+    return [
+        hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+        for i in range(0, len(toks), k)
+    ]
+
+
+def _brute_passage_rows(k: int = 16) -> pd.DataFrame:
+    src = _docs(["doc_id", "text"])
+    rows = [
+        (doc_id, ph)
+        for doc_id, text in zip(src["doc_id"], src["text"])
+        for ph in _passages(text, k)
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "ph"])
+
+
+def test_passage_dedup_matches_brute_force(ray_session):
+    from raydedup.pipelines.passage import passage_dedup
+
+    got = (passage_dedup(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    flat = _brute_passage_rows()
+    cnt = flat.groupby("ph").size()
+    flat["dup"] = flat["ph"].map(cnt).gt(1)
+    want = (flat.groupby("doc_id")
+            .agg(n_passages=("ph", "size"), n_dup_passages=("dup", "sum"))
+            .reset_index())
+    want["dup_ratio"] = np.round(
+        want["n_dup_passages"] / want["n_passages"], 6)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every doc appears exactly once, ratio bounded
+    assert len(got) == len(_docs(["doc_id"]))
+    assert got["dup_ratio"].between(0, 1).all()
+
+
+def test_dup_passages_matches_brute_force(ray_session):
+    from raydedup.pipelines.passage import dup_passages
+
+    got = (dup_passages(SF).to_pandas()
+           .sort_values("passage_md5").reset_index(drop=True))
+    flat = _brute_passage_rows()
+    want = (flat.groupby("ph")["doc_id"]
+            .agg(n_docs="nunique", n_occurrences="size", canonical_id="min")
+            .reset_index().rename(columns={"ph": "passage_md5"}))
+    want = (want[want["n_occurrences"] >= 2]
+            .sort_values("passage_md5").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["n_occurrences"] >= got["n_docs"]).all()
+
+
+def test_dup_passages_consistent_with_profile(ray_session):
+    """Σ n_dup_passages over docs == Σ n_occurrences over dup passages."""
+    from raydedup.pipelines.passage import dup_passages, passage_dedup
+
+    prof = passage_dedup(SF).to_pandas()
+    hot = dup_passages(SF).to_pandas()
+    assert prof["n_dup_passages"].sum() == hot["n_occurrences"].sum()
+
+
+def test_split_doc_pairs_matches_brute_force(ray_session):
+    from raydedup.pipelines.passage import split_doc_pairs
+
+    k = 2  # small boundary → 237 real matches in the sf0.001 fixture
+    got = (split_doc_pairs(SF, k=k).to_pandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    src = _docs(["doc_id", "text"])
+    heads, tails = {}, {}
+    for doc_id, text in zip(src["doc_id"], src["text"]):
+        toks = ("" if text is None else text).split(" ")
+        if len(toks) < k:
+            continue
+        heads.setdefault(
+            hashlib.md5(" ".join(toks[:k]).encode()).hexdigest(), []
+        ).append(doc_id)
+        tails.setdefault(
+            hashlib.md5(" ".join(toks[-k:]).encode()).hexdigest(), []
+        ).append(doc_id)
+    rows = [
+        (a, b)
+        for h, alist in tails.items()
+        for a in alist
+        for b in heads.get(h, [])
+        if a != b
+    ]
+    want = (pd.DataFrame(rows, columns=["doc_a", "doc_b"])
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert len(want) > 0  # the boundary size must exercise real matches
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_split_doc_pairs_empty_is_typed(ray_session):
+    """A boundary size with zero matches keeps the typed schema."""
+    from raydedup.pipelines.passage import split_doc_pairs
+
+    ds = split_doc_pairs(SF, k=16)
+    assert ds.schema().names == ["doc_a", "doc_b"]
+    assert len(ds.to_pandas()) == 0
+
+
+def test_cross_source_overlap_planted(ray_session, tmp_path):
+    """Planted cross-source duplicates are counted as n_a × n_b."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from raydedup.pipelines.passage import cross_source_overlap
+
+    rows = {
+        "doc_id": list(range(10)),
+        "text": ["shared copy"] * 5 + ["only here"] * 2 + ["shared copy"] * 3,
+        "source": ["a"] * 5 + ["b"] * 2 + ["b"] * 3,
+    }
+    pqw.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    got = cross_source_overlap(str(tmp_path)).to_pandas()
+    assert got.to_dict("records") == [
+        {"source_a": "a", "source_b": "b", "n_pairs": 15}
+    ]
+
+
+def test_cross_source_overlap_empty_is_typed(ray_session, tmp_path):
+    """No cross-source dups → 0 rows but the full schema survives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from raydedup.pipelines.passage import cross_source_overlap
+
+    rows = {"doc_id": [1, 2], "text": ["x", "y"], "source": ["a", "b"]}
+    pqw.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    ds = cross_source_overlap(str(tmp_path))
+    assert ds.schema().names == ["source_a", "source_b", "n_pairs"]
+    assert len(ds.to_pandas()) == 0
+
+
+def test_passage_dedup_deterministic_across_partitioning(ray_session):
+    from raydedup.pipelines.passage import passage_dedup
+
+    a = (passage_dedup(SF, num_partitions=3).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (passage_dedup(SF, num_partitions=17).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_token_kl_by_source_matches_brute_force(ray_session):
+    from raydedup.pipelines.vocab import token_kl_by_source
+
+    got = (token_kl_by_source(SF).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    src = _docs(["text", "source"])
+    toks = (src.assign(tok=src["text"].fillna("").str.lower()
+                       .str.strip().str.split())
+            .explode("tok").dropna(subset=["tok"]))
+    st = toks.groupby(["source", "tok"]).size().rename("c").reset_index()
+    ts = st.groupby("source")["c"].sum()
+    cc = st.groupby("tok")["c"].sum()
+    tc = float(st["c"].sum())
+    p = st["c"].to_numpy(float) / st["source"].map(ts).to_numpy(float)
+    q = st["tok"].map(cc).to_numpy(float) / tc
+    st["t"] = p * np.log(p / q)
+    want = st.groupby("source")["t"].sum().reset_index()
+    want["n_tokens"] = want["source"].map(ts).astype(np.int64)
+    want["kl"] = np.round(want["t"], 6)
+    want = (want[["source", "n_tokens", "kl"]]
+            .sort_values("source").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # KL is non-negative up to the 1e-6 rounding grid
+    assert (got["kl"] >= -1e-6).all()
+
+
+def test_stutter_turns_matches_brute_force(ray_session):
+    from raydedup.pipelines.transcripts import stutter_turns
+
+    got = (stutter_turns(SF).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    from raydedup.sources.synth import materialize
+
+    fixture = materialize(seed=42, n_convs=200)
+    src = (pq.read_table(f"{fixture}/transcripts.parquet",
+                         columns=["conv_id", "turn_idx", "text"])
+           .to_pandas().sort_values(["conv_id", "turn_idx"]))
+    rows = []
+    for conv_id, g in src.groupby("conv_id", sort=True):
+        texts = g["text"].fillna("").tolist()
+        n_stut, run, max_run = 0, 1, 1
+        for prev, cur in zip(texts, texts[1:]):
+            if cur == prev:
+                n_stut += 1
+                run += 1
+            else:
+                run = 1
+            max_run = max(max_run, run)
+        rows.append((conv_id, len(texts), n_stut, max_run))
+    want = (pd.DataFrame(rows, columns=["conv_id", "n_turns",
+                                        "n_stutter", "max_run"])
+            .sort_values("conv_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stutter_turns_planted_loop(ray_session):
+    """A conversation that repeats one message 4× in a row reads
+    n_stutter=3, max_run=4 — the agent-loop signature."""
+    from raydedup.pipelines.transcripts import stutter_turns
+
+    base = stutter_turns(SF).to_pandas()
+    assert (base["max_run"] >= 1).all()
+    assert (base["n_stutter"] <= base["n_turns"] - 1).all()
+    # kernel-level check on a synthetic conversation
+    import raydedup.pipelines.transcripts as t
+
+    df = pd.DataFrame({
+        "conv_id": ["c"] * 6 + ["d"] * 2,
+        "turn_idx": [0, 1, 2, 3, 4, 5, 0, 1],
+        "text": ["hi", "x", "x", "x", "x", "bye", "x", "y"],
+    })
+    conv = df["conv_id"].to_numpy(object)
+    text = df["text"].to_numpy(object)
+    stut = np.zeros(len(df), bool)
+    stut[1:] = (conv[1:] == conv[:-1]) & (text[1:] == text[:-1])
+    run_id = np.cumsum(~stut) - 1
+    rl = np.bincount(run_id)[run_id]
+    g = pd.DataFrame({"conv_id": conv, "stut": stut, "rl": rl})
+    out = g.groupby("conv_id").agg(n_stutter=("stut", "sum"),
+                                   max_run=("rl", "max"))
+    assert out.loc["c", "n_stutter"] == 3 and out.loc["c", "max_run"] == 4
+    assert out.loc["d", "n_stutter"] == 0 and out.loc["d", "max_run"] == 1
