@@ -126,7 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     dict.  Semantics are unchanged; only ordering moved."""
     from raydedup.pipelines import curation, docdedup, docops, relops, similarity
 
-    from raydedup.pipelines import passage, sampling, tiers, transcripts
+    from raydedup.pipelines import cdc, passage, sampling, tiers, transcripts
 
     from raydedup.pipelines import incremental
 
@@ -187,6 +187,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dup_passages": passage.dup_passages,
         "q_split_doc_pairs": passage.split_doc_pairs,
         "q_cross_source_overlap": passage.cross_source_overlap,
+        # content-defined chunking (FastCDC-style gear hash): shift-
+        # resistant sub-doc dedup — no SQL twin (64-tap rolling hash);
+        # pytest pins tiling/bounds/determinism/shift-resistance
+        "q_cdc_chunks": cdc.cdc_chunks,
+        "q_cdc_dedup": cdc.cdc_dedup,
         # per-source unigram KL drift vs the corpus distribution (DoReMi-
         # style mixture diagnostic): one Zipf-bounded tok shuffle + tiny
         # source fold, totals broadcast from a counter pass

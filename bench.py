@@ -117,9 +117,11 @@ def run_doc_queries(sf_dir: str) -> dict:
         docops,
         relops,
         sampling,
+        passage,
         similarity,
         tiers,
         transcripts,
+        vocab,
     )
 
     out = {}
@@ -161,6 +163,9 @@ def run_doc_queries(sf_dir: str) -> dict:
         ("q_dup_degree_profile", lambda sf: docops.dup_degree_profile(sf, df_cap=256)),
         ("q_boilerplate_turns", transcripts.boilerplate_turns),
         ("q_embedding_clusters", similarity.embedding_clusters),
+        ("q_passage_dedup", passage.passage_dedup),
+        ("q_token_kl_by_source", vocab.token_kl_by_source),
+        ("q_stutter_turns", transcripts.stutter_turns),
     ]:
         t0 = time.time()
         res = fn(sf_dir)
