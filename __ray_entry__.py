@@ -185,6 +185,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # matrix (all md5-keyed shuffles ∝ passage/doc count, full twins)
         "q_passage_dedup": passage.passage_dedup,
         "q_dup_passages": passage.dup_passages,
+        # the passage-dedup TRANSFORM: rebuild texts keeping one canonical
+        # copy of every duplicated passage (CCNet paragraph-dedup as
+        # corpus cleaning; shuffles carry text — ∝ corpus bytes, the
+        # honest lower bound for a rewriting transform)
+        "q_passage_scrub": passage.passage_scrub,
         "q_split_doc_pairs": passage.split_doc_pairs,
         "q_cross_source_overlap": passage.cross_source_overlap,
         # content-defined chunking (FastCDC-style gear hash): shift-
@@ -621,6 +626,35 @@ def oracle_sql() -> dict[str, str]:
                       FROM t WHERE len(ts) >= 16)
             SELECT ta.doc_id AS doc_a, he.doc_id AS doc_b
             FROM tails ta JOIN heads he ON ta.h = he.h AND ta.doc_id <> he.doc_id
+        """,
+        # the scrub transform: canonical occurrence = (min doc_id, then min
+        # offset within that doc); docs losing every passage keep text=''
+        "q_passage_scrub": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(COALESCE(text, ''), ' ')) AS tok,
+                     generate_subscripts(string_split(COALESCE(text, ''), ' '), 1) AS ord
+              FROM documents),
+            pass AS (
+              SELECT doc_id, (ord - 1) // 16 AS pidx,
+                     string_agg(tok, ' ' ORDER BY ord) AS ptext,
+                     md5(string_agg(tok, ' ' ORDER BY ord)) AS ph
+              FROM toks GROUP BY doc_id, (ord - 1) // 16),
+            own AS (SELECT ph, MIN(doc_id) AS own_doc FROM pass GROUP BY ph),
+            own2 AS (SELECT p.ph, o.own_doc, MIN(p.pidx) AS own_pidx
+                     FROM pass p JOIN own o ON p.ph = o.ph AND p.doc_id = o.own_doc
+                     GROUP BY p.ph, o.own_doc),
+            kept AS (SELECT p.doc_id, p.pidx, p.ptext
+                     FROM pass p JOIN own2 o ON p.ph = o.ph
+                     WHERE p.doc_id = o.own_doc AND p.pidx = o.own_pidx),
+            tot AS (SELECT doc_id, COUNT(*) AS n_passages FROM pass GROUP BY doc_id),
+            agg AS (SELECT doc_id, string_agg(ptext, ' ' ORDER BY pidx) AS text,
+                           COUNT(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT t.doc_id, COALESCE(a.text, '') AS text,
+                   CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(t.n_passages - COALESCE(a.n_kept, 0) AS BIGINT) AS n_pruned
+            FROM tot t LEFT JOIN agg a USING (doc_id)
         """,
         "q_cross_source_overlap": """
             WITH h AS (SELECT md5(COALESCE(text, '')) AS h, source, COUNT(*) AS c

@@ -29,6 +29,9 @@ Operators:
 * :func:`cross_source_overlap` — exact-duplicate leakage matrix between
   sources (n_identical_pairs per source pair): which feeds double-count
   the same content, the first read when weighting a source mixture.
+* :func:`passage_scrub` — the passage-dedup TRANSFORM: rebuild each
+  document keeping one canonical copy of every duplicated passage
+  (CCNet's paragraph-dedup applied as corpus cleaning, not a profile).
 
 Scale shape: every operator melts to (md5-key, small-int) rows at the
 read — shuffles carry ∝ passage/document COUNT, never text bytes.
@@ -353,3 +356,105 @@ def cross_source_overlap(sf_dir: str, num_partitions: int = 0):
     # schema-less Dataset; folding the tiny partials on the driver keeps
     # the typed result in both cases
     return ray.data.from_arrow(fold(partial.to_pandas()))
+
+
+def passage_scrub(sf_dir: str, k: int = 16, num_partitions: int = 0):
+    """(doc_id, text, n_kept, n_pruned): the passage-dedup TRANSFORM —
+    rebuild each document keeping exactly ONE canonical copy of every
+    duplicated passage corpus-wide (the lowest-doc_id, earliest-offset
+    occurrence; unique passages always survive).  This is the CCNet-style
+    paragraph-dedup applied as corpus cleaning rather than as a profile:
+    the output is a drop-in replacement ``documents`` text column.
+
+    Distribution: unlike the profile operators above, the shuffles here
+    CARRY PASSAGE TEXT (the output must contain it), so all-to-all
+    volume is ∝ corpus bytes — the same posture as the flagship's docs
+    reassembly stage, and the honest lower bound for any corpus-rewriting
+    transform.  Shuffle 1 on ``ph`` picks each passage's canonical
+    occurrence exactly (complete groups per block) and folds dropped
+    occurrences to per-doc counter rows; shuffle 2 on ``doc_id``
+    reassembles surviving passages in offset order.  Every doc emits at
+    least one row into shuffle 2 (each of its passages is either kept or
+    counted), so fully-scrubbed docs still appear with text=''."""
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"ph": pd.Series([], dtype=object),
+                              "doc_id": pd.Series([], dtype=np.int64),
+                              "pidx": pd.Series([], dtype=np.int64),
+                              "ptext": pd.Series([], dtype=object)})
+        if len(df) == 0:
+            return empty
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        md5 = hashlib.md5
+        out_ph: list = []
+        out_id: list = []
+        out_pidx: list = []
+        out_pt: list = []
+        for doc_id, text in zip(ids, df["text"]):
+            toks = ("" if text is None else text).split(" ")
+            for pidx, i in enumerate(range(0, len(toks), k)):
+                pt = " ".join(toks[i : i + k])
+                out_ph.append(md5(pt.encode("utf-8")).hexdigest())
+                out_id.append(doc_id)
+                out_pidx.append(pidx)
+                out_pt.append(pt)
+        return pd.DataFrame({"ph": pd.Series(out_ph, dtype=object),
+                             "doc_id": np.asarray(out_id, dtype=np.int64),
+                             "pidx": np.asarray(out_pidx, dtype=np.int64),
+                             "ptext": pd.Series(out_pt, dtype=object)})
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "kind": pd.Series([], dtype=np.int8),
+                              "pidx": pd.Series([], dtype=np.int64),
+                              "ptext": pd.Series([], dtype=object)})
+        if len(df) == 0:
+            return empty
+        own_doc = df.groupby("ph", sort=False)["doc_id"].transform("min")
+        is_own = df["doc_id"].to_numpy() == own_doc.to_numpy()
+        own_pidx = df[is_own].groupby("ph", sort=False)["pidx"].min()
+        keep_mask = is_own & (
+            df["pidx"].to_numpy() == df["ph"].map(own_pidx).to_numpy()
+        )
+        kept = df.loc[keep_mask, ["doc_id", "pidx", "ptext"]].copy()
+        kept["kind"] = np.int8(0)
+        dropped = (df.loc[~keep_mask]
+                   .groupby("doc_id", sort=False).size().rename("pidx")
+                   .reset_index())
+        dropped["kind"] = np.int8(2)
+        dropped["ptext"] = None
+        out = pd.concat(
+            [kept[["doc_id", "kind", "pidx", "ptext"]],
+             dropped[["doc_id", "kind", "pidx", "ptext"]]],
+            ignore_index=True,
+        )
+        return out.astype({"doc_id": np.int64, "kind": np.int8,
+                           "pidx": np.int64})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "text": pd.Series([], dtype=object),
+                              "n_kept": pd.Series([], dtype=np.int64),
+                              "n_pruned": pd.Series([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        kind = df["kind"].to_numpy()
+        k0 = df[kind == 0].sort_values(["doc_id", "pidx"], kind="mergesort")
+        text = k0.groupby("doc_id", sort=False)["ptext"].agg(" ".join)
+        n_kept = k0.groupby("doc_id", sort=False).size()
+        n_pruned = df[kind == 2].groupby("doc_id", sort=False)["pidx"].sum()
+        ids = np.unique(df["doc_id"].to_numpy())
+        out = pd.DataFrame({"doc_id": ids.astype(np.int64)})
+        out["text"] = out["doc_id"].map(text).fillna("")
+        out["n_kept"] = out["doc_id"].map(n_kept).fillna(0).astype(np.int64)
+        out["n_pruned"] = out["doc_id"].map(n_pruned).fillna(0).astype(np.int64)
+        return out
+
+    num_partitions = num_partitions or _P()
+    melted = _docs(sf_dir, ["doc_id", "text"]).map_batches(melt, batch_format="pandas")
+    decided = keyed_blocks(melted, ["ph"], num_partitions).map_batches(
+        keep, batch_size=None, batch_format="pandas"
+    )
+    return keyed_blocks(decided, ["doc_id"], num_partitions).map_batches(
+        fold, batch_size=None, batch_format="pandas"
+    )

@@ -241,3 +241,68 @@ def test_stutter_turns_planted_loop(ray_session):
                                    max_run=("rl", "max"))
     assert out.loc["c", "n_stutter"] == 3 and out.loc["c", "max_run"] == 4
     assert out.loc["d", "n_stutter"] == 0 and out.loc["d", "max_run"] == 1
+
+
+def test_passage_scrub_matches_brute_force(ray_session):
+    from raydedup.pipelines.passage import passage_scrub
+
+    k = 16
+    got = (passage_scrub(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    src = _docs(["doc_id", "text"]).sort_values("doc_id")
+    # brute force: canonical occurrence = (min doc_id, then min offset)
+    pas = []
+    for doc_id, text in zip(src["doc_id"], src["text"]):
+        toks = ("" if text is None else text).split(" ")
+        for pidx, i in enumerate(range(0, len(toks), k)):
+            pt = " ".join(toks[i:i + k])
+            pas.append((doc_id, pidx, pt,
+                        hashlib.md5(pt.encode()).hexdigest()))
+    df = pd.DataFrame(pas, columns=["doc_id", "pidx", "ptext", "ph"])
+    own = df.sort_values(["ph", "doc_id", "pidx"]).drop_duplicates("ph")
+    kept_keys = set(zip(own["doc_id"], own["pidx"]))
+    df["kept"] = [tuple(x) in kept_keys
+                  for x in zip(df["doc_id"], df["pidx"])]
+    rows = []
+    for doc_id, g in df.groupby("doc_id"):
+        kg = g[g["kept"]].sort_values("pidx")
+        rows.append((doc_id, " ".join(kg["ptext"]), len(kg),
+                     len(g) - len(kg)))
+    want = (pd.DataFrame(rows, columns=["doc_id", "text", "n_kept",
+                                        "n_pruned"])
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the scrub must actually remove something in this fixture
+    assert got["n_pruned"].sum() > 0
+    # every document survives as a row
+    assert len(got) == len(src)
+
+
+def test_passage_scrub_keeps_exactly_one_copy(ray_session):
+    """After the scrub, each original passage hash survives exactly once
+    across the corpus (canonical copy), never zero, never more."""
+    from raydedup.pipelines.passage import passage_dedup, passage_scrub
+
+    got = passage_scrub(SF).to_pandas()
+    prof = passage_dedup(SF).to_pandas()
+    assert got["n_kept"].sum() + got["n_pruned"].sum() == \
+        prof["n_passages"].sum()
+    # kept count == number of DISTINCT passage hashes in the corpus
+    flat = _brute_passage_rows()
+    assert got["n_kept"].sum() == flat["ph"].nunique()
+
+
+def test_passage_scrub_unique_corpus_unchanged(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from raydedup.pipelines.passage import passage_scrub
+
+    texts = [f"doc {i} " + " ".join(f"w{i}x{j}" for j in range(20))
+             for i in range(6)]
+    pqw.write_table(
+        pa.table({"doc_id": list(range(6)), "text": texts}),
+        str(tmp_path / "documents.parquet"))
+    got = passage_scrub(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert (got["n_pruned"] == 0).all()
+    assert got["text"].tolist() == texts
