@@ -210,6 +210,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-conversation stutter profile (consecutive-identical-turn
         # runs — the agent-loop detector); one conv_id shuffle
         "q_stutter_turns": transcripts.stutter_turns,
+        # the stutter TRANSFORM (drop repeated consecutive turns, keep
+        # first occurrence) + adjacent-role transition counts
+        "q_stutter_scrub": transcripts.stutter_scrub,
+        "q_role_transitions": transcripts.role_transitions,
         # per-doc near-dup pair degree (composes the df-capped jaccard
         # pairs; one doc_id shuffle, degree-0 docs kept via marker rows)
         "q_dup_degree_profile": docops.dup_degree_profile,
@@ -707,18 +711,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # stutter profile: gaps-and-islands run ids over stable turn order;
         # COALESCE folds the fixture's occasional NULL texts to '' exactly
-        # as the kernel's fillna('') does (avoids 3-valued <> surprises)
+        # as the kernel's fillna('') does (avoids 3-valued <> surprises);
+        # text is the tie-break key over duplicate (conv_id, turn_idx)
+        # rows so the window order is total on both sides
         "q_stutter_turns": f"""
             WITH s AS (
               SELECT conv_id, turn_idx, COALESCE(text, '') AS text,
                      LAG(COALESCE(text, '')) OVER (PARTITION BY conv_id
-                                                   ORDER BY turn_idx) AS prev
+                         ORDER BY turn_idx, COALESCE(text, '')) AS prev
               FROM read_parquet('{_oracle_fixture_path()}')),
             base AS (
               SELECT conv_id,
                      CASE WHEN prev IS NOT NULL AND text = prev THEN 1 ELSE 0 END AS stut,
                      SUM(CASE WHEN prev IS NULL OR text <> prev THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx, text
                              ROWS UNBOUNDED PRECEDING) AS run_id
               FROM s),
             runs AS (SELECT conv_id, run_id, COUNT(*) AS rl FROM base GROUP BY 1, 2)
@@ -728,6 +734,31 @@ def oracle_sql() -> dict[str, str]:
                   FROM base GROUP BY conv_id) t
             JOIN (SELECT conv_id, CAST(MAX(rl) AS BIGINT) AS max_run
                   FROM runs GROUP BY conv_id) m USING (conv_id)
+        """,
+        # the stutter transform: same run semantics, kept rows only
+        "q_stutter_scrub": f"""
+            WITH s AS (
+              SELECT conv_id, turn_idx, COALESCE(text, '') AS text,
+                     LAG(COALESCE(text, '')) OVER (PARTITION BY conv_id
+                         ORDER BY turn_idx, COALESCE(text, '')) AS prev
+              FROM read_parquet('{_oracle_fixture_path()}'))
+            SELECT conv_id, turn_idx, text
+            FROM s WHERE prev IS NULL OR text <> prev
+        """,
+        # NULL roles fold to '' on both sides (see transcripts.role_transitions);
+        # the LAG-null first row is excluded via a row-number guard instead
+        "q_role_transitions": f"""
+            WITH s AS (
+              SELECT conv_id, COALESCE(role, '') AS role,
+                     LAG(COALESCE(role, '')) OVER (PARTITION BY conv_id
+                         ORDER BY turn_idx, COALESCE(role, '')) AS prev_role,
+                     ROW_NUMBER() OVER (PARTITION BY conv_id
+                         ORDER BY turn_idx, COALESCE(role, '')) AS rn
+              FROM read_parquet('{_oracle_fixture_path()}'))
+            SELECT prev_role AS role_from, role AS role_to,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE rn > 1
+            GROUP BY prev_role, role
         """,
         # embedding near-dup transitive closure: exact all-pairs cosine at
         # the checked threshold (0.4 — real multi-edge components in the

@@ -186,9 +186,13 @@ def stutter_turns(sf_dir: str, num_partitions: int = 0):
                               "max_run": pd.Series([], dtype=np.int64)})
         if len(df) == 0:
             return empty
-        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        # text as the tie-break key: the fixture carries duplicate
+        # (conv_id, turn_idx) rows, and only a total order keeps the
+        # kernel identical to the twin's windows (ORDER BY turn_idx, text)
+        df = df.assign(text=df["text"].fillna("")).sort_values(
+            ["conv_id", "turn_idx", "text"], kind="mergesort")
         conv = df["conv_id"].to_numpy(dtype=object)
-        text = df["text"].fillna("").to_numpy(dtype=object)
+        text = df["text"].to_numpy(dtype=object)
         n = len(df)
         stut = np.zeros(n, dtype=bool)
         if n > 1:
@@ -211,5 +215,98 @@ def stutter_turns(sf_dir: str, num_partitions: int = 0):
     turns = _turns(sf_dir, ["conv_id", "turn_idx", "text"])
     return keyed_blocks(turns, ["conv_id"],
                         num_partitions or _P()).map_batches(
+        fold, batch_size=None, batch_format="pandas"
+    )
+
+
+def stutter_scrub(sf_dir: str, num_partitions: int = 0):
+    """(conv_id, turn_idx, text): the stutter TRANSFORM — drop every turn
+    that repeats the immediately preceding turn's text verbatim, keeping
+    the first occurrence of each run (original ``turn_idx`` preserved so
+    downstream joins still line up).  The cleaning pass an agent-loop-
+    afflicted transcript dump gets before training; companion transform
+    to the :func:`stutter_turns` profile.
+
+    One ``conv_id`` shuffle; in-block sort + shifted-equality mask —
+    output carries turn text (∝ kept bytes, the rewriting lower bound)."""
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                              "turn_idx": pd.Series([], dtype=np.int32),
+                              "text": pd.Series([], dtype=object)})
+        if len(df) == 0:
+            return empty
+        # same total order as stutter_turns (text tie-break on duplicate
+        # turn_idx rows) so profile and transform agree row-for-row
+        df = df.assign(text=df["text"].fillna("")).sort_values(
+            ["conv_id", "turn_idx", "text"], kind="mergesort")
+        conv = df["conv_id"].to_numpy(dtype=object)
+        text = df["text"].to_numpy(dtype=object)
+        n = len(df)
+        keep = np.ones(n, dtype=bool)
+        if n > 1:
+            keep[1:] = (conv[1:] != conv[:-1]) | (text[1:] != text[:-1])
+        out = pd.DataFrame({"conv_id": conv[keep],
+                            "turn_idx": df["turn_idx"].to_numpy()[keep],
+                            "text": text[keep]})
+        return out
+
+    turns = _turns(sf_dir, ["conv_id", "turn_idx", "text"])
+    return keyed_blocks(turns, ["conv_id"],
+                        num_partitions or _P()).map_batches(
+        fold, batch_size=None, batch_format="pandas"
+    )
+
+
+def role_transitions(sf_dir: str, num_partitions: int = 0):
+    """(role_from, role_to, n): adjacent-turn role transition counts over
+    stable turn order — the dialogue-structure Markov profile (assistant→
+    tool→assistant loops, user→user double-sends).  The structural sanity
+    read before assuming a turn-alternation invariant in a new dump.
+
+    One ``conv_id`` shuffle (complete conversations per block) → sorted
+    shift → per-block partial (role_from, role_to, n) counts → tiny
+    role² shuffle fold."""
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"role_from": pd.Series([], dtype=object),
+                              "role_to": pd.Series([], dtype=object),
+                              "n": pd.Series([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        # NULL roles fold to '' (pandas groupby DROPS None keys; SQL
+        # GROUP BY keeps them), and role is the tie-break key over the
+        # fixture's duplicate (conv_id, turn_idx) rows — matching the
+        # twin's ORDER BY turn_idx, role
+        df = df.assign(role=df["role"].fillna("")).sort_values(
+            ["conv_id", "turn_idx", "role"], kind="mergesort")
+        conv = df["conv_id"].to_numpy(dtype=object)
+        role = df["role"].to_numpy(dtype=object)
+        n = len(df)
+        if n < 2:
+            return empty
+        same = conv[1:] == conv[:-1]
+        out = (pd.DataFrame({"role_from": role[:-1][same],
+                             "role_to": role[1:][same]})
+               .groupby(["role_from", "role_to"], sort=False)
+               .size().rename("n").reset_index())
+        return out.astype({"n": np.int64})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"role_from": pd.Series([], dtype=object),
+                              "role_to": pd.Series([], dtype=object),
+                              "n": pd.Series([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        out = (df.groupby(["role_from", "role_to"], sort=False)["n"]
+               .sum().reset_index())
+        return out.astype({"n": np.int64})
+
+    turns = _turns(sf_dir, ["conv_id", "turn_idx", "role"])
+    partials = keyed_blocks(turns, ["conv_id"],
+                            num_partitions or _P()).map_batches(
+        pre, batch_size=None, batch_format="pandas"
+    )
+    return keyed_blocks(partials, ["role_from", "role_to"], 4).map_batches(
         fold, batch_size=None, batch_format="pandas"
     )

@@ -44,7 +44,16 @@ def oracle_con():
 
 def _frame(res) -> pd.DataFrame:
     if hasattr(res, "to_pandas"):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if len(df) == 0 and len(df.columns) == 0 and hasattr(res, "schema"):
+            # Ray quirk (mirrored from tools/check_contract.py and the
+            # driver): a 0-row Dataset converts to a column-less frame
+            # even when schema() is fully typed — rebuild from schema
+            sch = res.schema()
+            if sch is not None:
+                df = pd.DataFrame({n: pd.Series([], dtype=object)
+                                   for n in sch.names})
+        return df
     return pd.DataFrame(res)
 
 

@@ -195,10 +195,12 @@ def test_stutter_turns_matches_brute_force(ray_session):
     fixture = materialize(seed=42, n_convs=200)
     src = (pq.read_table(f"{fixture}/transcripts.parquet",
                          columns=["conv_id", "turn_idx", "text"])
-           .to_pandas().sort_values(["conv_id", "turn_idx"]))
+           .to_pandas())
+    src["text"] = src["text"].fillna("")
+    src = src.sort_values(["conv_id", "turn_idx", "text"])
     rows = []
     for conv_id, g in src.groupby("conv_id", sort=True):
-        texts = g["text"].fillna("").tolist()
+        texts = g["text"].tolist()
         n_stut, run, max_run = 0, 1, 1
         for prev, cur in zip(texts, texts[1:]):
             if cur == prev:
@@ -306,3 +308,63 @@ def test_passage_scrub_unique_corpus_unchanged(ray_session, tmp_path):
     got = passage_scrub(str(tmp_path)).to_pandas().sort_values("doc_id")
     assert (got["n_pruned"] == 0).all()
     assert got["text"].tolist() == texts
+
+
+def test_stutter_scrub_matches_brute_force(ray_session):
+    from raydedup.pipelines.transcripts import stutter_scrub
+    from raydedup.sources.synth import materialize
+
+    got = (stutter_scrub(SF).to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    fixture = materialize(seed=42, n_convs=200)
+    src = (pq.read_table(f"{fixture}/transcripts.parquet",
+                         columns=["conv_id", "turn_idx", "text"])
+           .to_pandas())
+    src["text"] = src["text"].fillna("")
+    src = src.sort_values(["conv_id", "turn_idx", "text"])
+    rows = []
+    for conv_id, g in src.groupby("conv_id", sort=True):
+        prev = None
+        for turn_idx, text in zip(g["turn_idx"], g["text"]):
+            if prev is None or text != prev:
+                rows.append((conv_id, turn_idx, text))
+            prev = text
+    want = (pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the scrub keeps at least one turn per conversation
+    assert got["conv_id"].nunique() == src["conv_id"].nunique()
+
+
+def test_stutter_scrub_consistent_with_profile(ray_session):
+    """rows dropped by the scrub == Σ n_stutter from the profile."""
+    from raydedup.pipelines.transcripts import stutter_scrub, stutter_turns
+
+    prof = stutter_turns(SF).to_pandas()
+    scrub = stutter_scrub(SF).to_pandas()
+    assert prof["n_turns"].sum() - len(scrub) == prof["n_stutter"].sum()
+
+
+def test_role_transitions_matches_brute_force(ray_session):
+    from raydedup.pipelines.transcripts import role_transitions
+    from raydedup.sources.synth import materialize
+
+    got = (role_transitions(SF).to_pandas()
+           .sort_values(["role_from", "role_to"]).reset_index(drop=True))
+    fixture = materialize(seed=42, n_convs=200)
+    src = (pq.read_table(f"{fixture}/transcripts.parquet",
+                         columns=["conv_id", "turn_idx", "role"])
+           .to_pandas())
+    src["role"] = src["role"].fillna("")
+    src = src.sort_values(["conv_id", "turn_idx", "role"])
+    rows = []
+    for conv_id, g in src.groupby("conv_id", sort=True):
+        roles = g["role"].tolist()
+        rows.extend(zip(roles, roles[1:]))
+    want = (pd.DataFrame(rows, columns=["role_from", "role_to"])
+            .groupby(["role_from", "role_to"]).size().rename("n")
+            .reset_index()
+            .sort_values(["role_from", "role_to"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # transition mass == turns - conversations (one LAG-null per conv)
+    assert got["n"].sum() == len(src) - src["conv_id"].nunique()
