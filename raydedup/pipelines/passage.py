@@ -71,13 +71,19 @@ def _docs(sf_dir: str, columns=None):
     return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def _passage_rows(df: pd.DataFrame, k: int) -> pd.DataFrame:
+def _passage_rows(df: pd.DataFrame, k: int, hex_keys: bool = False) -> pd.DataFrame:
     """Melt each doc into (ph, doc_id) rows — one md5 per ``k``-token
     window (trailing partial window included, so every doc emits ≥1 row:
     DuckDB ``string_split('', ' ')`` == Python ``''.split(' ')`` ==
     ``['']``).  Per-doc loop is the measured-faster choice for short
     windows (same rationale as ``tiers._bow_keys``); md5 stays per-item
-    for twin parity."""
+    for twin parity.
+
+    ``hex_keys=False`` ships the raw 16-byte digest — half the shuffle
+    key bytes of the 32-char hex — for operators whose key is internal
+    (``passage_dedup``, ``passage_scrub``); ``dup_passages`` needs hex
+    because ``passage_md5`` appears in its OUTPUT and must equal the
+    twin's ``md5()`` hex rendering."""
     ids = df["doc_id"].to_numpy(dtype=np.int64)
     out_ids: list = []
     out_ph: list = []
@@ -85,7 +91,8 @@ def _passage_rows(df: pd.DataFrame, k: int) -> pd.DataFrame:
     for doc_id, text in zip(ids, df["text"]):
         toks = ("" if text is None else text).split(" ")
         for i in range(0, len(toks), k):
-            out_ph.append(md5(" ".join(toks[i : i + k]).encode("utf-8")).hexdigest())
+            d = md5(" ".join(toks[i : i + k]).encode("utf-8"))
+            out_ph.append(d.hexdigest() if hex_keys else d.digest())
             out_ids.append(doc_id)
     return pd.DataFrame(
         {"ph": pd.Series(out_ph, dtype=object),
@@ -165,7 +172,7 @@ def dup_passages(sf_dir: str, k: int = 16, min_count: int = 2,
         if len(df) == 0:
             return pd.DataFrame({"ph": pd.Series([], dtype=object),
                                  "doc_id": pd.Series([], dtype=np.int64)})
-        return _passage_rows(df, k)
+        return _passage_rows(df, k, hex_keys=True)
 
     import pyarrow as pa
 
@@ -225,10 +232,10 @@ def split_doc_pairs(sf_dir: str, k: int = 16, num_partitions: int = 0):
             toks = ("" if text is None else text).split(" ")
             if len(toks) < k:
                 continue
-            hs.append(md5(" ".join(toks[-k:]).encode("utf-8")).hexdigest())
+            hs.append(md5(" ".join(toks[-k:]).encode("utf-8")).digest())
             sides.append(0)  # tail: candidate doc_a
             out_ids.append(doc_id)
-            hs.append(md5(" ".join(toks[:k]).encode("utf-8")).hexdigest())
+            hs.append(md5(" ".join(toks[:k]).encode("utf-8")).digest())
             sides.append(1)  # head: candidate doc_b
             out_ids.append(doc_id)
         return pd.DataFrame({"h": pd.Series(hs, dtype=object),
@@ -394,7 +401,8 @@ def passage_scrub(sf_dir: str, k: int = 16, num_partitions: int = 0):
             toks = ("" if text is None else text).split(" ")
             for pidx, i in enumerate(range(0, len(toks), k)):
                 pt = " ".join(toks[i : i + k])
-                out_ph.append(md5(pt.encode("utf-8")).hexdigest())
+                # internal key: raw digest halves shuffle key bytes
+                out_ph.append(md5(pt.encode("utf-8")).digest())
                 out_id.append(doc_id)
                 out_pidx.append(pidx)
                 out_pt.append(pt)
