@@ -33,8 +33,10 @@ Operators:
   document keeping one canonical copy of every duplicated passage
   (CCNet's paragraph-dedup applied as corpus cleaning, not a profile).
 
-Scale shape: every operator melts to (md5-key, small-int) rows at the
-read — shuffles carry ∝ passage/document COUNT, never text bytes.
+Scale shape: every PROFILE operator melts to (md5-key, small-int) rows
+at the read — shuffles carry ∝ passage/document COUNT, never text bytes
+(the scrub TRANSFORM is the exception by necessity: its output contains
+text, so its shuffles carry passage text — see its docstring).
 Passage counts per hash are exact after one key shuffle (complete
 groups per block); per-document folds ride a second sparse doc_id
 shuffle.  ``cross_source_overlap`` pre-aggregates (hash, source) counts
