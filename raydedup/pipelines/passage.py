@@ -205,7 +205,8 @@ def dup_passages(sf_dir: str, k: int = 16, min_count: int = 2,
     )
 
 
-def split_doc_pairs(sf_dir: str, k: int = 16, num_partitions: int = 0):
+def split_doc_pairs(sf_dir: str, k: int = 16, num_partitions: int = 0,
+                    max_side: int = 0):
     """(doc_a, doc_b): continuation pairs — doc_a's LAST ``k`` tokens
     equal doc_b's FIRST ``k`` tokens verbatim (doc_a ≠ doc_b; both docs
     must have ≥ k tokens).  The chunk-boundary re-join signal: crawls and
@@ -215,9 +216,12 @@ def split_doc_pairs(sf_dir: str, k: int = 16, num_partitions: int = 0):
     against head-side rows with a vectorized in-block merge.  Emission
     is ∝ tails×heads PER boundary hash — with a 16-token boundary the
     collision groups are boilerplate openings (see
-    ``tiers.prefix_dup_groups``), bounded in the fixture; a df-cap like
-    ``docops.ngram_jaccard_pairs`` is the documented mitigation if a
-    real corpus's openings run hot."""
+    ``tiers.prefix_dup_groups``).  On a corpus whose openings run hot,
+    ``max_side > 0`` caps each side per boundary hash at the lowest
+    ``max_side`` doc_ids (deterministic; bounds emission at max_side²
+    per hash, the same discipline as ``docops.ngram_jaccard_pairs``'s
+    df-cap).  The default 0 is exact and is what the DuckDB twin
+    certifies."""
 
     def melt(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"h": pd.Series([], dtype=object),
@@ -259,6 +263,12 @@ def split_doc_pairs(sf_dir: str, k: int = 16, num_partitions: int = 0):
         heads = df.loc[side == 1, ["h", "doc_id"]].rename(columns={"doc_id": "doc_b"})
         if len(tails) == 0 or len(heads) == 0:
             return empty
+        if max_side > 0:
+            # deterministic hot-boundary cap: lowest doc_ids per hash
+            tails = (tails.sort_values(["h", "doc_a"], kind="mergesort")
+                     .groupby("h", sort=False).head(max_side))
+            heads = (heads.sort_values(["h", "doc_b"], kind="mergesort")
+                     .groupby("h", sort=False).head(max_side))
         m = tails.merge(heads, on="h")
         m = m[m["doc_a"] != m["doc_b"]]
         return pa.table(

@@ -368,3 +368,22 @@ def test_role_transitions_matches_brute_force(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     # transition mass == turns - conversations (one LAG-null per conv)
     assert got["n"].sum() == len(src) - src["conv_id"].nunique()
+
+
+def test_split_doc_pairs_max_side_cap(ray_session):
+    """max_side bounds emission deterministically: capped output is a
+    subset of exact output, restricted to the lowest doc_ids per side."""
+    from raydedup.pipelines.passage import split_doc_pairs
+
+    exact = split_doc_pairs(SF, k=2).to_pandas()
+    capped = split_doc_pairs(SF, k=2, max_side=2).to_pandas()
+    ex = set(zip(exact["doc_a"], exact["doc_b"]))
+    cp = set(zip(capped["doc_a"], capped["doc_b"]))
+    assert cp <= ex
+    assert len(cp) < len(ex)  # k=2 groups are hot enough to engage the cap
+    # determinism of the capped variant across partitionings
+    a = (split_doc_pairs(SF, k=2, max_side=2, num_partitions=3).to_pandas()
+         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    b = (split_doc_pairs(SF, k=2, max_side=2, num_partitions=17).to_pandas()
+         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
