@@ -197,6 +197,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest pins tiling/bounds/determinism/shift-resistance
         "q_cdc_chunks": cdc.cdc_chunks,
         "q_cdc_dedup": cdc.cdc_dedup,
+        # streaming-window dedup over the events stream (earliest event
+        # per (user, type) per tumbling hour): local-min partials →
+        # one key shuffle, volume ∝ distinct keys
+        "q_windowed_dedup": docops.windowed_dedup,
         # per-source unigram KL drift vs the corpus distribution (DoReMi-
         # style mixture diagnostic): one Zipf-bounded tok shuffle + tiny
         # source fold, totals broadcast from a counter pass
@@ -630,6 +634,23 @@ def oracle_sql() -> dict[str, str]:
                       FROM t WHERE len(ts) >= 16)
             SELECT ta.doc_id AS doc_a, he.doc_id AS doc_b
             FROM tails ta JOIN heads he ON ta.h = he.h AND ta.doc_id <> he.doc_id
+        """,
+        # streaming-window dedup: earliest row per (user, type, hour
+        # window); ts_us = epoch microseconds == pandas int64 view of
+        # datetime64[us], so the hash matches across dtype renderings
+        "q_windowed_dedup": """
+            WITH s AS (
+              SELECT event_id, user_id, event_type,
+                     strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                         AS window_start,
+                     epoch_us(ts) AS ts_us,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY user_id, event_type, date_trunc('hour', ts)
+                         ORDER BY ts, event_id) AS rn
+              FROM events)
+            SELECT event_id, user_id, event_type, window_start,
+                   CAST(ts_us AS BIGINT) AS ts_us
+            FROM s WHERE rn = 1
         """,
         # the scrub transform: canonical occurrence = (min doc_id, then min
         # offset within that doc); docs losing every passage keep text=''

@@ -2243,3 +2243,61 @@ def chunk_docs(sf_dir: str, chunk: int = CHUNK_TOKENS):
                          "n_toks": np.int64})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+def windowed_dedup(sf_dir: str, hours: int = 1, num_partitions: int = 0):
+    """Streaming-window deduplication over the events table: keep the
+    EARLIEST event per (user_id, event_type) within each tumbling
+    ``hours``-hour window → (event_id, user_id, event_type, window_start,
+    ts_us).  The event-stream analog of exact dedup — the throttling /
+    at-most-once-per-window pass a feature-extraction or notification
+    pipeline runs before aggregation.
+
+    Distribution: blocks pre-reduce to their LOCAL earliest row per key
+    (shuffle volume ∝ distinct (user, type, window) keys per block,
+    never raw events), then one hash shuffle on the key co-locates the
+    partials and the in-block fold picks the global earliest; ties (none
+    in the fixture — (user, ts) is unique) break on event_id for full
+    determinism.  ``ts_us`` is epoch microseconds (int64) so the hash
+    matches DuckDB's ``epoch_us`` across timestamp dtype renderings;
+    ``window_start`` is the hour-aligned ISO string as in
+    ``events_by_window``.
+    """
+    ensure_hash_shuffle()
+    freq = f"{hours}h"
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        # earliest (ts_us, event_id) per key — works for both the
+        # per-block partial and the post-shuffle exact fold
+        df = df.sort_values(["user_id", "event_type", "window_start",
+                             "ts_us", "event_id"], kind="mergesort")
+        return df.drop_duplicates(["user_id", "event_type", "window_start"],
+                                  keep="first")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                              "user_id": pd.Series([], dtype=np.int64),
+                              "event_type": pd.Series([], dtype=object),
+                              "window_start": pd.Series([], dtype=object),
+                              "ts_us": pd.Series([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        out = pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(dtype=np.int64),
+            "user_id": df["user_id"].to_numpy(dtype=np.int64),
+            "event_type": df["event_type"].to_numpy(dtype=object),
+            "window_start": df["ts"].dt.floor(freq)
+                .dt.strftime("%Y-%m-%d %H:%M:%S").to_numpy(dtype=object),
+            "ts_us": df["ts"].astype("int64").to_numpy(),
+        })
+        return _reduce(out)
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return keyed_blocks(
+        partials, ["user_id", "event_type", "window_start"],
+        num_partitions or default_partitions(),
+    ).map_batches(_reduce, batch_size=None, batch_format="pandas")

@@ -387,3 +387,36 @@ def test_split_doc_pairs_max_side_cap(ray_session):
     b = (split_doc_pairs(SF, k=2, max_side=2, num_partitions=17).to_pandas()
          .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_windowed_dedup_matches_brute_force(ray_session):
+    from raydedup.pipelines.docops import windowed_dedup
+
+    got = (windowed_dedup(SF).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    src = pq.read_table(f"{SF}/events.parquet",
+                        columns=["event_id", "ts", "user_id",
+                                 "event_type"]).to_pandas()
+    src["window_start"] = (src["ts"].dt.floor("1h")
+                           .dt.strftime("%Y-%m-%d %H:%M:%S"))
+    src["ts_us"] = src["ts"].astype("int64")
+    want = (src.sort_values(["ts_us", "event_id"])
+            .drop_duplicates(["user_id", "event_type", "window_start"],
+                             keep="first")
+            [["event_id", "user_id", "event_type", "window_start", "ts_us"]]
+            .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # dedup keeps at most one row per key, drops something in the fixture
+    assert len(got) <= len(src)
+    assert not got.duplicated(["user_id", "event_type",
+                               "window_start"]).any()
+
+
+def test_windowed_dedup_deterministic_across_partitioning(ray_session):
+    from raydedup.pipelines.docops import windowed_dedup
+
+    a = (windowed_dedup(SF, num_partitions=3).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    b = (windowed_dedup(SF, num_partitions=17).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
