@@ -201,6 +201,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per (user, type) per tumbling hour): local-min partials →
         # one key shuffle, volume ∝ distinct keys
         "q_windowed_dedup": docops.windowed_dedup,
+        # exact distributed median of a continuous float column (two-phase
+        # selection: sparse histogram localize → narrow filtered collect)
+        "q_exact_median": curation.exact_median,
         # per-source unigram KL drift vs the corpus distribution (DoReMi-
         # style mixture diagnostic): one Zipf-bounded tok shuffle + tiny
         # source fold, totals broadcast from a counter pass
@@ -634,6 +637,13 @@ def oracle_sql() -> dict[str, str]:
                       FROM t WHERE len(ts) >= 16)
             SELECT ta.doc_id AS doc_a, he.doc_id AS doc_b
             FROM tails ta JOIN heads he ON ta.h = he.h AND ta.doc_id <> he.doc_id
+        """,
+        # exact continuous median: DuckDB median() averages the two middle
+        # values on even counts, as the selection path does
+        "q_exact_median": """
+            SELECT CAST(COUNT(value) AS BIGINT) AS n,
+                   ROUND(median(value), 6) AS median_value
+            FROM events
         """,
         # streaming-window dedup: earliest row per (user, type, hour
         # window); ts_us = epoch microseconds == pandas int64 view of

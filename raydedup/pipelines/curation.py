@@ -945,3 +945,96 @@ def export_partitioned(sf_dir: str, out_dir: str, by: str = "lang"):
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet")
     ds.write_parquet(out_dir, partition_cols=[by])
     return out_dir
+
+
+def exact_median(sf_dir: str, n_bins: int = 65536):
+    """EXACT median of the continuous ``events.value`` column →
+    one row (n, median_value) — distributed selection, no global sort.
+
+    :func:`docops.length_quantiles` is exact only for integer domains
+    and :func:`approx_value_quantiles` trades exactness for one pass;
+    this operator closes the gap with the classic two-phase selection:
+
+    * phase 0 — per-block (count, min, max) partials, driver fold (a few
+      rows per block);
+    * phase 1 — per-block histogram over ``n_bins`` uniform bins of
+      [min, max], emitted as SPARSE (bin, count) rows and folded on the
+      driver (≤ n_bins × blocks rows, corpus-size-independent); the
+      cumulative histogram locates the bin(s) holding the middle order
+      statistic(s);
+    * phase 2 — one filtered pass collects ONLY the values inside those
+      bins (expected n / n_bins rows; the filter is a vectorized map, no
+      shuffle) and the exact k-th order statistics are read off driver-
+      side via ``np.partition``.
+
+    Even-count medians average the two middle values exactly as DuckDB's
+    ``median()`` does; the result is ROUNDed to 6 like every float twin.
+    NaN values are excluded on both sides (SQL aggregates skip NULL/NaN).
+    """
+    import ray.data as rd
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pd.DataFrame({"n": pd.Series([], dtype=np.int64),
+                                 "lo": pd.Series([], dtype=np.float64),
+                                 "hi": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({"n": [np.int64(len(v))],
+                             "lo": [float(v.min())], "hi": [float(v.max())]})
+
+    src = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
+    m = src.map_batches(moments, batch_format="pandas").to_pandas()
+    n = int(m["n"].sum())
+    empty = pd.DataFrame({"n": pd.Series([0], dtype=np.int64),
+                          "median_value": pd.Series([np.nan], dtype=np.float64)})
+    if n == 0:
+        return rd.from_pandas(empty)
+    lo, hi = float(m["lo"].min()), float(m["hi"].max())
+    if lo == hi:
+        return rd.from_pandas(pd.DataFrame(
+            {"n": [np.int64(n)], "median_value": [round(lo, 6)]}))
+    width = (hi - lo) / n_bins
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pd.DataFrame({"bin": pd.Series([], dtype=np.int64),
+                                 "c": pd.Series([], dtype=np.int64)})
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+        cnt = np.bincount(b, minlength=0)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"bin": nz.astype(np.int64),
+                             "c": cnt[nz].astype(np.int64)})
+
+    h = (src.map_batches(hist, batch_format="pandas").to_pandas()
+         .groupby("bin")["c"].sum().sort_index())
+    cum = h.cumsum()
+    # order statistics needed (0-indexed): median = avg of these two
+    k_lo, k_hi = (n - 1) // 2, n // 2
+    bins_needed = set()
+    ranks = {}
+    for k in (k_lo, k_hi):
+        b = int(cum.index[np.searchsorted(cum.to_numpy(), k + 1)])
+        bins_needed.add(b)
+        prior = int(cum.loc[:b].iloc[-2]) if cum.index.get_loc(b) > 0 else 0
+        ranks[k] = (b, k - prior)  # rank within the bin's values
+
+    need = sorted(bins_needed)
+
+    def collect(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+        keep = np.isin(b, need)
+        return pd.DataFrame({"value": v[keep], "bin": b[keep]})
+
+    band = src.map_batches(collect, batch_format="pandas").to_pandas()
+    vals = {}
+    for k, (b, r) in ranks.items():
+        inbin = np.sort(band.loc[band["bin"] == b, "value"].to_numpy())
+        vals[k] = float(inbin[r])
+    med = (vals[k_lo] + vals[k_hi]) / 2.0
+    return rd.from_pandas(pd.DataFrame(
+        {"n": [np.int64(n)], "median_value": [round(med, 6)]}))

@@ -251,3 +251,42 @@ def test_value_quantiles_by_type_rank_error(ray_session):
         for q, est in zip(g["q"], g["value_est"]):
             rank = np.searchsorted(vals, est, side="left") / n
             assert abs(rank - q) <= 0.02, (et, q, est, rank)
+
+
+def test_exact_median_matches_numpy(ray_session):
+    """Two-phase distributed selection == numpy's exact median, including
+    the even-count two-middle average."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.curation import exact_median
+
+    got = exact_median("/root/testdata/sf0.001").to_pandas()
+    v = (pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["value"]).to_pandas()["value"]
+         .dropna().to_numpy(float))
+    assert int(got.loc[0, "n"]) == len(v)
+    assert got.loc[0, "median_value"] == round(float(np.median(v)), 6)
+
+
+def test_exact_median_straddling_bins(ray_session, tmp_path):
+    """Even count whose two middle values land in DIFFERENT histogram
+    bins — both bins must be collected."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from raydedup.pipelines.curation import exact_median
+
+    # 4 values: middles 1.0 and 1000.0 are far apart (distinct bins)
+    vals = [0.0, 1.0, 1000.0, 2000.0]
+    pqw.write_table(pa.table({"value": vals}),
+                    str(tmp_path / "events.parquet"))
+    got = exact_median(str(tmp_path)).to_pandas()
+    assert got.loc[0, "median_value"] == round((1.0 + 1000.0) / 2, 6)
+    # constant column short-circuit
+    pqw.write_table(pa.table({"value": [7.5] * 5}),
+                    str(tmp_path / "events.parquet"))
+    got = exact_median(str(tmp_path)).to_pandas()
+    assert got.loc[0, "median_value"] == 7.5 and int(got.loc[0, "n"]) == 5
