@@ -129,14 +129,16 @@ def _dup_groups_table(sf_dir: str):
 
 
 def _embedding_dup_pairs_table(sf_dir: str, lsh: bool = False):
-    """Both pair miners return (a, b) int64 and are legitimately empty on
-    fixtures without near-identical embeddings."""
+    """Both pair miners return (a, b, est_sim) — exact cosine rounded to
+    4 decimals — and are legitimately empty on fixtures without
+    near-identical embeddings."""
     import pyarrow as pa
 
     from raydedup.pipelines import similarity
 
     fn = similarity.embedding_dup_pairs_lsh if lsh else similarity.embedding_dup_pairs
-    schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                        ("est_sim", pa.float64())])
     return _as_arrow_table(fn(sf_dir, 0.5), schema)
 
 
@@ -260,6 +262,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # closest pair is < 0.52, so the driver row would only certify
         # the all-singletons path); DuckDB twin = recursive-CTE reachability
         "q_embedding_clusters": lambda sf: similarity.embedding_clusters(sf, threshold=0.4),
+        # DBSCAN-style density clustering (eps=0.4 cosine, min_pts=3 —
+        # the fixture yields a real core/border/noise mix); deterministic
+        # min-label border rule, recursive-CTE twin
+        "q_embedding_dbscan": similarity.embedding_dbscan,
         # ============ block 1: round-2 driver-unchecked entries ============
         # scaling-dim co-shuffle join (part grows with data → no broadcast)
         "q_brand_revenue": relops.brand_revenue,
@@ -870,6 +876,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, CAST(MIN(label) AS BIGINT) AS cluster_id
             FROM reach GROUP BY vec_id
+        """,
+        # DBSCAN twin: core = degree+1 >= min_pts, clusters = min-label
+        # reachability over the CORE-CORE subgraph (lone cores self-label
+        # via the recursion base), border = min core-neighbor label
+        "q_embedding_dbscan": """
+            WITH RECURSIVE pairs AS (
+              SELECT x.vec_id AS a, y.vec_id AS b
+              FROM embeddings x, embeddings y
+              WHERE x.vec_id < y.vec_id
+                AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                           CAST(y.embedding AS DOUBLE[])) >= 0.4
+            ), sym AS (
+              SELECT a AS u, b AS v FROM pairs
+              UNION ALL SELECT b AS u, a AS v FROM pairs
+            ), deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+            core AS (SELECT u FROM deg WHERE d + 1 >= 3),
+            cce AS (SELECT s.u, s.v FROM sym s
+                    JOIN core c1 ON s.u = c1.u JOIN core c2 ON s.v = c2.u),
+            reach(u, lab) AS (
+              SELECT u, u FROM core
+              UNION
+              SELECT e.u, r.lab FROM reach r JOIN cce e ON e.v = r.u
+            ),
+            clab AS (SELECT u, MIN(lab) AS lab FROM reach GROUP BY u),
+            border AS (
+              SELECT s.u, MIN(cl.lab) AS lab
+              FROM sym s JOIN clab cl ON s.v = cl.u
+              WHERE s.u NOT IN (SELECT u FROM core)
+              GROUP BY s.u)
+            SELECT e.vec_id,
+                   CAST(COALESCE(cl.lab, b.lab, -1) AS BIGINT) AS cluster_id,
+                   CASE WHEN cl.lab IS NOT NULL THEN 'core'
+                        WHEN b.lab IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role
+            FROM embeddings e
+            LEFT JOIN clab cl ON e.vec_id = cl.u
+            LEFT JOIN border b ON e.vec_id = b.u
         """,
         "q_mixture_sample": """
             WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
@@ -1505,7 +1548,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
         """,
         "q_embedding_dup_pairs": (
-            "SELECT x.vec_id AS a, y.vec_id AS b "
+            "SELECT x.vec_id AS a, y.vec_id AS b, "
+            "ROUND(list_cosine_similarity(x.embedding, y.embedding), 4) AS est_sim "
             "FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id "
             "WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.5"
         ),

@@ -1838,40 +1838,53 @@ def bigram_collocations(sf_dir: str, min_pair: int = 5):
     same pattern as ``segment_revenue``, no broadcast of an unbounded
     vocabulary.
     """
-    import itertools
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def _tok_arrays(df: pd.DataFrame):
-        """Flat token array + per-doc lengths for non-empty texts,
-        split on single spaces to mirror the SQL twin exactly."""
-        texts = df["text"].fillna("")
-        texts = texts[texts != ""]
-        toks = texts.str.split(" ")
-        lens = toks.str.len().to_numpy(np.int64)
-        n = int(lens.sum())
-        flat = np.fromiter(itertools.chain.from_iterable(toks), dtype=object, count=n)
-        return flat, lens
+    def _flat_tokens(t: pa.Table):
+        """Flat Arrow token values + per-doc lengths for non-empty texts,
+        split on single spaces to mirror the SQL twin exactly.  All-kernel
+        (split_pattern stays in C++); replaces the round-4 object-dtype
+        ``np.fromiter`` explode (VERDICT r4 item 7)."""
+        txt = pc.coalesce(t["text"], "")
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+        txt = txt.filter(pc.not_equal(txt, ""))
+        la = pc.split_pattern(txt, " ")
+        la = la.combine_chunks() if isinstance(la, pa.ChunkedArray) else la
+        if la.offset != 0:
+            la = pa.concat_arrays([la])
+        off = la.offsets.to_numpy()
+        return la.values, off[1:] - off[:-1]
 
-    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
-        flat, lens = _tok_arrays(df)
-        empty = pd.DataFrame({"w1": pd.Series([], dtype=object),
-                              "w2": pd.Series([], dtype=object),
-                              "n_pair": pd.Series([], dtype=np.int64)})
+    pair_schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                             ("n_pair", pa.int64())])
+    uni_schema = pa.schema([("tok", pa.string()), ("n_uni", pa.int64())])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens(t)
         if len(flat) < 2:
-            return empty
+            return pair_schema.empty_table()
         # position i starts a bigram unless it is the last token of a doc
         starts = np.ones(len(flat) - 1, dtype=bool)
         starts[np.cumsum(lens)[:-1] - 1] = False
-        if not starts.any():
-            return empty
-        out = pd.DataFrame({"w1": flat[:-1][starts], "w2": flat[1:][starts]})
-        g = out.groupby(["w1", "w2"], sort=False).size().rename("n_pair").reset_index()
-        return g.astype({"n_pair": np.int64})
+        idx = np.flatnonzero(starts)
+        if idx.size == 0:
+            return pair_schema.empty_table()
+        pairs = pa.table({"w1": flat.take(pa.array(idx)),
+                          "w2": flat.take(pa.array(idx + 1))})
+        g = pairs.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return pa.table({"w1": g["w1"], "w2": g["w2"],
+                         "n_pair": g["count_all"].cast(pa.int64())},
+                        schema=pair_schema)
 
-    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
-        flat, _lens = _tok_arrays(df)
-        g = pd.Series(flat).value_counts()
-        return pd.DataFrame({"tok": g.index.to_numpy(dtype=object),
-                             "n_uni": g.to_numpy(np.int64)})
+    def uni_partial(t: pa.Table) -> pa.Table:
+        flat, _lens = _flat_tokens(t)
+        if len(flat) == 0:
+            return uni_schema.empty_table()
+        vc = pc.value_counts(flat)
+        return pa.table({"tok": vc.field("values"),
+                         "n_uni": vc.field("counts").cast(pa.int64())},
+                        schema=uni_schema)
 
     def pair_reduce(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -1909,12 +1922,14 @@ def bigram_collocations(sf_dir: str, min_pair: int = 5):
 
     docs = _docs(sf_dir, ["text"])
     pairs = keyed_blocks(
-        docs.map_batches(pair_partial, batch_format="pandas"), ["w1", "w2"], _P()
+        docs.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["w1", "w2"], _P()
     ).map_batches(pair_reduce, batch_size=None, batch_format="pandas")
     # exact unigram counts, materialized once (vocabulary-sized) and
     # co-shuffled into both attach joins
     uni = keyed_blocks(
-        docs.map_batches(uni_partial, batch_format="pandas"), ["tok"], _P()
+        docs.map_batches(uni_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["tok"], _P()
     ).map_batches(uni_reduce, batch_size=None, batch_format="pandas").materialize()
 
     def tag_pairs_w1(df: pd.DataFrame) -> pd.DataFrame:

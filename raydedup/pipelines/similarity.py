@@ -190,7 +190,11 @@ def _embedding_dup_pairs_exact(ds, threshold: float):
     """Exact all-pairs: each block multiplies against the full normalized
     matrix broadcast once via ``ray.put`` — parallel over blocks, the
     distributed analog of the reference's linear scan
-    (``duplicate_face.py:64-75``)."""
+    (``duplicate_face.py:64-75``).  ``est_sim`` carries the exact cosine
+    ROUNDed to 4 decimals (f32 input precision bounds cross-engine
+    cosine divergence at ~1e-7, so a 1e-4 grid is parity-stable vs the
+    DuckDB twin) — the per-pair score export the reference's
+    similarity-matrix intent asks for (``README.md:132-138``)."""
     import ray
 
     all_df = ds.to_pandas()
@@ -199,7 +203,8 @@ def _embedding_dup_pairs_exact(ds, threshold: float):
     ref = ray.put((all_ids, all_mat))
 
     def block(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+        cols = {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
+                "est_sim": pd.Series([], dtype=np.float64)}
         if len(df) == 0:
             return pd.DataFrame(cols)
         ids_, mat_ = ray.get(ref)
@@ -209,7 +214,8 @@ def _embedding_dup_pairs_exact(ds, threshold: float):
         ii, jj = np.nonzero(sims >= threshold)
         a, b = vids[ii], ids_[jj]
         keep = a < b
-        return pd.DataFrame({"a": a[keep], "b": b[keep]})
+        return pd.DataFrame({"a": a[keep], "b": b[keep],
+                             "est_sim": np.round(sims[ii, jj][keep], 4)})
 
     return ds.map_batches(block, batch_format="pandas")
 
@@ -356,7 +362,8 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9,
 
     def in_bucket_pairs(tbl: pa.Table) -> pa.Table:
         empty = pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "est_sim": pa.array([], pa.float64())}
         )
         if tbl.num_rows == 0:
             return empty
@@ -382,7 +389,10 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9,
         ok = sims >= threshold
         a, b = vid[i][ok], vid[j][ok]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pa.table({"a": pa.array(lo), "b": pa.array(hi)})
+        # est_sim: exact cosine, same 4-decimal grid as the exact path;
+        # identical across tables, so the (a, b) dedup below is score-safe
+        return pa.table({"a": pa.array(lo), "b": pa.array(hi),
+                         "est_sim": pa.array(np.round(sims[ok], 4))})
 
     raw = keyed_blocks(rows, ["t", "bucket"], num_partitions).map_batches(
         in_bucket_pairs, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
@@ -391,13 +401,231 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9,
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame(
-                {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+                {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
+                 "est_sim": pd.Series([], dtype=np.float64)}
             )
         return df.drop_duplicates(["a", "b"])
 
     return keyed_blocks(raw, ["a", "b"], num_partitions).map_batches(
         dedup, batch_size=None, batch_format="pandas"
     )
+
+
+def embedding_dbscan(sf_dir: str, eps_sim: float = 0.4, min_pts: int = 3,
+                     num_partitions: int = 4):
+    """(vec_id, cluster_id, role): DBSCAN-style density clustering over
+    the embedding cosine graph — the density-based option the reference
+    README documents alongside its pairwise matcher
+    (``README.md:193-196, 266-271``).
+
+    Semantics (deterministic variant of Ester et al., KDD'96):
+
+    * neighborhood: cosine(u, v) >= ``eps_sim`` (the ε-ball, via the
+      size-gated exact/LSH pair miner — same edges as
+      :func:`embedding_clusters`);
+    * ``u`` is CORE iff its neighborhood including itself has at least
+      ``min_pts`` members (degree + 1 >= min_pts);
+    * clusters are connected components of the CORE-CORE subgraph,
+      labeled by minimum core vec_id (a core with no core neighbor is
+      its own cluster — classic DBSCAN keeps lone cores);
+    * a non-core with >= 1 core neighbor is BORDER and joins the
+      MINIMUM cluster label among its core neighbors (classic DBSCAN
+      assigns first-reached — order-dependent; min is the
+      deterministic, SQL-expressible refinement);
+    * everything else is NOISE with cluster_id = -1.
+
+    Distribution: every step is a keyed shuffle ∝ edges or nodes —
+    symmetrize, degree/core flags per node, a v-keyed co-shuffle to
+    annotate the far endpoint's coreness, the shared
+    :func:`connected_components` machinery on the core-core subgraph,
+    a v-keyed label attach for border candidates, and one vec_id fold.
+    No broadcast grows with the corpus."""
+    import pyarrow.compute as pc
+
+    from raydedup.config import DedupConfig
+    from raydedup.stages.components import connected_components
+
+    pairs = embedding_dup_pairs(sf_dir, eps_sim)
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                                 "v": pd.Series([], dtype=np.int64)})
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        return pd.DataFrame({"u": np.concatenate([a, b]),
+                             "v": np.concatenate([b, a])})
+
+    edges = keyed_blocks(pairs.map_batches(sym, batch_format="pandas"),
+                         ["u"], num_partitions)
+
+    def mark_u(df: pd.DataFrame) -> pd.DataFrame:
+        """Per-u degree → u_core flag on every edge row, plus one node
+        row (kind=1) per core u (the core inventory)."""
+        empty = pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                              "v": pd.Series([], dtype=np.int64),
+                              "u_core": pd.Series([], dtype=np.int8),
+                              "kind": pd.Series([], dtype=np.int8)})
+        if len(df) == 0:
+            return empty
+        deg = df.groupby("u", sort=False)["v"].transform("size").to_numpy(np.int64)
+        u_core = (deg + 1 >= min_pts).astype(np.int8)
+        out = pd.DataFrame({"u": df["u"].to_numpy(np.int64),
+                            "v": df["v"].to_numpy(np.int64),
+                            "u_core": u_core,
+                            "kind": np.zeros(len(df), np.int8)})
+        cores = np.unique(df["u"].to_numpy(np.int64)[u_core == 1])
+        nodes = pd.DataFrame({"u": cores, "v": cores,
+                              "u_core": np.ones(len(cores), np.int8),
+                              "kind": np.full(len(cores), 1, np.int8)})
+        return pd.concat([out, nodes], ignore_index=True)
+
+    marked = edges.map_batches(mark_u, batch_size=None, batch_format="pandas")
+
+    def mark_v(df: pd.DataFrame) -> pd.DataFrame:
+        """Co-shuffled on v: node rows (kind=1, u==v) carry v's coreness
+        to every edge row ending at v.  Emits core-core edges (kind=0)
+        and border-candidate edges non-core u → core v (kind=2)."""
+        empty = pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                              "v": pd.Series([], dtype=np.int64),
+                              "kind": pd.Series([], dtype=np.int8)})
+        if len(df) == 0:
+            return empty
+        kind = df["kind"].to_numpy()
+        core_v = set(df.loc[kind == 1, "v"].to_numpy(np.int64).tolist())
+        e = df[kind == 0]
+        v = e["v"].to_numpy(np.int64)
+        v_core = np.fromiter((x in core_v for x in v), dtype=bool, count=len(v))
+        u_core = e["u_core"].to_numpy() == 1
+        cc = e[u_core & v_core]
+        bc = e[~u_core & v_core]
+        return pd.concat([
+            pd.DataFrame({"u": cc["u"].to_numpy(np.int64),
+                          "v": cc["v"].to_numpy(np.int64),
+                          "kind": np.zeros(len(cc), np.int8)}),
+            pd.DataFrame({"u": bc["u"].to_numpy(np.int64),
+                          "v": bc["v"].to_numpy(np.int64),
+                          "kind": np.full(len(bc), 2, np.int8)}),
+        ], ignore_index=True)
+
+    marked = marked.materialize()  # consumed twice (mark_v + core inventory)
+    split = keyed_blocks(marked, ["v"], num_partitions).map_batches(
+        mark_v, batch_size=None, batch_format="pandas"
+    ).materialize()  # consumed by two sub-DAGs (CC edges + border rows)
+
+    def fmt_cc(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], 0))
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string())})
+        return pa.table({
+            "a": pc.utf8_lpad(t["u"].cast(pa.string()), 12, "0"),
+            "b": pc.utf8_lpad(t["v"].cast(pa.string()), 12, "0"),
+        })
+
+    cfg = DedupConfig(num_partitions=num_partitions)
+    cc_labels, _ = connected_components(
+        split.map_batches(fmt_cc, batch_format="pyarrow", zero_copy_batch=True), cfg
+    )
+
+    # node-label table for cores: CC label where present, else self (lone
+    # cores); the marked stage's kind=1 rows are the core inventory
+    def core_self(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["kind"].to_numpy() == 1]
+        ids = m["u"].to_numpy(np.int64)
+        return pd.DataFrame({"node": ids, "lab": ids})
+
+    def cc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                 "lab": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"node": df["node"].astype(np.int64),
+                             "lab": df["label"].astype(np.int64)})
+
+    def lab_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                 "lab": pd.Series([], dtype=np.int64)})
+        return (df.groupby("node", sort=False)["lab"].min().reset_index()
+                .astype(np.int64))
+
+    core_labels = keyed_blocks(
+        marked.map_batches(core_self, batch_size=None, batch_format="pandas")
+        .union(cc_labels.map_batches(cc_rows, batch_format="pandas")),
+        ["node"], num_partitions,
+    ).map_batches(lab_fold, batch_size=None, batch_format="pandas")
+
+    # border candidates pick up label(v) via a v-keyed attach, then fold
+    # min per u; final fold over every vec_id applies the role precedence
+    def border_rows(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["kind"].to_numpy() == 2]
+        return pd.DataFrame({"u": m["u"].to_numpy(np.int64),
+                             "node": m["v"].to_numpy(np.int64),
+                             "lab": np.full(len(m), -1, np.int64),
+                             "side": np.zeros(len(m), np.int8)})
+
+    def lab_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": np.full(len(df), -1, np.int64),
+                             "node": df["node"].to_numpy(np.int64),
+                             "lab": df["lab"].to_numpy(np.int64),
+                             "side": np.ones(len(df), np.int8)})
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                              "lab": pd.Series([], dtype=np.int64),
+                              "pri": pd.Series([], dtype=np.int8)})
+        if len(df) == 0:
+            return empty
+        side = df["side"].to_numpy()
+        labs = df[side == 1][["node", "lab"]]
+        cand = df[side == 0][["u", "node"]]
+        if len(cand) == 0 or len(labs) == 0:
+            return empty
+        j = cand.merge(labs, on="node")
+        return pd.DataFrame({"vec_id": j["u"].to_numpy(np.int64),
+                             "lab": j["lab"].to_numpy(np.int64),
+                             "pri": np.full(len(j), 1, np.int8)})
+
+    border = keyed_blocks(
+        split.map_batches(border_rows, batch_size=None, batch_format="pandas")
+        .union(core_labels.map_batches(lab_side, batch_format="pandas")),
+        ["node"], num_partitions,
+    ).map_batches(attach, batch_size=None, batch_format="pandas")
+
+    def core_pri(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"vec_id": df["node"].to_numpy(np.int64),
+                             "lab": df["lab"].to_numpy(np.int64),
+                             "pri": np.zeros(len(df), np.int8)})
+
+    def all_pri(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(np.int64)
+        return pd.DataFrame({"vec_id": ids,
+                             "lab": np.full(len(ids), -1, np.int64),
+                             "pri": np.full(len(ids), 2, np.int8)})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                              "cluster_id": pd.Series([], dtype=np.int64),
+                              "role": pd.Series([], dtype=object)})
+        if len(df) == 0:
+            return empty
+        best = df.groupby("vec_id", sort=False)["pri"].min()
+        j = df.merge(best.rename("best"), left_on="vec_id", right_index=True)
+        j = j[j["pri"].to_numpy() == j["best"].to_numpy()]
+        g = j.groupby("vec_id", sort=False).agg(
+            cluster_id=("lab", "min"), pri=("pri", "min")).reset_index()
+        roles = np.array(["core", "border", "noise"], dtype=object)
+        g["role"] = roles[g["pri"].to_numpy(np.int8)]
+        return g[["vec_id", "cluster_id", "role"]].astype(
+            {"vec_id": np.int64, "cluster_id": np.int64})
+
+    ids_only = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    return keyed_blocks(
+        core_labels.map_batches(core_pri, batch_format="pandas")
+        .union(border)
+        .union(ids_only.map_batches(all_pri, batch_format="pandas")),
+        ["vec_id"], num_partitions,
+    ).map_batches(final, batch_size=None, batch_format="pandas")
 
 
 def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 5, n_cells: int = 16,

@@ -245,3 +245,67 @@ def test_embedding_clusters_union_find_oracle(ray_session, tmp_path):
     for i in range(n_dups):
         assert got.loc[got["vec_id"] == base + i, "cluster_id"].iloc[0] == \
                got.loc[got["vec_id"] == i, "cluster_id"].iloc[0]
+
+
+def _dbscan_oracle(vecs, eps, min_pts):
+    """Sequential brute-force twin of similarity.embedding_dbscan's
+    deterministic spec (min-label components over the core-core graph,
+    border = min core-neighbor label, noise = -1)."""
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    n = len(vecs)
+    adj = (sims >= eps) & ~np.eye(n, dtype=bool)
+    deg = adj.sum(axis=1)
+    core = deg + 1 >= min_pts
+    label = np.full(n, -1, dtype=np.int64)
+    role = np.array(["noise"] * n, dtype=object)
+    seen = np.zeros(n, dtype=bool)
+    for s in range(n):
+        if not core[s] or seen[s]:
+            continue
+        comp, stack = [], [s]
+        seen[s] = True
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in np.flatnonzero(adj[u] & core & ~seen):
+                seen[v] = True
+                stack.append(v)
+        lab = min(comp)
+        for u in comp:
+            label[u], role[u] = lab, "core"
+    for u in range(n):
+        if core[u]:
+            continue
+        neigh = np.flatnonzero(adj[u] & core)
+        if len(neigh):
+            label[u] = label[neigh].min()
+            role[u] = "border"
+    return label, role
+
+
+def test_embedding_dbscan_matches_brute_force(ray_session, tmp_path):
+    from raydedup.pipelines.similarity import embedding_dbscan
+
+    d, base, n_dups, vecs = _planted_embeddings(tmp_path)
+    # min_pts high enough that blob-edge members lose core status: the
+    # planted fixture then yields all three roles (asserted below)
+    eps, min_pts = 0.97, 8
+    got = (embedding_dbscan(d, eps_sim=eps, min_pts=min_pts)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    label, role = _dbscan_oracle(vecs, eps, min_pts)
+    assert len(got) == len(vecs)
+    assert list(got["cluster_id"]) == list(label)
+    assert list(got["role"]) == list(role)
+    assert {"core", "border", "noise"} <= set(got["role"])
+
+
+def test_embedding_dbscan_partition_invariant(ray_session, tmp_path):
+    from raydedup.pipelines.similarity import embedding_dbscan
+
+    d, *_ = _planted_embeddings(tmp_path, n_clusters=2, per=12, n_dups=5)
+    a = (embedding_dbscan(d, eps_sim=0.97, min_pts=4, num_partitions=2)
+         .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    b = (embedding_dbscan(d, eps_sim=0.97, min_pts=4, num_partitions=7)
+         .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
