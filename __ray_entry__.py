@@ -687,11 +687,13 @@ def oracle_sql() -> dict[str, str]:
             FROM tails ta JOIN heads he ON ta.h = he.h AND ta.doc_id <> he.doc_id
         """,
         # exact continuous median: DuckDB median() averages the two middle
-        # values on even counts, as the selection path does
+        # values on even counts, as the selection path does; NOT isnan
+        # pins the kernel's NaN exclusion (DuckDB's median skips only
+        # NULL and would otherwise sort NaN as the largest double)
         "q_exact_median": """
             SELECT CAST(COUNT(value) AS BIGINT) AS n,
                    ROUND(median(value), 6) AS median_value
-            FROM events
+            FROM events WHERE NOT isnan(value)
         """,
         # streaming-window dedup: earliest row per (user, type, hour
         # window); ts_us = epoch microseconds == pandas int64 view of

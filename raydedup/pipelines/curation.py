@@ -947,94 +947,134 @@ def export_partitioned(sf_dir: str, out_dir: str, by: str = "lang"):
     return out_dir
 
 
-def exact_median(sf_dir: str, n_bins: int = 65536):
+def exact_median(sf_dir: str, n_bins: int = 65536,
+                 max_band_rows: int = 2_000_000, max_depth: int = 6):
     """EXACT median of the continuous ``events.value`` column →
     one row (n, median_value) — distributed selection, no global sort.
 
     :func:`docops.length_quantiles` is exact only for integer domains
     and :func:`approx_value_quantiles` trades exactness for one pass;
-    this operator closes the gap with the classic two-phase selection:
+    this operator closes the gap with iterative histogram selection:
 
     * phase 0 — per-block (count, min, max) partials, driver fold (a few
       rows per block);
-    * phase 1 — per-block histogram over ``n_bins`` uniform bins of
-      [min, max], emitted as SPARSE (bin, count) rows and folded on the
-      driver (≤ n_bins × blocks rows, corpus-size-independent); the
-      cumulative histogram locates the bin(s) holding the middle order
-      statistic(s);
-    * phase 2 — one filtered pass collects ONLY the values inside those
-      bins (expected n / n_bins rows; the filter is a vectorized map, no
-      shuffle) and the exact k-th order statistics are read off driver-
-      side via ``np.partition``.
+    * refinement — per-band histogram over ``n_bins`` uniform bins,
+      emitted as SPARSE (bin, count) rows and folded on the driver
+      (≤ n_bins × blocks rows, corpus-size-independent); the cumulative
+      histogram locates the bin holding the target order statistic, and
+      the loop RE-HISTOGRAMS WITHIN that bin while it still holds more
+      than ``max_band_rows`` values (≤ ``max_depth`` rounds) — so a
+      skewed distribution that crowds one bin can never force an O(n)
+      driver collect (the round-4 version collected the located bin
+      unconditionally; ADVICE r4).  A constant band (bin min == max)
+      short-circuits to that value, which is what terminates the
+      one-dominant-value skew case;
+    * collect — one filtered pass gathers ONLY the final band's values
+      (≤ max_band_rows unless max_depth stopped refinement first) and
+      the exact k-th order statistic is read off via ``np.partition``.
 
     Even-count medians average the two middle values exactly as DuckDB's
     ``median()`` does; the result is ROUNDed to 6 like every float twin.
-    NaN values are excluded on both sides (SQL aggregates skip NULL/NaN).
+    The kernel drops NaN values; SQL aggregates skip only NULL (DuckDB
+    sorts NaN as the largest double), so the twin pins the same
+    exclusion explicitly with ``WHERE NOT isnan(value)`` — on data whose
+    only missing values are NULLs the two are identical.
     """
     import ray.data as rd
 
-    def moments(df: pd.DataFrame) -> pd.DataFrame:
+    src = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def _band_values(df: pd.DataFrame, levels) -> np.ndarray:
+        """Values of the current band: NaN-dropped, then the level chain
+        (lo, width, bin) applied with the SAME clip arithmetic the
+        histogram used, so band membership is bit-consistent."""
         v = df["value"].to_numpy(dtype=np.float64)
         v = v[~np.isnan(v)]
-        if len(v) == 0:
-            return pd.DataFrame({"n": pd.Series([], dtype=np.int64),
-                                 "lo": pd.Series([], dtype=np.float64),
-                                 "hi": pd.Series([], dtype=np.float64)})
-        return pd.DataFrame({"n": [np.int64(len(v))],
-                             "lo": [float(v.min())], "hi": [float(v.max())]})
+        for l, w, b in levels:
+            bi = np.clip(((v - l) / w).astype(np.int64), 0, n_bins - 1)
+            v = v[bi == b]
+        return v
 
-    src = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
-    m = src.map_batches(moments, batch_format="pandas").to_pandas()
-    n = int(m["n"].sum())
-    empty = pd.DataFrame({"n": pd.Series([0], dtype=np.int64),
-                          "median_value": pd.Series([np.nan], dtype=np.float64)})
+    def _moments(levels):
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            v = _band_values(df, levels)
+            if len(v) == 0:
+                return pd.DataFrame({"n": pd.Series([], dtype=np.int64),
+                                     "lo": pd.Series([], dtype=np.float64),
+                                     "hi": pd.Series([], dtype=np.float64)})
+            return pd.DataFrame({"n": [np.int64(len(v))],
+                                 "lo": [float(v.min())], "hi": [float(v.max())]})
+
+        m = src.map_batches(part, batch_format="pandas").to_pandas()
+        if len(m) == 0 or int(m["n"].sum()) == 0:
+            return 0, np.nan, np.nan
+        return int(m["n"].sum()), float(m["lo"].min()), float(m["hi"].max())
+
+    def _hist(levels, lo_b, width):
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            v = _band_values(df, levels)
+            if len(v) == 0:
+                return pd.DataFrame({"bin": pd.Series([], dtype=np.int64),
+                                     "c": pd.Series([], dtype=np.int64)})
+            b = np.clip(((v - lo_b) / width).astype(np.int64), 0, n_bins - 1)
+            cnt = np.bincount(b, minlength=0)
+            nz = np.flatnonzero(cnt)
+            return pd.DataFrame({"bin": nz.astype(np.int64),
+                                 "c": cnt[nz].astype(np.int64)})
+
+        return (src.map_batches(part, batch_format="pandas").to_pandas()
+                .groupby("bin")["c"].sum().sort_index())
+
+    def _refine(r: int):
+        """Narrow to a ≤max_band_rows band containing rank ``r``.
+        Returns (levels, in-band rank, exact value or None)."""
+        levels: list = []
+        while True:
+            cnt, lo_b, hi_b = _moments(levels)
+            if lo_b == hi_b:
+                return levels, r, lo_b  # constant band — the value itself
+            if cnt <= max_band_rows or len(levels) >= max_depth:
+                return levels, r, None
+            width = (hi_b - lo_b) / n_bins
+            cum = _hist(levels, lo_b, width).cumsum()
+            pos = int(np.searchsorted(cum.to_numpy(), r + 1))
+            b = int(cum.index[pos])
+            r -= int(cum.iloc[pos - 1]) if pos > 0 else 0
+            levels = levels + [(lo_b, width, b)]
+
+    n, lo, hi = _moments([])
     if n == 0:
-        return rd.from_pandas(empty)
-    lo, hi = float(m["lo"].min()), float(m["hi"].max())
+        return rd.from_pandas(pd.DataFrame(
+            {"n": pd.Series([0], dtype=np.int64),
+             "median_value": pd.Series([np.nan], dtype=np.float64)}))
     if lo == hi:
         return rd.from_pandas(pd.DataFrame(
             {"n": [np.int64(n)], "median_value": [round(lo, 6)]}))
-    width = (hi - lo) / n_bins
 
-    def hist(df: pd.DataFrame) -> pd.DataFrame:
-        v = df["value"].to_numpy(dtype=np.float64)
-        v = v[~np.isnan(v)]
-        if len(v) == 0:
-            return pd.DataFrame({"bin": pd.Series([], dtype=np.int64),
-                                 "c": pd.Series([], dtype=np.int64)})
-        b = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
-        cnt = np.bincount(b, minlength=0)
-        nz = np.flatnonzero(cnt)
-        return pd.DataFrame({"bin": nz.astype(np.int64),
-                             "c": cnt[nz].astype(np.int64)})
-
-    h = (src.map_batches(hist, batch_format="pandas").to_pandas()
-         .groupby("bin")["c"].sum().sort_index())
-    cum = h.cumsum()
     # order statistics needed (0-indexed): median = avg of these two
     k_lo, k_hi = (n - 1) // 2, n // 2
-    bins_needed = set()
-    ranks = {}
-    for k in (k_lo, k_hi):
-        b = int(cum.index[np.searchsorted(cum.to_numpy(), k + 1)])
-        bins_needed.add(b)
-        prior = int(cum.loc[:b].iloc[-2]) if cum.index.get_loc(b) > 0 else 0
-        ranks[k] = (b, k - prior)  # rank within the bin's values
+    plans = {k_lo: _refine(k_lo)}
+    plans[k_hi] = plans[k_lo] if k_hi == k_lo else _refine(k_hi)
 
-    need = sorted(bins_needed)
+    band_cache: dict = {}
 
-    def collect(df: pd.DataFrame) -> pd.DataFrame:
-        v = df["value"].to_numpy(dtype=np.float64)
-        v = v[~np.isnan(v)]
-        b = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
-        keep = np.isin(b, need)
-        return pd.DataFrame({"value": v[keep], "bin": b[keep]})
+    def _band_collect(levels) -> np.ndarray:
+        key = tuple(levels)
+        if key not in band_cache:
+            def part(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({"value": _band_values(df, levels)})
 
-    band = src.map_batches(collect, batch_format="pandas").to_pandas()
+            band_cache[key] = (src.map_batches(part, batch_format="pandas")
+                               .to_pandas()["value"].to_numpy())
+        return band_cache[key]
+
     vals = {}
-    for k, (b, r) in ranks.items():
-        inbin = np.sort(band.loc[band["bin"] == b, "value"].to_numpy())
-        vals[k] = float(inbin[r])
+    for k, (levels, r, direct) in plans.items():
+        if direct is not None:
+            vals[k] = float(direct)
+        else:
+            band = _band_collect(levels)
+            vals[k] = float(np.partition(band, r)[r])
     med = (vals[k_lo] + vals[k_hi]) / 2.0
     return rd.from_pandas(pd.DataFrame(
         {"n": [np.int64(n)], "median_value": [round(med, 6)]}))

@@ -2303,7 +2303,9 @@ def windowed_dedup(sf_dir: str, hours: int = 1, num_partitions: int = 0):
             "event_type": df["event_type"].to_numpy(dtype=object),
             "window_start": df["ts"].dt.floor(freq)
                 .dt.strftime("%Y-%m-%d %H:%M:%S").to_numpy(dtype=object),
-            "ts_us": df["ts"].astype("int64").to_numpy(),
+            # unit pinned explicitly: a ns-resolution read would otherwise
+            # silently emit epoch-nanoseconds through the bare int64 view
+            "ts_us": df["ts"].to_numpy("datetime64[us]").astype(np.int64),
         })
         return _reduce(out)
 

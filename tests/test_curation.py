@@ -290,3 +290,36 @@ def test_exact_median_straddling_bins(ray_session, tmp_path):
                     str(tmp_path / "events.parquet"))
     got = exact_median(str(tmp_path)).to_pandas()
     assert got.loc[0, "median_value"] == 7.5 and int(got.loc[0, "n"]) == 5
+
+
+def test_exact_median_skewed_band_stays_bounded(ray_session, tmp_path):
+    """A distribution where one value dominates the median's histogram bin
+    must refine WITHIN the bin instead of collecting O(n) rows: with
+    max_band_rows tiny, the loop either bottoms out on the constant-band
+    short-circuit or a sub-max_depth band, and the median stays exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from raydedup.pipelines.curation import exact_median
+
+    rng = np.random.RandomState(3)
+    # 5000 copies of 5.0 (the skewed bin) + spread tails so lo != hi
+    vals = np.concatenate([np.full(5000, 5.0),
+                           rng.uniform(0.0, 4.0, 300),
+                           rng.uniform(6.0, 10.0, 300)])
+    pqw.write_table(pa.table({"value": vals}),
+                    str(tmp_path / "events.parquet"))
+    got = exact_median(str(tmp_path), n_bins=16, max_band_rows=50,
+                       max_depth=6).to_pandas()
+    assert got.loc[0, "median_value"] == round(float(np.median(vals)), 6)
+    assert int(got.loc[0, "n"]) == len(vals)
+
+    # odd-count variant with NaNs interleaved (kernel must drop them)
+    vals2 = np.concatenate([vals, [np.nan, np.nan, 11.0]])
+    pqw.write_table(pa.table({"value": vals2}),
+                    str(tmp_path / "events.parquet"))
+    got = exact_median(str(tmp_path), n_bins=16, max_band_rows=50).to_pandas()
+    clean = vals2[~np.isnan(vals2)]
+    assert got.loc[0, "median_value"] == round(float(np.median(clean)), 6)
+    assert int(got.loc[0, "n"]) == len(clean)
