@@ -278,6 +278,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bigram_collocations": docops.bigram_collocations,
         "q_cluster_report": docdedup.cluster_report,
         "q_cluster_canonicals": docdedup.cluster_canonicals,
+        # the same report/canonical folds fed by SQL-expressible exact
+        # md5 clusters: full DuckDB twins certify the fold/selection
+        # logic at hash level (the MinHash-fed defaults stay rows-only)
+        "q_cluster_report_exact": lambda sf: docdedup.cluster_report(
+            sf, clusters=docdedup.exact_doc_clusters(sf)),
+        "q_cluster_canonicals_exact": lambda sf: docdedup.cluster_canonicals(
+            sf, clusters=docdedup.exact_doc_clusters(sf)),
         # --- multimodal plumbing (stubbed decoder; real Ray path) ---
         "q_media_features": _media_features,
         "q_frame_samples": _frame_samples,
@@ -951,6 +958,43 @@ def oracle_sql() -> dict[str, str]:
             "MIN(doc_id) AS canonical_id FROM documents "
             "GROUP BY COALESCE(text,'') HAVING COUNT(*) > 1"
         ),
+        # report fold over exact md5 clusters: first-3 members ascending,
+        # doc-<id zero-padded to 10> id rendering as in exact_doc_clusters
+        "q_cluster_report_exact": """
+            WITH mem AS (
+              SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS conv_id,
+                     'doc-' || lpad(CAST(MIN(doc_id) OVER (
+                         PARTITION BY COALESCE(text,'')) AS VARCHAR), 10, '0')
+                         AS cluster_id
+              FROM documents),
+            r AS (SELECT conv_id, cluster_id,
+                         row_number() OVER (PARTITION BY cluster_id
+                                            ORDER BY conv_id) AS rn
+                  FROM mem)
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+                   string_agg(CASE WHEN rn <= 3 THEN conv_id END, ','
+                              ORDER BY conv_id) AS members
+            FROM r GROUP BY cluster_id
+        """,
+        # canonical selection over exact md5 clusters: longest n_chars,
+        # ties by lowest conv_id
+        "q_cluster_canonicals_exact": """
+            WITH mem AS (
+              SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS conv_id,
+                     'doc-' || lpad(CAST(MIN(doc_id) OVER (
+                         PARTITION BY COALESCE(text,'')) AS VARCHAR), 10, '0')
+                         AS cluster_id,
+                     n_chars
+              FROM documents),
+            r AS (SELECT conv_id, cluster_id, n_chars,
+                         row_number() OVER (PARTITION BY cluster_id
+                                            ORDER BY n_chars DESC, conv_id) AS rn
+                  FROM mem),
+            can AS (SELECT cluster_id, conv_id AS canonical_id FROM r WHERE rn = 1)
+            SELECT r.conv_id, r.cluster_id, c.canonical_id,
+                   CAST(r.conv_id = c.canonical_id AS BIGINT) AS is_canonical
+            FROM r JOIN can c USING (cluster_id)
+        """,
         # mirrors the engine exactly, including the document-frequency cap:
         # intersections count only tokens with df <= NGRAM_DF_CAP, unions
         # use full distinct-token counts
@@ -1700,4 +1744,126 @@ def oracle_sql() -> dict[str, str]:
                   FROM embeddings)
             GROUP BY label, i
         """,
+    }
+
+
+# --------------------------------------------------------------------------
+# Invariant twins: a certification layer for queries whose results are
+# deterministic but NOT SQL-expressible (bin packing, sketches, rolling
+# hashes).  Each check receives (result_df, duckdb_con, sf_dir) — the
+# connection has the standard table views registered — and returns a list
+# of violation strings (empty = the invariants hold).  The graft driver
+# ignores this export; tools/check_contract.py runs it and records the
+# entries as "twin_checked" instead of bare rows-only.
+
+
+def _check_sequence_pack(res, con, sf_dir):
+    """sequence_pack(budget=128, num_buckets=8): full coverage, exact
+    token counts, bucket/pack-id arithmetic, and the budget bound
+    (multi-member packs never exceed it; oversize docs are singletons)."""
+    budget, num_buckets = 128, 8
+    viol = []
+    want = con.sql(
+        "SELECT doc_id, len(string_split(COALESCE(text, ''), ' ')) AS n"
+        " FROM documents"
+    ).df()
+    m = res.merge(want, on="doc_id", how="outer", indicator=True)
+    if (m["_merge"] != "both").any():
+        viol.append("doc_id coverage differs from the documents table")
+    bad = m[m["n_toks"] != m["n"]]
+    if len(bad):
+        viol.append(f"{len(bad)} rows report a wrong n_toks")
+    if (res["bucket"].to_numpy() != res["doc_id"].to_numpy() % num_buckets).any():
+        viol.append("bucket != doc_id % num_buckets")
+    if (res["pack_id"].to_numpy() >> 40 != res["bucket"].to_numpy()).any():
+        viol.append("pack_id high bits != bucket")
+    g = res.groupby("pack_id")["n_toks"].agg(["sum", "count"])
+    if ((g["sum"] > budget) & (g["count"] > 1)).any():
+        viol.append("a multi-member pack exceeds the token budget")
+    multi = res[res.groupby("pack_id")["n_toks"].transform("size") > 1]
+    if (multi["n_toks"] > budget).any():
+        viol.append("an oversize doc shares a pack")
+    return viol
+
+
+def _check_cms_top_tokens(res, con, sf_dir):
+    """cms_top_tokens: one-sided CMS error (est >= true, est <= true +
+    eps*N with eps = e/w) against exact DuckDB counts, plus the ranking
+    contract (est desc, tok asc, rnk = 1..k)."""
+    import math
+
+    import numpy as np
+
+    from raydedup.pipelines.vocab import _CMS_W
+
+    viol = []
+    truth = con.sql(r"""
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(regexp_split_to_array(lower(trim(COALESCE(text,''))),
+                                                  '\s+')) AS tok
+              FROM documents WHERE len(trim(COALESCE(text,''))) > 0)
+        GROUP BY tok
+    """).df()
+    n_total = int(truth["c"].sum())
+    j = res.merge(truth, on="tok", how="left")
+    if j["c"].isna().any():
+        viol.append("a reported token does not occur in the corpus")
+    under = j[j["est"] < j["c"].fillna(0)]
+    if len(under):
+        viol.append(f"{len(under)} estimates undercount (CMS must never)")
+    eps_bound = math.e / _CMS_W * n_total
+    over = j[j["est"] - j["c"].fillna(0) > eps_bound]
+    if len(over):
+        viol.append(f"{len(over)} estimates exceed the eps*N overcount bound")
+    r = res.sort_values("rnk")
+    if list(r["rnk"]) != list(range(1, len(r) + 1)):
+        viol.append("rnk is not 1..k")
+    key = list(zip(-r["est"].to_numpy(), r["tok"]))
+    if key != sorted(key):
+        viol.append("rows are not ranked by (est desc, tok asc)")
+    return viol
+
+
+def _check_cdc_chunks(res, con, sf_dir):
+    """cdc_chunks: chunks tile each document's utf-8 bytes exactly —
+    contiguous starts from 0, lengths sum to the byte length, chunk_idx
+    dense, every length within (0, max_len]."""
+    import numpy as np
+
+    viol = []
+    want = con.sql(
+        "SELECT doc_id, strlen(COALESCE(text, '')) AS nb FROM documents"
+    ).df()
+    per = (res.groupby("doc_id")
+           .agg(total=("length", "sum"), n=("chunk_idx", "count"),
+                mx=("chunk_idx", "max")).reset_index())
+    m = want.merge(per, on="doc_id", how="left")
+    missing = m[(m["nb"] > 0) & m["total"].isna()]
+    if len(missing):
+        viol.append(f"{len(missing)} non-empty docs have no chunks")
+    covered = m.dropna(subset=["total"])
+    if (covered["total"].to_numpy() != covered["nb"].to_numpy()).any():
+        viol.append("chunk lengths do not sum to the document byte length")
+    if (covered["mx"].to_numpy() != covered["n"].to_numpy() - 1).any():
+        viol.append("chunk_idx is not dense 0..n-1")
+    s = res.sort_values(["doc_id", "chunk_idx"], kind="mergesort")
+    starts = s["start"].to_numpy()
+    lens = s["length"].to_numpy()
+    first = np.r_[True, s["doc_id"].to_numpy()[1:] != s["doc_id"].to_numpy()[:-1]]
+    if (starts[first] != 0).any():
+        viol.append("a document's first chunk does not start at 0")
+    cont = starts[1:][~first[1:]] == (starts[:-1] + lens[:-1])[~first[1:]]
+    if not cont.all():
+        viol.append("chunk starts are not contiguous")
+    if (lens <= 0).any() or (lens > 256).any():
+        viol.append("a chunk length is outside (0, max_len]")
+    return viol
+
+
+def invariant_checks():
+    """Map of rows-only queries to their invariant twins (see above)."""
+    return {
+        "q_sequence_pack": _check_sequence_pack,
+        "q_cms_top_tokens": _check_cms_top_tokens,
+        "q_cdc_chunks": _check_cdc_chunks,
     }

@@ -107,12 +107,32 @@ def simhash_doc_pairs(sf_dir: str, cfg: DedupConfig | None = None):
     return simhash_pairs(sigs, cfg)
 
 
-def cluster_report(sf_dir: str, cfg: DedupConfig | None = None, sample: int = 3):
+def exact_doc_clusters(sf_dir: str):
+    """(conv_id, cluster_id): exact text-equality clusters (md5 groups,
+    min-doc_id label) rendered in the docs id space (``doc-<id>``).
+
+    The SQL-expressible clustering: feeding it to :func:`cluster_report`
+    / :func:`cluster_canonicals` certifies their fold/selection logic
+    against full DuckDB twins at hash level, while the MinHash-fed
+    defaults stay rows-only (sketch clustering has no SQL twin)."""
+    from raydedup.pipelines.docops import exact_dedup
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"conv_id": _doc_conv_ids(df["doc_id"]),
+                             "cluster_id": _doc_conv_ids(df["canonical_id"])})
+
+    return exact_dedup(sf_dir).map_batches(fmt, batch_format="pandas")
+
+
+def cluster_report(sf_dir: str, cfg: DedupConfig | None = None, sample: int = 3,
+                   clusters=None):
     """Per-cluster size + first-``sample`` members (the reference's faces
     summary table, ``face_recognition_custom.py:140-154`` — A5) over the
-    MinHash document clusters: (cluster_id, n_members, members)."""
+    MinHash document clusters (or any (conv_id, cluster_id) Dataset
+    passed via ``clusters``): (cluster_id, n_members, members)."""
     cfg = cfg or _doc_config()
-    clusters = minhash_doc_clusters(sf_dir, cfg)
+    if clusters is None:
+        clusters = minhash_doc_clusters(sf_dir, cfg)
 
     from raydedup.ray_utils import keyed_blocks
 
@@ -295,9 +315,12 @@ def incremental_dedup(sf_dir: str, cfg: DedupConfig | None = None):
     )
 
 
-def cluster_canonicals(sf_dir: str, cfg: DedupConfig | None = None):
+def cluster_canonicals(sf_dir: str, cfg: DedupConfig | None = None,
+                       clusters=None):
     """Quality-based canonical selection per near-dup cluster:
-    (conv_id, cluster_id, canonical_id, is_canonical).
+    (conv_id, cluster_id, canonical_id, is_canonical) — over the MinHash
+    clusters, or any (conv_id, cluster_id) Dataset passed via
+    ``clusters``.
 
     The "which copy do we keep" step after near-dup clustering: the
     canonical is the member with the longest original text (``n_chars``),
@@ -311,7 +334,8 @@ def cluster_canonicals(sf_dir: str, cfg: DedupConfig | None = None):
     from raydedup.ray_utils import keyed_blocks
 
     cfg = cfg or _doc_config()
-    clusters = minhash_doc_clusters(sf_dir, cfg)
+    if clusters is None:
+        clusters = minhash_doc_clusters(sf_dir, cfg)
 
     def lens_fn(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

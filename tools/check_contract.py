@@ -83,6 +83,7 @@ def main():
     import __ray_entry__ as e
 
     qs, osql = e.queries(), e.oracle_sql()
+    inv = getattr(e, "invariant_checks", dict)()
     fails = []
     record = {}
     for name, fn in qs.items():
@@ -98,6 +99,21 @@ def main():
             continue
         dt = time.time() - t0
         if name not in osql:
+            if name in inv:
+                try:
+                    viol = inv[name](res, con, sf_dir)
+                except Exception as ex:
+                    viol = [f"invariant check raised {type(ex).__name__}: {ex}"]
+                if viol:
+                    print(f"{name:28s} INVARIANT-FAIL {viol}")
+                    fails.append(name)
+                    record[name] = {"status": "invariant_fail", "rows": len(res),
+                                    "violations": viol}
+                else:
+                    print(f"{name:28s} twin-checked rows={len(res):7d}  {dt:6.1f}s")
+                    record[name] = {"status": "twin_checked", "rows": len(res),
+                                    "sec": round(dt, 1)}
+                continue
             print(f"{name:28s} rows-only rows={len(res):7d}  {dt:6.1f}s")
             record[name] = {"status": "rows_only", "rows": len(res), "sec": round(dt, 1)}
             continue
@@ -137,6 +153,7 @@ def main():
             "entries": len(record),
             "hash_match": sum(1 for v in record.values() if v["status"] == "hash_match"),
             "rows_only": sum(1 for v in record.values() if v["status"] == "rows_only"),
+            "twin_checked": sum(1 for v in record.values() if v["status"] == "twin_checked"),
             "failures": len(fails),
             "results": record,
         }
