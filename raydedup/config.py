@@ -165,6 +165,16 @@ class DedupConfig:
     # footprint spills and costs ~25% wall (measured, BASELINE.md).
     fuse_edges_max_docs: int = 100_000
 
+    # In disk mode, the candidate-pair stage fuses into the minhash-verify
+    # execution when the corpus has at most this many docs: candidates are
+    # cheap to recompute from the signatures checkpoint (one band shuffle),
+    # so the extra resume boundary costs more (an executor + aggregator
+    # spin-up and a parquet round-trip) than it saves.  Above the gate the
+    # stage checkpoints separately as before — on week-long multi-node
+    # runs the finer resume wins.  Ignored when pair_checkpoint_parts > 1
+    # (that path resumes FROM the candidates checkpoint).
+    fuse_candidates_max_docs: int = 2_000_000
+
     # In disk mode, the same three independent edge stages CAN execute
     # concurrently (driver threads, one write_parquet each) when the
     # corpus has at most this many docs.  Default 0 = disabled: the

@@ -6,10 +6,12 @@ boundary a resumable Parquet checkpoint:
     read_parquet(turns)
     → hash-repartition(conv_id) + vectorized reassembly [shuffle 1 → docs/]
     → map_batches(SignatureActor, actor pool)        [→ signatures/]
-    → LSH bands → groupby(band,hash,salt) pairs      [shuffle 2]
+    → LSH bands → groupby(band,hash,salt) pairs      [shuffle 2; fused into
+      the verify execution below fuse_candidates_max_docs]
       + SimHash block pairs + suffix long-repeat pairs
-    → Dataset.join verification (exact Jaccard)      [→ pairs/]
+    → co-shuffle verification (exact Jaccard)        [→ pairs/]
     → iterative groupby-min label propagation        [shuffle 3×k → clusters/]
+      + one tagged-union key shuffle joins labels back onto docs
     → clusters + metrics Parquet
 
 The reference's equivalents are cited in each stage module; nothing here
@@ -114,7 +116,18 @@ def run_pipeline(
     # execution; it gates the singleton-key Bloom prefilter (see below)
     n_docs = docs.count()
     prefilter = bool(cfg.prefilter_bloom_bits) and n_docs >= cfg.prefilter_min_docs
-    cands = store.stage(
+    # disk-mode candidates fusion (size-gated): candidates are one cheap
+    # band shuffle over the signatures checkpoint, so below the gate they
+    # pipeline into the minhash-verify execution instead of paying their
+    # own executor/aggregator spin-up + parquet round-trip; the
+    # partitioned-pairs path resumes FROM the candidates checkpoint and
+    # therefore keeps it
+    cand_fused = (
+        cfg.checkpoint_mode == "disk"
+        and cfg.pair_checkpoint_parts == 1
+        and n_docs <= cfg.fuse_candidates_max_docs
+    )
+    cands = (store.fused_stage if cand_fused else store.stage)(
         "candidates",
         lambda: candidate_pairs(
             store.read("signatures", ["conv_id", "minhash", "n_shingles"]),
@@ -133,7 +146,8 @@ def run_pipeline(
         (
             "pairs_minhash",
             lambda: verified_pairs(
-                cands, store.read("signatures", ["conv_id", payload]), cfg
+                cands, store.read("signatures", ["conv_id", payload]), cfg,
+                skip_semi_filter=cand_fused,
             ),
         ),
         ("pairs_suffix", lambda: suffix_pairs(docs, cfg, prefilter=prefilter, n_docs=n_docs)),
@@ -300,25 +314,47 @@ def run_pipeline(
             store.events.extend(cc_store.events)
         metrics.add("components", "iterations", abs(n_iters))
         metrics.add("components", "converged", int(n_iters > 0))
-        # every doc gets a cluster: component label if present, else itself
-        lab_joined = store.read("docs", ["conv_id", "status"]).join(
-            labels,
-            join_type="left_outer",
-            num_partitions=cfg.num_partitions,
-            on=("conv_id",),
-            right_on=("node",),
+        # every doc gets a cluster: component label if present, else itself.
+        # Tagged-union co-shuffle (the engine's standard join shape): docs
+        # rows carry status, label rows carry a null status marker; ONE
+        # key shuffle co-locates them and the in-block merge coalesces —
+        # half the shuffle ops of the previous Dataset.join, same volume.
+        from raydedup.ray_utils import keyed_blocks
+
+        def doc_side(t: pa.Table) -> pa.Table:
+            return pa.table({"key": t["conv_id"], "status": t["status"],
+                             "label": pa.nulls(t.num_rows, pa.string())})
+
+        def lab_side(t: pa.Table) -> pa.Table:
+            return pa.table({"key": t["node"],
+                             "status": pa.nulls(t.num_rows, pa.string()),
+                             "label": t["label"]})
+
+        def attach(df):
+            import pandas as pd
+
+            if len(df) == 0:
+                return pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                                     "cluster_id": pd.Series([], dtype=object),
+                                     "status": pd.Series([], dtype=object)})
+            is_doc = df["status"].notna()
+            d = df[is_doc]
+            m = d.merge(df.loc[~is_doc, ["key", "label"]], on="key",
+                        how="left", suffixes=("", "_l"))
+            lab = m["label_l"].where(m["label_l"].notna(), m["key"])
+            return pd.DataFrame({"conv_id": m["key"].to_numpy(dtype=object),
+                                 "cluster_id": lab.to_numpy(dtype=object),
+                                 "status": m["status"].to_numpy(dtype=object)})
+
+        combined = (
+            store.read("docs", ["conv_id", "status"])
+            .map_batches(doc_side, batch_format="pyarrow", zero_copy_batch=True)
+            .union(labels.map_batches(lab_side, batch_format="pyarrow",
+                                      zero_copy_batch=True))
         )
-
-        def finalize(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "conv_id": batch["conv_id"],
-                    "cluster_id": pa.compute.coalesce(batch["label"], batch["conv_id"]),
-                    "status": batch["status"],
-                }
-            )
-
-        return lab_joined.map_batches(finalize, batch_format="pyarrow")
+        return keyed_blocks(combined, ["key"], cfg.num_partitions).map_batches(
+            attach, batch_size=None, batch_format="pandas"
+        )
 
     clusters = store.stage("clusters", compute_clusters)
 

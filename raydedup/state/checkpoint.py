@@ -179,6 +179,26 @@ class CheckpointStore:
         ).hexdigest()[:16]
         return ds
 
+    def fused_stage(self, name: str, compute_fn):
+        """Fuse this stage into its consumer's execution in EVERY mode:
+        no checkpoint, no materialization — the returned Dataset is the
+        lazy operator graph, and the consumer's execution pipelines it
+        (one executor + one set of shuffle-aggregator spin-ups instead of
+        two, and no parquet round-trip).  For cheap-to-recompute
+        intermediates with exactly one consumer, where the resume
+        boundary costs more than it saves: a crash in the consumer stage
+        recomputes this stage from its own upstream checkpoint.  Lineage
+        advances exactly as ``stage`` would, so the fused/persisted
+        choice never invalidates downstream checkpoints."""
+        import hashlib
+
+        ds = compute_fn()
+        self.events.append({"stage": name, "action": "fused", "rows": -1})
+        self.lineage = hashlib.sha256(
+            f"{self.lineage}|{name}|{self.config_hash}".encode()
+        ).hexdigest()[:16]
+        return ds
+
     def parallel_stages(self, specs: list) -> dict:
         """Execute independent sibling stages concurrently (disk mode):
         ``specs`` is a list of (name, compute_fn) with no data dependency

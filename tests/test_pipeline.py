@@ -115,14 +115,17 @@ def test_memory_mode_matches_disk(e2e, tmp_path):
 
 
 def test_resume_skips_recompute(e2e):
-    """Second run with identical (input, config) resumes every stage."""
+    """Second run with identical (input, config) resumes every stage.
+    Fused stages (candidates below the fuse gate) are lazy graphs that
+    never execute when their consumer resumes — no recompute either."""
     from raydedup.pipelines.dedup import run_pipeline
 
     res2 = run_pipeline(
         f"{e2e['fixture_dir']}/transcripts.parquet", e2e["out_dir"], e2e["cfg"]
     )
     actions = {ev["stage"]: ev["action"] for ev in res2["events"]}
-    assert all(a == "resumed" for a in actions.values()), actions
+    assert all(a in ("resumed", "fused") for a in actions.values()), actions
+    assert actions["signatures"] == "resumed" and actions["clusters"] == "resumed"
     cl2 = res2["clusters"].to_pandas().sort_values("conv_id").reset_index(drop=True)
     cl1 = e2e["clusters"].sort_values("conv_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(cl1[["conv_id", "cluster_id", "status"]],
@@ -194,7 +197,8 @@ def test_capped_bucket_recall(ray_session, tmp_path):
     pq.write_table(tbl, src / "transcripts.parquet")
 
     cfg = DedupConfig(
-        num_partitions=4, bucket_pair_cap=4, salt_buckets=2, checkpoint_parts=2
+        num_partitions=4, bucket_pair_cap=4, salt_buckets=2, checkpoint_parts=2,
+        fuse_candidates_max_docs=0,  # keep the candidates checkpoint inspectable
     )
     res = run_pipeline(str(src / "transcripts.parquet"), str(tmp_path / "out"), cfg)
     cands = res["pairs"]  # post-verify pairs carry no capped flag; check candidates
