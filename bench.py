@@ -163,6 +163,9 @@ def run_doc_queries(sf_dir: str) -> dict:
         ("q_dup_degree_profile", lambda sf: docops.dup_degree_profile(sf, df_cap=256)),
         ("q_boilerplate_turns", transcripts.boilerplate_turns),
         ("q_embedding_clusters", similarity.embedding_clusters),
+        ("q_embedding_dbscan", similarity.embedding_dbscan),
+        ("q_vocab_prune", vocab.vocab_prune),
+        ("q_stopword_ratio", vocab.stopword_ratio),
         ("q_passage_dedup", passage.passage_dedup),
         ("q_token_kl_by_source", vocab.token_kl_by_source),
         ("q_stutter_turns", transcripts.stutter_turns),

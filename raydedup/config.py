@@ -165,15 +165,30 @@ class DedupConfig:
     # footprint spills and costs ~25% wall (measured, BASELINE.md).
     fuse_edges_max_docs: int = 100_000
 
-    # In disk mode, the candidate-pair stage fuses into the minhash-verify
-    # execution when the corpus has at most this many docs: candidates are
-    # cheap to recompute from the signatures checkpoint (one band shuffle),
-    # so the extra resume boundary costs more (an executor + aggregator
-    # spin-up and a parquet round-trip) than it saves.  Above the gate the
-    # stage checkpoints separately as before — on week-long multi-node
-    # runs the finer resume wins.  Ignored when pair_checkpoint_parts > 1
-    # (that path resumes FROM the candidates checkpoint).
-    fuse_candidates_max_docs: int = 2_000_000
+    # In disk mode, the candidate-pair stage CAN fuse into the minhash-
+    # verify execution when the corpus has at most this many docs,
+    # skipping one executor/aggregator spin-up and a parquet round-trip
+    # (the fused path also skips the endpoint semi-filter, since the lazy
+    # candidates graph must execute exactly once).  DISABLED by default
+    # (0) after a 12M-turn 4/16-cpu A/B measured it a clear loss on this
+    # single-node proxy: the unfiltered attach shuffle carries every
+    # signature payload (~1 KB/doc) and the band + attach shuffles run
+    # concurrently — fused pairs_minhash 62.9 s vs ~41 s separate at 16
+    # cpus, 163.5 s vs ~95 s at 4 (2026-08-20 sample).  The mechanism
+    # stays for corpora whose duplicate fraction approaches 1 (semi-
+    # filter prunes nothing there) and for genuinely network-cheap
+    # setups.  Ignored when pair_checkpoint_parts > 1 (that path resumes
+    # FROM the candidates checkpoint).
+    fuse_candidates_max_docs: int = 0
+
+    # The per-status cluster counts (metrics surface) are a k-row answer
+    # over the clusters table; below this many rows the fold runs as one
+    # driver-side single-column parquet scan of the clusters checkpoint
+    # (sub-second, no executor spin-up) instead of a distributed
+    # map + fold execution.  Above it — real 100-TB runs — the
+    # distributed fold runs unchanged.  Same size-gated-driver-endgame
+    # posture as cc_driver_finish_edges.
+    status_fold_driver_max_rows: int = 20_000_000
 
     # In disk mode, the same three independent edge stages CAN execute
     # concurrently (driver threads, one write_parquet each) when the

@@ -380,10 +380,13 @@ def run_pipeline(
         artifacts = store.lazy_stage("artifacts", lambda: _artifact_table(store, cfg))
 
     # quarantine partition (S9 analog: the corrupted-list writer,
-    # duplicate_face.py:136-140) — resumable like every stage.  The
-    # returned handles matter in memory mode, where no <out>/quarantine
-    # (or artifacts) directory exists to read back.
-    quarantine = store.lazy_stage(
+    # duplicate_face.py:136-140) — a pure filter over the clusters
+    # checkpoint, so it stays a FUSED lazy view in both modes: fully
+    # derivable (nothing to resume), and checkpointing it separately was
+    # one whole executor spin-up + parquet round-trip per run for a
+    # filter the consumer can pipeline.  Callers who want it on disk
+    # write the returned Dataset.
+    quarantine = store.fused_stage(
         "quarantine",
         lambda: store.read("clusters").filter(
             expr="status == 'corrupted' or status == 'no_content'"
@@ -398,21 +401,33 @@ def run_pipeline(
         metrics.add(ev["stage"], f"rows_{ev['action']}", ev["rows"])
         if "sec" in ev:
             metrics.add(ev["stage"], "wall_ms", int(ev["sec"] * 1000))
-    status_parts = (
-        store.read("clusters", ["status"])
-        .map_batches(
-            lambda df: df["status"]
-            .value_counts()
-            .rename_axis("status")
-            .rename("n")
-            .reset_index(),
-            batch_format="pandas",
-        )
-        .take_all()
-    )
     status_counts: dict = {}
-    for row in status_parts:
-        status_counts[row["status"]] = status_counts.get(row["status"], 0) + row["n"]
+    if cfg.checkpoint_mode == "disk" and n_docs <= cfg.status_fold_driver_max_rows:
+        # size-gated driver fold: one single-column parquet scan of the
+        # clusters checkpoint beats a whole distributed execution for a
+        # k-row answer (see cfg.status_fold_driver_max_rows)
+        import pyarrow.dataset as pds
+
+        col = pds.dataset(os.path.join(out_dir, "clusters")).to_table(
+            columns=["status"]
+        )["status"]
+        for row in pa.compute.value_counts(col.combine_chunks()):
+            status_counts[row["values"].as_py()] = int(row["counts"].as_py())
+    else:
+        status_parts = (
+            store.read("clusters", ["status"])
+            .map_batches(
+                lambda df: df["status"]
+                .value_counts()
+                .rename_axis("status")
+                .rename("n")
+                .reset_index(),
+                batch_format="pandas",
+            )
+            .take_all()
+        )
+        for row in status_parts:
+            status_counts[row["status"]] = status_counts.get(row["status"], 0) + row["n"]
     for st, n in sorted(status_counts.items()):
         metrics.add("clusters", f"status_{st}", n)
     metrics.write(f"{out_dir}/metrics")
