@@ -1860,10 +1860,79 @@ def _check_cdc_chunks(res, con, sf_dir):
     return viol
 
 
+def _check_minhash_doc_clusters(res, con, sf_dir):
+    """minhash_doc_clusters: full coverage, min-member cluster labels, and
+    the exact-duplicate recall floor — docs sharing identical raw text
+    (md5 groups, non-trivial length) must land in ONE cluster: identical
+    text ⇒ identical signature ⇒ identical band buckets, so a split
+    group means broken plumbing, not sketch variance."""
+    viol = []
+    n_docs = con.sql("SELECT COUNT(*) FROM documents").fetchone()[0]
+    if len(res) != n_docs:
+        viol.append(f"{len(res)} rows != {n_docs} documents")
+    if res["conv_id"].duplicated().any():
+        viol.append("conv_id not unique")
+    bad = res.groupby("cluster_id")["conv_id"].min()
+    if (bad.index != bad.to_numpy()).any():
+        viol.append("cluster_id is not the minimum member conv_id")
+    groups = con.sql("""
+        SELECT list(lpad(CAST(doc_id AS VARCHAR), 10, '0')) AS ids
+        FROM documents
+        WHERE text IS NOT NULL AND n_chars >= 20
+        GROUP BY text HAVING COUNT(*) > 1
+    """).df()
+    lab = dict(zip(res["conv_id"], res["cluster_id"]))
+    split = sum(
+        1 for ids in groups["ids"]
+        if len({lab.get(f"doc-{i}") for i in ids}) != 1
+    )
+    if split:
+        viol.append(f"{split} exact-duplicate groups split across clusters")
+    return viol
+
+
+def _check_suffix_doc_pairs(res, con, sf_dir):
+    """suffix_doc_pairs precision: every emitted pair shares a verbatim
+    run of >= suffix_window + suffix_fp_len bytes in the engine-normalized
+    texts (an emitted pair means an equal winnow fingerprint over that
+    span; a shorter true overlap cannot produce one absent a 64-bit hash
+    collision)."""
+    from difflib import SequenceMatcher
+
+    import pyarrow as pa
+
+    from raydedup.config import DedupConfig
+    from raydedup.functions.textnorm import normalize_array
+
+    cfg = DedupConfig()
+    need = cfg.suffix_window + cfg.suffix_fp_len
+    viol = []
+    docs = con.sql("SELECT doc_id, text FROM documents").df()
+    norm = normalize_array(
+        pa.array(docs["text"].fillna("").tolist(), pa.string())
+    ).to_pylist()
+    by_id = {f"doc-{int(i):010d}": t.encode("utf-8")
+             for i, t in zip(docs["doc_id"], norm)}
+    short = 0
+    for a, b in zip(res["a"], res["b"]):
+        ta, tb = by_id.get(a), by_id.get(b)
+        if ta is None or tb is None:
+            viol.append(f"pair references unknown doc: {a}, {b}")
+            continue
+        m = SequenceMatcher(None, ta, tb, autojunk=False)
+        if m.find_longest_match(0, len(ta), 0, len(tb)).size < need:
+            short += 1
+    if short:
+        viol.append(f"{short} pairs lack a {need}-byte shared verbatim run")
+    return viol
+
+
 def invariant_checks():
     """Map of rows-only queries to their invariant twins (see above)."""
     return {
         "q_sequence_pack": _check_sequence_pack,
         "q_cms_top_tokens": _check_cms_top_tokens,
         "q_cdc_chunks": _check_cdc_chunks,
+        "q_minhash_doc_clusters": _check_minhash_doc_clusters,
+        "q_suffix_doc_pairs": _check_suffix_doc_pairs,
     }
