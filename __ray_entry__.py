@@ -285,6 +285,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, clusters=docdedup.exact_doc_clusters(sf)),
         "q_cluster_canonicals_exact": lambda sf: docdedup.cluster_canonicals(
             sf, clusters=docdedup.exact_doc_clusters(sf)),
+        # embedding near-dup pair miners — moved inside the driver's
+        # checked window this round because their contract CHANGED
+        # (est_sim column added): the r05 driver row re-certifies them
+        "q_embedding_dup_pairs": _embedding_dup_pairs_table,
+        # the 100-TB pair-mining path: hyperplane buckets + in-bucket exact
+        # cosine (deterministic; recall<1 by design → no SQL twin)
+        "q_embedding_dup_pairs_lsh": lambda sf: _embedding_dup_pairs_table(sf, lsh=True),
         # --- multimodal plumbing (stubbed decoder; real Ray path) ---
         "q_media_features": _media_features,
         "q_frame_samples": _frame_samples,
@@ -303,10 +310,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # broadcast projection): no SQL twin (DuckDB has no eig); the
         # bit-exact oracle is the sequential numpy twin in tests
         "q_embedding_pca": similarity.embedding_pca,
-        "q_embedding_dup_pairs": _embedding_dup_pairs_table,
-        # the 100-TB pair-mining path: hyperplane buckets + in-bucket exact
-        # cosine (deterministic; recall<1 by design → no SQL twin)
-        "q_embedding_dup_pairs_lsh": lambda sf: _embedding_dup_pairs_table(sf, lsh=True),
         # --- corpus curation (benchmark decontamination, splits, PII) ---
         "q_decontaminate": curation.decontaminate,
         # GPT-3-style n-gram-collision decontamination (Bloom-prefiltered
