@@ -168,6 +168,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_vocab_prune": vocab.vocab_prune,
         "q_stopword_ratio": vocab.stopword_ratio,
         "q_doc_ttr": vocab.doc_ttr,
+        # corpus-unigram-LM quality score (perplexity stand-in when no
+        # external LM exists): avg ln p(tok) per doc, LM = the corpus
+        # itself; tok co-shuffle, one broadcast scalar
+        "q_unigram_logprob": vocab.unigram_logprob,
         "q_cms_top_tokens": vocab.cms_top_tokens,
         # proportional per-stratum sample with integer-exact quotas
         "q_stratified_sample": sampling.stratified_sample,
@@ -503,6 +507,28 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(agg.n_kept, 0) AS n_kept,
                    COALESCE(agg.n_tokens, 0) - COALESCE(agg.n_kept, 0) AS n_pruned
             FROM documents LEFT JOIN agg ON documents.doc_id = agg.doc_id
+        """,
+        # corpus-unigram-LM score: each occurrence contributes
+        # ln(c(tok)/N); summation order differs from the kernel so the
+        # per-doc average ROUNDs to 6 (same posture as the KL twin)
+        "q_unigram_logprob": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(COALESCE(text,''))), '\s+')) AS tok
+              FROM documents WHERE len(trim(COALESCE(text,''))) > 0
+            ),
+            ct AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+            tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM ct),
+            per AS (
+              SELECT t.doc_id, COUNT(*) AS n_tokens,
+                     SUM(ln(ct.c / tot.n)) AS lp
+              FROM t JOIN ct USING (tok) CROSS JOIN tot
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   ROUND(COALESCE(per.lp / per.n_tokens, 0.0), 6) AS avg_logprob
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         """,
         "q_stopword_ratio": r"""
             WITH t AS (

@@ -250,6 +250,112 @@ def stopword_ratio(sf_dir: str, k: int = 32):
     )
 
 
+def unigram_logprob(sf_dir: str, num_partitions: int = 0):
+    """Corpus-unigram-LM quality score → (doc_id, n_tokens, avg_logprob).
+
+    The CCNet-style "how typical is this document of the corpus" signal
+    with the LM trained on the corpus itself: avg_logprob = (1/n) Σ over
+    token OCCURRENCES of ln(c(tok)/N), where c is the token's corpus
+    occurrence count and N the corpus total.  Empty docs score 0.0 with
+    n_tokens = 0.  Boilerplate-heavy docs score high (common tokens),
+    junk/rare-token docs score low — the threshold input for a
+    perplexity-like quality cut when no external LM is available.
+
+    Distribution (same shapes as :func:`vocab_prune` +
+    :func:`token_kl_by_source`): a tiny totals pass folds per-block
+    token counts to the single scalar N (≤ blocks rows to the driver,
+    broadcast by closure); the melt emits one (tok, doc_id, c) row per
+    distinct (doc, tok) plus one hash-spread marker row per doc; ONE
+    tok shuffle makes c(tok) exact in-block and folds per-doc partial
+    (Σ c·ln(c(tok)/N), Σ c) counter rows; a doc_id shuffle finishes the
+    average.  No vocabulary broadcast, no driver collect beyond the
+    one scalar."""
+
+    def tot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = _tokens(df["text"]).str.len().fillna(0).to_numpy(np.int64)
+        return pd.DataFrame({"n": [np.int64(n.sum())]})
+
+    total = float(
+        _docs(sf_dir, ["text"])
+        .map_batches(tot_partial, batch_format="pandas")
+        .to_pandas()["n"].sum()
+    )
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"tok": pd.Series([], dtype=object),
+                              "m": pd.Series([], dtype=np.int8),
+                              "doc_id": pd.Series([], dtype=np.int64),
+                              "c": pd.Series([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        ids = df["doc_id"].to_numpy(np.int64)
+        flat = (pd.DataFrame({"doc_id": ids, "tok": _tokens(df["text"])})
+                .explode("tok").dropna(subset=["tok"]))
+        g = (flat.groupby(["tok", "doc_id"], sort=False)
+             .size().rename("c").reset_index())
+        g["m"] = np.int8(0)
+        markers = pd.DataFrame({
+            "tok": pd.Series(ids.astype(str), dtype=object),
+            "m": np.full(len(ids), 1, np.int8),
+            "doc_id": ids,
+            "c": np.zeros(len(ids), np.int64),
+        })
+        return pd.concat([g[["tok", "m", "doc_id", "c"]], markers],
+                         ignore_index=True).astype({"c": np.int64})
+
+    def per_tok(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "lp": pd.Series([], dtype=np.float64),
+                              "n": pd.Series([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        m = df["m"].to_numpy()
+        real = df[m == 0]
+        parts = []
+        if len(real):
+            ctok = (real.groupby("tok", sort=False)["c"].transform("sum")
+                    .to_numpy(np.float64))
+            c = real["c"].to_numpy(np.int64)
+            lp = c * np.log(ctok / total)
+            parts.append(pd.DataFrame({
+                "doc_id": real["doc_id"].to_numpy(np.int64),
+                "lp": lp, "n": c,
+            }).groupby("doc_id", sort=False).sum().reset_index())
+        mk = df[m == 1]
+        if len(mk):
+            parts.append(pd.DataFrame({"doc_id": mk["doc_id"].to_numpy(np.int64),
+                                       "lp": np.zeros(len(mk)),
+                                       "n": np.zeros(len(mk), np.int64)}))
+        out = pd.concat(parts, ignore_index=True) if parts else empty
+        return out.astype({"doc_id": np.int64, "n": np.int64})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "n_tokens": pd.Series([], dtype=np.int64),
+                              "avg_logprob": pd.Series([], dtype=np.float64)})
+        if len(df) == 0:
+            return empty
+        g = (df.groupby("doc_id", sort=False)
+             .agg(lp=("lp", "sum"), n_tokens=("n", "sum")).reset_index())
+        n = g["n_tokens"].to_numpy(np.float64)
+        g["avg_logprob"] = np.round(
+            np.divide(g["lp"].to_numpy(), n, out=np.zeros(len(g)), where=n > 0), 6
+        )
+        return g[["doc_id", "n_tokens", "avg_logprob"]].astype(
+            {"doc_id": np.int64, "n_tokens": np.int64})
+
+    num_partitions = num_partitions or default_partitions()
+    melted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        melt, batch_format="pandas"
+    )
+    partials = keyed_blocks(melted, ["tok"], num_partitions).map_batches(
+        per_tok, batch_size=None, batch_format="pandas"
+    )
+    return keyed_blocks(partials, ["doc_id"], num_partitions).map_batches(
+        fold, batch_size=None, batch_format="pandas"
+    )
+
+
 def doc_ttr(sf_dir: str):
     """Lexical diversity → (doc_id, n_tokens, n_distinct, ttr): per-doc
     type-token ratio round(distinct/total, 12), 0.0 for empty docs.  Pure

@@ -122,3 +122,40 @@ def test_stratified_sample_exact_quotas(ray_session):
         quota = (len(grp) + 9) // 10
         want = set(grp.sort_values(["sk", "doc_id"]).head(quota)["doc_id"])
         assert set(got.loc[got["source"] == g, "doc_id"]) == want
+
+
+def test_unigram_logprob_matches_sequential(ray_session):
+    """Kernel == the sequential numpy twin on the sf fixture: per-doc mean
+    of ln(corpus_count/total) over token occurrences, 0.0 for empty docs;
+    partition-count invariant."""
+    import numpy as np
+
+    from raydedup.pipelines.vocab import unigram_logprob
+
+    got = (unigram_logprob(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    docs = _docs_df()
+    toks = docs["text"].fillna("").str.lower().str.strip().str.split()
+    from collections import Counter
+
+    counts = Counter()
+    for ts in toks:
+        counts.update(ts)
+    total = float(sum(counts.values()))
+    want = []
+    for doc_id, ts in zip(docs["doc_id"], toks):
+        if len(ts) == 0:
+            want.append((doc_id, 0, 0.0))
+        else:
+            lp = float(np.mean([np.log(counts[t] / total) for t in ts]))
+            want.append((doc_id, len(ts), round(lp, 6)))
+    import pandas as pd
+
+    wdf = (pd.DataFrame(want, columns=["doc_id", "n_tokens", "avg_logprob"])
+           .sort_values("doc_id").reset_index(drop=True))
+    assert (got["n_tokens"].to_numpy() == wdf["n_tokens"].to_numpy()).all()
+    assert np.allclose(got["avg_logprob"], wdf["avg_logprob"], atol=2e-6)
+
+    b = (unigram_logprob(SF, num_partitions=7).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, b)
