@@ -240,6 +240,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distributed median of a continuous float column (two-phase
         # selection: sparse histogram localize → narrow filtered collect)
         "q_exact_median": curation.exact_median,
+        # exact p90 via the same bounded-band selection machinery, with
+        # quantile_cont interpolation between the two order statistics
+        "q_exact_quantile_p90": lambda sf: curation.exact_quantile(sf, q=0.9),
         # per-source unigram KL drift vs the corpus distribution (DoReMi-
         # style mixture diagnostic): one Zipf-bounded tok shuffle + tiny
         # source fold, totals broadcast from a counter pass
@@ -729,6 +732,12 @@ def oracle_sql() -> dict[str, str]:
         "q_exact_median": """
             SELECT CAST(COUNT(value) AS BIGINT) AS n,
                    ROUND(median(value), 6) AS median_value
+            FROM events WHERE NOT isnan(value)
+        """,
+        "q_exact_quantile_p90": """
+            SELECT CAST(COUNT(value) AS BIGINT) AS n,
+                   0.9 AS q,
+                   ROUND(quantile_cont(value, 0.9), 6) AS quantile_value
             FROM events WHERE NOT isnan(value)
         """,
         # streaming-window dedup: earliest row per (user, type, hour

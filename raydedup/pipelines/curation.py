@@ -983,21 +983,82 @@ def exact_median(sf_dir: str, n_bins: int = 65536,
     import ray.data as rd
 
     src = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
+    sel = _OrderStatSelector(src, n_bins, max_band_rows, max_depth)
+    n = sel.n
+    if n == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"n": pd.Series([0], dtype=np.int64),
+             "median_value": pd.Series([np.nan], dtype=np.float64)}))
+    # order statistics needed (0-indexed): median = avg of these two
+    k_lo, k_hi = (n - 1) // 2, n // 2
+    med = (sel.stat(k_lo) + sel.stat(k_hi)) / 2.0
+    return rd.from_pandas(pd.DataFrame(
+        {"n": [np.int64(n)], "median_value": [round(med, 6)]}))
 
-    def _band_values(df: pd.DataFrame, levels) -> np.ndarray:
-        """Values of the current band: NaN-dropped, then the level chain
-        (lo, width, bin) applied with the SAME clip arithmetic the
-        histogram used, so band membership is bit-consistent."""
-        v = df["value"].to_numpy(dtype=np.float64)
-        v = v[~np.isnan(v)]
-        for l, w, b in levels:
-            bi = np.clip(((v - l) / w).astype(np.int64), 0, n_bins - 1)
-            v = v[bi == b]
-        return v
 
-    def _moments(levels):
+def _band_values(df: pd.DataFrame, levels, n_bins: int) -> np.ndarray:
+    """Values of the current selection band: NaN-dropped, then the level
+    chain (lo, width, bin) applied with the SAME clip arithmetic the
+    histogram used, so band membership is bit-consistent.  Module-level so
+    map closures capture only plain values, never the selector (whose
+    ``src`` Dataset must not ship to workers)."""
+    v = df["value"].to_numpy(dtype=np.float64)
+    v = v[~np.isnan(v)]
+    for l, w, b in levels:
+        bi = np.clip(((v - l) / w).astype(np.int64), 0, n_bins - 1)
+        v = v[bi == b]
+    return v
+
+
+def exact_quantile(sf_dir: str, q: float = 0.9, n_bins: int = 65536,
+                   max_band_rows: int = 2_000_000, max_depth: int = 6):
+    """EXACT continuous quantile of ``events.value`` → one row
+    (n, q, quantile_value), with DuckDB ``quantile_cont`` interpolation:
+    position p = q·(n−1), result = v⌊p⌋ + (p−⌊p⌋)·(v⌈p⌉ − v⌊p⌋) over the
+    NaN-dropped sorted column.  Same selection machinery as
+    :func:`exact_median` (iterative histogram refinement, bounded band
+    collect, skew-safe) — the two needed order statistics share the
+    selector's band cache, so the common same-bin case pays one collect."""
+    import ray.data as rd
+
+    src = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
+    sel = _OrderStatSelector(src, n_bins, max_band_rows, max_depth)
+    n = sel.n
+    if n == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"n": pd.Series([0], dtype=np.int64),
+             "q": pd.Series([q], dtype=np.float64),
+             "quantile_value": pd.Series([np.nan], dtype=np.float64)}))
+    p = q * (n - 1)
+    k_lo, k_hi = int(np.floor(p)), int(np.ceil(p))
+    v_lo = sel.stat(k_lo)
+    v_hi = v_lo if k_hi == k_lo else sel.stat(k_hi)
+    val = v_lo + (p - k_lo) * (v_hi - v_lo)
+    return rd.from_pandas(pd.DataFrame(
+        {"n": [np.int64(n)], "q": [float(q)],
+         "quantile_value": [round(float(val), 6)]}))
+
+
+class _OrderStatSelector:
+    """Distributed exact order statistics over a float column by iterative
+    histogram refinement (see :func:`exact_median` for the algorithm and
+    its skew/termination guarantees).  ``stat(k)`` returns the exact
+    k-th (0-indexed) order statistic of the NaN-dropped column; bands
+    are cached so several nearby ranks share one collect."""
+
+    def __init__(self, src, n_bins: int, max_band_rows: int, max_depth: int):
+        self.src = src
+        self.n_bins = n_bins
+        self.max_band_rows = max_band_rows
+        self.max_depth = max_depth
+        self._band_cache: dict = {}
+        self.n, self.lo, self.hi = self._moments([])
+
+    def _moments(self, levels):
+        band_values, n_bins = _band_values, self.n_bins
+
         def part(df: pd.DataFrame) -> pd.DataFrame:
-            v = _band_values(df, levels)
+            v = band_values(df, levels, n_bins)
             if len(v) == 0:
                 return pd.DataFrame({"n": pd.Series([], dtype=np.int64),
                                      "lo": pd.Series([], dtype=np.float64),
@@ -1005,14 +1066,16 @@ def exact_median(sf_dir: str, n_bins: int = 65536,
             return pd.DataFrame({"n": [np.int64(len(v))],
                                  "lo": [float(v.min())], "hi": [float(v.max())]})
 
-        m = src.map_batches(part, batch_format="pandas").to_pandas()
+        m = self.src.map_batches(part, batch_format="pandas").to_pandas()
         if len(m) == 0 or int(m["n"].sum()) == 0:
             return 0, np.nan, np.nan
         return int(m["n"].sum()), float(m["lo"].min()), float(m["hi"].max())
 
-    def _hist(levels, lo_b, width):
+    def _hist(self, levels, lo_b, width):
+        band_values, n_bins = _band_values, self.n_bins
+
         def part(df: pd.DataFrame) -> pd.DataFrame:
-            v = _band_values(df, levels)
+            v = band_values(df, levels, n_bins)
             if len(v) == 0:
                 return pd.DataFrame({"bin": pd.Series([], dtype=np.int64),
                                      "c": pd.Series([], dtype=np.int64)})
@@ -1022,59 +1085,44 @@ def exact_median(sf_dir: str, n_bins: int = 65536,
             return pd.DataFrame({"bin": nz.astype(np.int64),
                                  "c": cnt[nz].astype(np.int64)})
 
-        return (src.map_batches(part, batch_format="pandas").to_pandas()
+        return (self.src.map_batches(part, batch_format="pandas").to_pandas()
                 .groupby("bin")["c"].sum().sort_index())
 
-    def _refine(r: int):
+    def _refine(self, r: int):
         """Narrow to a ≤max_band_rows band containing rank ``r``.
         Returns (levels, in-band rank, exact value or None)."""
         levels: list = []
         while True:
-            cnt, lo_b, hi_b = _moments(levels)
+            cnt, lo_b, hi_b = self._moments(levels)
             if lo_b == hi_b:
                 return levels, r, lo_b  # constant band — the value itself
-            if cnt <= max_band_rows or len(levels) >= max_depth:
+            if cnt <= self.max_band_rows or len(levels) >= self.max_depth:
                 return levels, r, None
-            width = (hi_b - lo_b) / n_bins
-            cum = _hist(levels, lo_b, width).cumsum()
+            width = (hi_b - lo_b) / self.n_bins
+            cum = self._hist(levels, lo_b, width).cumsum()
             pos = int(np.searchsorted(cum.to_numpy(), r + 1))
             b = int(cum.index[pos])
             r -= int(cum.iloc[pos - 1]) if pos > 0 else 0
             levels = levels + [(lo_b, width, b)]
 
-    n, lo, hi = _moments([])
-    if n == 0:
-        return rd.from_pandas(pd.DataFrame(
-            {"n": pd.Series([0], dtype=np.int64),
-             "median_value": pd.Series([np.nan], dtype=np.float64)}))
-    if lo == hi:
-        return rd.from_pandas(pd.DataFrame(
-            {"n": [np.int64(n)], "median_value": [round(lo, 6)]}))
-
-    # order statistics needed (0-indexed): median = avg of these two
-    k_lo, k_hi = (n - 1) // 2, n // 2
-    plans = {k_lo: _refine(k_lo)}
-    plans[k_hi] = plans[k_lo] if k_hi == k_lo else _refine(k_hi)
-
-    band_cache: dict = {}
-
-    def _band_collect(levels) -> np.ndarray:
+    def _band_collect(self, levels) -> np.ndarray:
         key = tuple(levels)
-        if key not in band_cache:
+        if key not in self._band_cache:
+            band_values, n_bins = _band_values, self.n_bins
+
             def part(df: pd.DataFrame) -> pd.DataFrame:
-                return pd.DataFrame({"value": _band_values(df, levels)})
+                return pd.DataFrame({"value": band_values(df, levels, n_bins)})
 
-            band_cache[key] = (src.map_batches(part, batch_format="pandas")
-                               .to_pandas()["value"].to_numpy())
-        return band_cache[key]
+            self._band_cache[key] = (
+                self.src.map_batches(part, batch_format="pandas")
+                .to_pandas()["value"].to_numpy()
+            )
+        return self._band_cache[key]
 
-    vals = {}
-    for k, (levels, r, direct) in plans.items():
+    def stat(self, k: int) -> float:
+        if self.lo == self.hi:
+            return float(self.lo)
+        levels, r, direct = self._refine(k)
         if direct is not None:
-            vals[k] = float(direct)
-        else:
-            band = _band_collect(levels)
-            vals[k] = float(np.partition(band, r)[r])
-    med = (vals[k_lo] + vals[k_hi]) / 2.0
-    return rd.from_pandas(pd.DataFrame(
-        {"n": [np.int64(n)], "median_value": [round(med, 6)]}))
+            return float(direct)
+        return float(np.partition(self._band_collect(levels), r)[r])

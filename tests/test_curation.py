@@ -323,3 +323,24 @@ def test_exact_median_skewed_band_stays_bounded(ray_session, tmp_path):
     clean = vals2[~np.isnan(vals2)]
     assert got.loc[0, "median_value"] == round(float(np.median(clean)), 6)
     assert int(got.loc[0, "n"]) == len(clean)
+
+
+def test_exact_quantile_matches_numpy(ray_session, tmp_path):
+    """quantile_cont interpolation (p = q*(n-1), linear between the two
+    order statistics) == numpy's linear percentile, including under the
+    tiny-band refinement config."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from raydedup.pipelines.curation import exact_quantile
+
+    rng = np.random.RandomState(5)
+    vals = np.concatenate([rng.uniform(0, 100, 2000), np.full(3000, 42.0)])
+    pqw.write_table(pa.table({"value": vals}), str(tmp_path / "events.parquet"))
+    for q in (0.1, 0.5, 0.9, 0.99):
+        got = exact_quantile(str(tmp_path), q=q, n_bins=16,
+                             max_band_rows=64).to_pandas()
+        assert got.loc[0, "quantile_value"] == round(
+            float(np.percentile(vals, q * 100, method="linear")), 6), q
+        assert int(got.loc[0, "n"]) == len(vals)
