@@ -1965,6 +1965,101 @@ def _check_suffix_doc_pairs(res, con, sf_dir):
     return viol
 
 
+def _check_approx_distinct_users(res, con, sf_dir):
+    """HLL estimate vs the exact COUNT(DISTINCT): relative error within
+    5 standard errors (1.04/sqrt(m)) — deterministic hashing means the
+    observed error is fixed per dataset, the 5-sigma margin covers it."""
+    from raydedup.pipelines.curation import _HLL_P
+
+    exact = con.sql(
+        "SELECT COUNT(DISTINCT user_id) FROM events WHERE user_id IS NOT NULL"
+    ).fetchone()[0]
+    est = int(res["estimate"].iloc[0])
+    bound = 5 * 1.04 / (1 << _HLL_P) ** 0.5 * max(1, exact)
+    if abs(est - exact) > bound:
+        return [f"HLL estimate {est} off exact {exact} by more than {bound:.1f}"]
+    return []
+
+
+def _check_approx_value_quantiles(res, con, sf_dir):
+    """Quantile-sketch estimates: each value_est's exact rank interval
+    must lie within 0.5% of the requested q (documented bound ≈ 0.15%
+    at S=1024 over two merge levels)."""
+    viol = []
+    n = con.sql("SELECT COUNT(value) FROM events WHERE NOT isnan(value)").fetchone()[0]
+    for q, est in zip(res["q"], res["value_est"]):
+        lo = con.sql(
+            f"SELECT COUNT(*) FROM events WHERE NOT isnan(value) AND value < {est!r}"
+        ).fetchone()[0] / n
+        hi = con.sql(
+            f"SELECT COUNT(*) FROM events WHERE NOT isnan(value) AND value <= {est!r}"
+        ).fetchone()[0] / n
+        if not (lo - 0.005 <= q <= hi + 0.005):
+            viol.append(f"q={q}: est {est} has rank [{lo:.4f},{hi:.4f}]")
+    return viol
+
+
+def _check_cdc_dedup(res, con, sf_dir):
+    """cdc_dedup must be exactly the profile implied by the (itself
+    twin-checked) cdc_chunks table: n_chunks = chunk count per doc,
+    n_dup_chunks = chunks whose md5 occurs >1 corpus-wide, ratio
+    round(n_dup/n, 6)."""
+    import numpy as np
+    import pandas as pd
+
+    from raydedup.pipelines.cdc import cdc_chunks
+
+    chunks = cdc_chunks(sf_dir).to_pandas()
+    occ = chunks["chunk_md5"].value_counts()
+    chunks["dup"] = chunks["chunk_md5"].map(occ).gt(1)
+    want = (chunks.groupby("doc_id")
+            .agg(n_chunks=("chunk_idx", "count"), n_dup_chunks=("dup", "sum"))
+            .reset_index())
+    want["dup_ratio"] = np.round(
+        want["n_dup_chunks"] / want["n_chunks"], 6)
+    got = res.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    got_docs = set(got["doc_id"])
+    if got_docs != set(want["doc_id"]):
+        # docs without chunks (empty text) may appear with zeros — allow
+        extra = got[~got["doc_id"].isin(want["doc_id"])]
+        if (extra["n_chunks"] != 0).any():
+            return ["doc coverage differs from the chunk table"]
+        got = got[got["doc_id"].isin(want["doc_id"])].reset_index(drop=True)
+    try:
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "n_chunks", "n_dup_chunks", "dup_ratio"]].astype(
+                {"n_chunks": "int64", "n_dup_chunks": "int64"}),
+            want.astype({"n_chunks": "int64", "n_dup_chunks": "int64"}),
+            check_dtype=False,
+        )
+    except AssertionError as ex:
+        return [f"profile differs from the chunk-table-implied one: {str(ex)[:200]}"]
+    return []
+
+
+def _check_embedding_dup_pairs_lsh(res, con, sf_dir):
+    """LSH pair-miner precision: every emitted pair's EXACT cosine must
+    clear the query threshold (0.5) and match the attached est_sim on
+    the 4-decimal grid (recall < 1 by design is not checked here)."""
+    import numpy as np
+
+    emb = con.sql("SELECT vec_id, embedding FROM embeddings").df()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    norm = np.linalg.norm(mat, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    mat = mat / norm
+    idx = {v: i for i, v in enumerate(emb["vec_id"])}
+    viol = []
+    for a, b, s in zip(res["a"], res["b"], res["est_sim"]):
+        cos = float(mat[idx[a]] @ mat[idx[b]])
+        if cos < 0.5 - 1e-9:
+            viol.append(f"pair ({a},{b}) cosine {cos:.4f} below threshold")
+        if abs(round(cos, 4) - s) > 1e-9:
+            viol.append(f"pair ({a},{b}) est_sim {s} != exact {round(cos, 4)}")
+    return viol
+
+
 def invariant_checks():
     """Map of rows-only queries to their invariant twins (see above)."""
     return {
@@ -1973,4 +2068,8 @@ def invariant_checks():
         "q_cdc_chunks": _check_cdc_chunks,
         "q_minhash_doc_clusters": _check_minhash_doc_clusters,
         "q_suffix_doc_pairs": _check_suffix_doc_pairs,
+        "q_approx_distinct_users": _check_approx_distinct_users,
+        "q_approx_value_quantiles": _check_approx_value_quantiles,
+        "q_cdc_dedup": _check_cdc_dedup,
+        "q_embedding_dup_pairs_lsh": _check_embedding_dup_pairs_lsh,
     }
