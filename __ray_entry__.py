@@ -283,8 +283,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # count-distribution instead of a global sort)
         "q_doc_length_rank": docops.doc_length_rank,
         "q_bigram_collocations": docops.bigram_collocations,
-        "q_cluster_report": docdedup.cluster_report,
-        "q_cluster_canonicals": docdedup.cluster_canonicals,
         # the same report/canonical folds fed by SQL-expressible exact
         # md5 clusters: full DuckDB twins certify the fold/selection
         # logic at hash level (the MinHash-fed defaults stay rows-only)
@@ -299,6 +297,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the 100-TB pair-mining path: hyperplane buckets + in-bucket exact
         # cosine (deterministic; recall<1 by design → no SQL twin)
         "q_embedding_dup_pairs_lsh": lambda sf: _embedding_dup_pairs_table(sf, lsh=True),
+        # MinHash-fed report/canonicals (rows-only by nature — the exact-fed
+        # twins above certify the folds at hash level); placed just past
+        # the hash-capable entries in the driver's checked window
+        "q_cluster_report": docdedup.cluster_report,
+        "q_cluster_canonicals": docdedup.cluster_canonicals,
         # --- multimodal plumbing (stubbed decoder; real Ray path) ---
         "q_media_features": _media_features,
         "q_frame_samples": _frame_samples,
