@@ -2063,6 +2063,91 @@ def _check_embedding_dup_pairs_lsh(res, con, sf_dir):
     return viol
 
 
+def _check_ann(res, con, sf_dir):
+    """ANN result contract (both LSH and IVF variants): per query, rnk is
+    dense from 1, neighbors are distinct and never the query itself, and
+    the ranking agrees with EXACT cosine under the (cosine desc,
+    neighbor_id asc) tie rule — the re-rank step is exact, so a
+    violation means broken plumbing (recall < 1 by design is pytest's
+    concern, not this one)."""
+    import numpy as np
+
+    emb = con.sql("SELECT vec_id, embedding FROM embeddings").df()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    norm = np.linalg.norm(mat, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    mat = mat / norm
+    idx = {v: i for i, v in enumerate(emb["vec_id"])}
+    viol = []
+    for q, g in res.groupby("query_id"):
+        g = g.sort_values("rnk")
+        if list(g["rnk"]) != list(range(1, len(g) + 1)):
+            viol.append(f"query {q}: rnk not dense 1..{len(g)}")
+        if g["neighbor_id"].duplicated().any() or (g["neighbor_id"] == q).any():
+            viol.append(f"query {q}: duplicate or self neighbor")
+        keys = [(-float(mat[idx[q]] @ mat[idx[n]]), int(n)) for n in g["neighbor_id"]]
+        if any(a > b for a, b in zip(keys, keys[1:])):
+            viol.append(f"query {q}: rank order disagrees with exact cosine")
+    return viol
+
+
+def _check_value_quantiles_by_type(res, con, sf_dir):
+    """Per-group quantile sketch: each (event_type, q) estimate's exact
+    in-group rank interval must cover q within 0.5%."""
+    viol = []
+    for et, q, est in zip(res["event_type"], res["q"], res["value_est"]):
+        n = con.sql(
+            "SELECT COUNT(value) FROM events WHERE NOT isnan(value)"
+            f" AND event_type = '{et}'"
+        ).fetchone()[0]
+        if n == 0:
+            viol.append(f"{et}: no rows but an estimate was emitted")
+            continue
+        lo = con.sql(
+            "SELECT COUNT(*) FROM events WHERE NOT isnan(value)"
+            f" AND event_type = '{et}' AND value < {est!r}"
+        ).fetchone()[0] / n
+        hi = con.sql(
+            "SELECT COUNT(*) FROM events WHERE NOT isnan(value)"
+            f" AND event_type = '{et}' AND value <= {est!r}"
+        ).fetchone()[0] / n
+        if not (lo - 0.005 <= q <= hi + 0.005):
+            viol.append(f"({et}, q={q}): est {est} has rank [{lo:.4f},{hi:.4f}]")
+    return viol
+
+
+def _check_transcript_dedup(res, con, sf_dir):
+    """Flagship cluster table: one row per fixture conversation,
+    cluster_id = min member conv_id, quarantined statuses (corrupted /
+    no_content) are always singleton self-clusters."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from raydedup.sources.synth import materialize
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.01
+    fixture = materialize(seed=42, n_convs=max(200, int(200_000 * sf)))
+    convs = set(
+        pq.read_table(f"{fixture}/transcripts.parquet", columns=["conv_id"])
+        ["conv_id"].to_pylist()
+    )
+    viol = []
+    if set(res["conv_id"]) != convs or res["conv_id"].duplicated().any():
+        viol.append("conv coverage differs from the fixture")
+    lab = res.groupby("cluster_id")["conv_id"].min()
+    if (lab.index != lab.to_numpy()).any():
+        viol.append("cluster_id is not the minimum member conv_id")
+    quar = res[res["status"].isin(["corrupted", "no_content"])]
+    if (quar["cluster_id"].to_numpy() != quar["conv_id"].to_numpy()).any():
+        viol.append("a quarantined conversation is not a singleton cluster")
+    ok_statuses = set(res["status"]) - {"ok", "corrupted", "no_content"}
+    if ok_statuses:
+        viol.append(f"unexpected statuses: {sorted(ok_statuses)}")
+    return viol
+
+
 def invariant_checks():
     """Map of rows-only queries to their invariant twins (see above)."""
     return {
@@ -2075,4 +2160,8 @@ def invariant_checks():
         "q_approx_value_quantiles": _check_approx_value_quantiles,
         "q_cdc_dedup": _check_cdc_dedup,
         "q_embedding_dup_pairs_lsh": _check_embedding_dup_pairs_lsh,
+        "q_ann_lsh": _check_ann,
+        "q_ann_ivf": _check_ann,
+        "q_value_quantiles_by_type": _check_value_quantiles_by_type,
+        "q_transcript_dedup": _check_transcript_dedup,
     }
