@@ -90,3 +90,27 @@ def test_every_query_runs_and_matches_oracle(ray_session, contract, oracle_con):
         if not _canon(df).equals(_canon(odf)):
             failures.append(f"{name}: value mismatch")
     assert not failures, "\n".join(failures)
+
+
+def test_invariant_twins_hold(contract, oracle_con, ray_session):
+    """Every invariant twin (the certification layer for rows-only
+    queries — see __ray_entry__.invariant_checks) passes at sf0.001, so
+    the layer can't rot between driver sweeps."""
+    import os
+
+    import __ray_entry__ as entry
+
+    qs, _ = contract
+    inv = entry.invariant_checks()
+    assert set(inv) <= set(qs), "invariant entries without a query"
+    os.environ["RAYDEDUP_ORACLE_SF"] = "0.001"
+    try:
+        failures = []
+        for name, check in inv.items():
+            res = _frame(qs[name](SF))
+            viol = check(res, oracle_con, SF)
+            if viol:
+                failures.append(f"{name}: {viol}")
+        assert not failures, "\n".join(failures)
+    finally:
+        os.environ.pop("RAYDEDUP_ORACLE_SF", None)
