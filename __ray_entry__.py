@@ -2148,6 +2148,176 @@ def _check_transcript_dedup(res, con, sf_dir):
     return viol
 
 
+_CLUSTER_CACHE: dict = {}
+
+
+def _minhash_clusters_df(sf_dir: str):
+    """The (itself twin-checked) MinHash cluster table, cached per sf_dir
+    so the report and canonicals consistency checks share one run."""
+    if sf_dir not in _CLUSTER_CACHE:
+        from raydedup.pipelines.docdedup import minhash_doc_clusters
+
+        _CLUSTER_CACHE[sf_dir] = minhash_doc_clusters(sf_dir).to_pandas()
+    return _CLUSTER_CACHE[sf_dir]
+
+
+def _check_cluster_report(res, con, sf_dir):
+    """cluster_report must equal the fold implied by the (coverage- and
+    label-certified) MinHash cluster table: exact sizes, first-3 members
+    ascending."""
+    import pandas as pd
+
+    cl = _minhash_clusters_df(sf_dir).sort_values(["cluster_id", "conv_id"])
+    want = (cl.groupby("cluster_id")["conv_id"]
+            .agg(n_members="size", members=lambda s: ",".join(s.head(3)))
+            .reset_index())
+    got = res.sort_values("cluster_id").reset_index(drop=True)
+    want = want.sort_values("cluster_id").reset_index(drop=True)
+    try:
+        pd.testing.assert_frame_equal(
+            got[["cluster_id", "n_members", "members"]], want, check_dtype=False)
+    except AssertionError as ex:
+        return [f"report differs from the cluster-table-implied fold: {str(ex)[:200]}"]
+    return []
+
+
+def _check_cluster_canonicals(res, con, sf_dir):
+    """cluster_canonicals must equal the selection implied by the MinHash
+    cluster table + documents.n_chars: canonical = longest text, ties by
+    lowest conv_id."""
+    import numpy as np
+    import pandas as pd
+
+    cl = _minhash_clusters_df(sf_dir)
+    lens = con.sql(
+        "SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS conv_id,"
+        " n_chars FROM documents"
+    ).df()
+    j = cl.merge(lens, on="conv_id")
+    j = j.sort_values(["cluster_id", "n_chars", "conv_id"],
+                      ascending=[True, False, True], kind="stable")
+    canon = j.groupby("cluster_id", sort=False)["conv_id"].transform("first")
+    want = pd.DataFrame({
+        "conv_id": j["conv_id"].to_numpy(),
+        "cluster_id": j["cluster_id"].to_numpy(),
+        "canonical_id": canon.to_numpy(),
+        "is_canonical": (j["conv_id"] == canon).to_numpy().astype(np.int64),
+    }).sort_values("conv_id").reset_index(drop=True)
+    got = res.sort_values("conv_id").reset_index(drop=True)
+    try:
+        pd.testing.assert_frame_equal(
+            got[["conv_id", "cluster_id", "canonical_id", "is_canonical"]],
+            want, check_dtype=False)
+    except AssertionError as ex:
+        return [f"canonicals differ from the implied selection: {str(ex)[:200]}"]
+    return []
+
+
+def _check_simhash_doc_pairs(res, con, sf_dir):
+    """SimHash pair precision: every emitted pair's Hamming distance over
+    the engine's own signature table must clear the threshold (8), with
+    est_sim = 1 - hd/64 — certifies the pigeonhole-block join plumbing."""
+    import numpy as np
+
+    from raydedup.pipelines.docdedup import minhash_doc_signatures
+
+    sigs = minhash_doc_signatures(sf_dir).to_pandas()
+    sig = dict(zip(sigs["conv_id"], sigs["simhash"].astype(np.uint64)))
+    viol = []
+    for a, b, s in zip(res["a"], res["b"], res["est_sim"]):
+        if a not in sig or b not in sig:
+            viol.append(f"pair ({a},{b}) references unknown doc")
+            continue
+        hd = int(bin(int(sig[a]) ^ int(sig[b])).count("1"))
+        if hd > 8:
+            viol.append(f"pair ({a},{b}) hamming {hd} > threshold 8")
+        if abs((1.0 - hd / 64.0) - s) > 1e-12:
+            viol.append(f"pair ({a},{b}) est_sim {s} != {1.0 - hd / 64.0}")
+    return viol
+
+
+def _check_doc_signatures(res, con, sf_dir):
+    """Signature-table contract: one row per document; status matches the
+    engine-normalized text classification (corrupted ⇔ NULL raw text,
+    no_content ⇔ normalizes to empty); ok docs carry ≥ 1 shingle."""
+    import pyarrow as pa
+
+    from raydedup.functions.textnorm import normalize_array
+
+    docs = con.sql("SELECT doc_id, text FROM documents").df()
+    norm = normalize_array(
+        pa.array(docs["text"].fillna("").tolist(), pa.string())
+    ).to_pylist()
+    want_status = {
+        f"doc-{int(i):010d}": ("corrupted" if t is None else
+                               ("no_content" if nt == "" else "ok"))
+        for i, t, nt in zip(docs["doc_id"], docs["text"], norm)
+    }
+    viol = []
+    if len(res) != len(docs) or res["conv_id"].duplicated().any():
+        viol.append("row coverage differs from the documents table")
+    bad = sum(1 for c, st in zip(res["conv_id"], res["status"])
+              if want_status.get(c) != st)
+    if bad:
+        viol.append(f"{bad} rows with a wrong status")
+    ok = res[res["status"] == "ok"]
+    if (ok["n_shingles"] < 1).any():
+        viol.append("an ok doc has zero shingles")
+    nok = res[res["status"] != "ok"]
+    if len(nok) and (nok["n_shingles"] != 0).any():
+        viol.append("a quarantined doc carries shingles")
+    return viol
+
+
+def _check_semdedup(res, con, sf_dir):
+    """SemDeDup keep-flags must equal the greedy recomputation from the
+    output's OWN assignments + the raw embeddings: within each centroid
+    group in ascending vec_id, drop iff any earlier member has cosine
+    >= tau (0.95) — deterministic given the assignment, so an exact
+    match is required."""
+    import numpy as np
+
+    emb = con.sql("SELECT vec_id, embedding FROM embeddings").df()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    mat = mat / nrm
+    idx = {v: i for i, v in enumerate(emb["vec_id"])}
+    viol = []
+    for cid, g in res.groupby("centroid_id"):
+        g = g.sort_values("vec_id")
+        x = mat[[idx[v] for v in g["vec_id"]]]
+        sims = x @ x.T
+        n = len(g)
+        keep = np.ones(n, dtype=bool)
+        for i in range(1, n):
+            if (sims[i, :i] >= 0.95).any():
+                keep[i] = False
+        if (g["keep"].to_numpy() != keep).any():
+            viol.append(f"centroid {cid}: keep flags diverge from the greedy rule")
+    return viol
+
+
+def _check_prototype_prune(res, con, sf_dir):
+    """Prototype-prune output contract: per centroid group, proto_rank is
+    a dense permutation 1..n and keep drops exactly floor(0.25·n) rows
+    (the ranking itself depends on the iterated centroids, which the
+    output does not carry — pytest pins that against the numpy twin)."""
+    import numpy as np
+
+    viol = []
+    for cid, g in res.groupby("centroid_id"):
+        n = len(g)
+        if sorted(g["proto_rank"]) != list(range(1, n + 1)):
+            viol.append(f"centroid {cid}: proto_rank not a dense 1..{n}")
+        n_drop = int(np.floor(0.25 * n))
+        if int((~g["keep"]).sum()) != n_drop:
+            viol.append(f"centroid {cid}: dropped {(~g['keep']).sum()} != {n_drop}")
+        if (g.sort_values("proto_rank")["keep"].to_numpy()[:n_drop]).any():
+            viol.append(f"centroid {cid}: a top-ranked (most prototypical) row kept under the drop quota")
+    return viol
+
+
 def invariant_checks():
     """Map of rows-only queries to their invariant twins (see above)."""
     return {
@@ -2164,4 +2334,10 @@ def invariant_checks():
         "q_ann_ivf": _check_ann,
         "q_value_quantiles_by_type": _check_value_quantiles_by_type,
         "q_transcript_dedup": _check_transcript_dedup,
+        "q_cluster_report": _check_cluster_report,
+        "q_cluster_canonicals": _check_cluster_canonicals,
+        "q_simhash_doc_pairs": _check_simhash_doc_pairs,
+        "q_doc_signatures": _check_doc_signatures,
+        "q_semdedup": _check_semdedup,
+        "q_prototype_prune": _check_prototype_prune,
     }
